@@ -1,0 +1,3 @@
+from mspr2_back_spark.sources.readers import TESTDATA_TABLES, load_table, load_tables, register_views
+
+__all__ = ["TESTDATA_TABLES", "load_table", "load_tables", "register_views"]
