@@ -13,8 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mspr2_back_spark.plans.oracle import ORACLE_SQL
-from mspr2_back_spark.plans.queries import QUERIES
+from mspr2_back_spark.plans import ORACLE_SQL, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:

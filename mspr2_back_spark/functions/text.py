@@ -1,0 +1,106 @@
+"""Text-analysis column functions for corpus curation.
+
+All pure Spark SQL expressions (codegen'd, engine-portable): language
+ID by stopword density, quality scoring, token counting, and content
+fingerprinting. No UDFs — at 100 TB these run scan-side with zero
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORDS = "filter(split(text, ' '), w -> w <> '')"
+
+# Minimal per-language stopword markers for the heuristic language ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "y", "las"),
+}
+
+
+def _marker_hits(lang: str) -> str:
+    members = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"size(filter({WORDS}, w -> w IN ({members})))"
+
+
+def lang_scores() -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    return {lang: F.expr(_marker_hits(lang)) for lang in LANG_MARKERS}
+
+
+def predicted_lang(min_ratio: float = 0.02) -> Column:
+    """Argmax-by-marker-density language guess with a deterministic
+    tie order (en > fr > de > es > und)."""
+    n_words = F.expr(f"size({WORDS})")
+    scores = lang_scores()
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        s = scores[lang]
+        cond = (s >= F.greatest(*[scores[o] for o in LANG_MARKERS if o != lang])) & (
+            s.cast("double") / n_words >= min_ratio
+        )
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (letter runs,
+    digit runs, single punctuation — the shape of a byte-pair
+    pre-tokenizer)."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size({WORDS})").alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+        ).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: length, mean word length, stopword
+    ratio, type-token ratio, and a blended quality score.
+
+    Every ratio divides exact integers, so scores are deterministic
+    across engines and partitionings."""
+    n_words = F.expr(f"size({WORDS})")
+    n_stop = F.expr(_marker_hits("en"))
+    n_distinct = F.expr(f"size(array_distinct({WORDS}))")
+    n_chars = F.length("text")
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    ttr = n_distinct.cast("double") / n_words
+    score = F.round(
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
+        + ttr * 0.3,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: raw digest, whitespace-normalized digest,
+    and an order-insensitive bag-of-words digest (near-dup blocking
+    key for shuffled/reordered copies)."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    bag = F.expr(
+        f"array_join(array_sort(array_distinct({WORDS})), ' ')"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5("text").alias("content_hash"),
+        F.md5(normalized).alias("normalized_hash"),
+        F.md5(bag).alias("bag_hash"),
+    )

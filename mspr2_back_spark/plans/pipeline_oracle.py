@@ -1,0 +1,236 @@
+"""DuckDB oracles for the pipeline queries.
+
+Several statements are program-generated so the md5-nibble hash logic
+is character-identical to the Spark expressions (SimHash bits,
+LSH hyperplane signs). List folds use ``list_reduce`` (left fold) to
+match Spark's ``aggregate`` summation order bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from mspr2_back_spark.plans.pipeline_queries import (
+    COSINE_PAIR_THRESHOLD,
+    MINHASH_THRESHOLD,
+    NGRAM_JACCARD_THRESHOLD,
+)
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {}
+
+_WORDS_CTE = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+)
+"""
+
+_SHINGLE_PAIRS = (
+    _WORDS_CTE
+    + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM words
+),
+ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         COUNT(*) AS shared, ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2, jaccard FROM (
+  SELECT doc_id_1, doc_id_2,
+         CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
+  FROM pairs
+) WHERE jaccard >= {threshold}
+"""
+)
+
+PIPELINE_ORACLE_SQL["dedup_exact"] = """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY 1
+"""
+
+PIPELINE_ORACLE_SQL["dedup_ngram_jaccard"] = _SHINGLE_PAIRS.format(
+    threshold=NGRAM_JACCARD_THRESHOLD
+)
+
+# MinHash+LSH with 32 bands x 2 rows has recall 1-2e-13 at j>=0.8, and
+# the Spark side verifies candidates with exact Jaccard — so the exact
+# thresholded pair set IS the expected output.
+PIPELINE_ORACLE_SQL["dedup_minhash_lsh"] = _SHINGLE_PAIRS.format(
+    threshold=MINHASH_THRESHOLD
+)
+
+_HEX = "'0123456789abcdef'"
+
+_SIMHASH_BITSUM = (
+    "list_sum(list_transform(dw, t -> CASE WHEN strpos({hex}, substring(md5(t), i + 1, 1)) - 1 >= 8 "
+    "THEN 1 ELSE -1 END))"
+).format(hex=_HEX)
+
+PIPELINE_ORACLE_SQL["dedup_simhash"] = (
+    _WORDS_CTE
+    + """
+, dwords AS (SELECT doc_id, list_distinct(w) AS dw FROM words)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0, 15),
+            i -> CASE WHEN {bitsum} > 0 THEN 1 << i ELSE 0 END)) AS INT) AS simhash
+FROM dwords
+""".format(bitsum=_SIMHASH_BITSUM)
+)
+
+_NORM_CTE = """
+WITH v AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+  FROM embeddings
+)
+"""
+
+_PAIR_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+PIPELINE_ORACLE_SQL["dedup_embedding_cosine"] = (
+    _NORM_CTE
+    + """
+SELECT vec_id_1, vec_id_2, cosine_sim FROM (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cosine_sim >= {threshold}
+""".format(dot=_PAIR_DOT, threshold=COSINE_PAIR_THRESHOLD)
+)
+
+_Q_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+PIPELINE_ORACLE_SQL["ann_topk"] = (
+    _NORM_CTE
+    + """
+, q AS (SELECT embedding, nrm FROM v WHERE vec_id = 0)
+SELECT v.vec_id, v.label, ROUND({dot} / (v.nrm * q.nrm), 6) AS cosine_sim
+FROM v, q
+WHERE v.vec_id <> 0
+ORDER BY cosine_sim DESC, v.vec_id ASC
+LIMIT 10
+""".format(dot=_Q_DOT)
+)
+
+
+def _hyperplane_sign_sql(plane: int, vec: str = "embedding") -> str:
+    """±1-hyperplane projection sign — mirrors similarity._hyperplane_sign
+    (plane component i is +1 iff md5('{p}_{i}') first nibble >= 8)."""
+    proj = (
+        f"list_reduce(list_transform(generate_series(1, 64), i -> "
+        f"CASE WHEN strpos({_HEX}, substring(md5('{plane}_' || (i - 1)), 1, 1)) - 1 >= 8 "
+        f"THEN CAST({vec}[i] AS DOUBLE) ELSE -CAST({vec}[i] AS DOUBLE) END), (x, y) -> x + y)"
+    )
+    return f"CASE WHEN {proj} > 0 THEN 1 ELSE 0 END"
+
+
+_BUCKET = " + ".join(f"({_hyperplane_sign_sql(p)} * {1 << p})" for p in range(8))
+
+PIPELINE_ORACLE_SQL["ann_lsh_topk"] = (
+    _NORM_CTE
+    + """
+, vb AS (SELECT vec_id, label, embedding, nrm, CAST({bucket} AS INT) AS bucket FROM v),
+q AS (SELECT embedding, nrm, bucket FROM vb WHERE vec_id = 0)
+SELECT v.vec_id, v.bucket, ROUND({dot} / (v.nrm * q.nrm), 6) AS cosine_sim
+FROM vb v, q
+WHERE v.vec_id <> 0 AND v.bucket = q.bucket
+ORDER BY cosine_sim DESC, v.vec_id ASC
+LIMIT 5
+""".format(bucket=_BUCKET, dot=_Q_DOT)
+)
+
+_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "y", "las"),
+}
+
+
+def _score(lang: str) -> str:
+    members = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(w, t -> t IN ({members})))"
+
+
+def _lang_case(min_ratio: float = 0.02) -> str:
+    branches = []
+    for lang in _MARKERS:
+        others = ", ".join(_score(o) for o in _MARKERS if o != lang)
+        branches.append(
+            f"WHEN {_score(lang)} >= greatest({others}) "
+            f"AND CAST({_score(lang)} AS DOUBLE) / len(w) >= {min_ratio} THEN '{lang}'"
+        )
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+PIPELINE_ORACLE_SQL["text_lang_id"] = (
+    _WORDS_CTE.replace("SELECT doc_id,", "SELECT doc_id, lang,")
+    + f"""
+SELECT doc_id, lang AS labeled_lang, {_lang_case()} AS predicted_lang
+FROM words
+"""
+)
+
+PIPELINE_ORACLE_SQL["text_quality"] = (
+    _WORDS_CTE.replace("SELECT doc_id,", "SELECT doc_id, length(text) AS n_chars,")
+    + f"""
+SELECT doc_id,
+       len(w) AS n_words,
+       ROUND(CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w), 6) AS avg_word_len,
+       ROUND(CAST({_score("en")} AS DOUBLE) / len(w), 6) AS stopword_ratio,
+       ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS type_token_ratio,
+       ROUND(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + least(CAST({_score("en")} AS DOUBLE) / len(w) * 10.0, 1.0) * 0.3
+             + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3, 6) AS quality_score
+FROM words
+"""
+)
+
+PIPELINE_ORACLE_SQL["text_token_stats"] = (
+    _WORDS_CTE.replace("SELECT doc_id,", "SELECT doc_id, text,")
+    + r"""
+SELECT doc_id,
+       len(w) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars_measured
+FROM words
+"""
+)
+
+PIPELINE_ORACLE_SQL["text_fingerprints"] = (
+    _WORDS_CTE.replace("SELECT doc_id,", "SELECT doc_id, text,")
+    + r"""
+SELECT doc_id,
+       md5(text) AS content_hash,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS normalized_hash,
+       md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_hash
+FROM words
+"""
+)
+
+PIPELINE_ORACLE_SQL["multimodal_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte,
+       CAST(64 + (ascii(substring(text, 1, 1)) % 32) AS INT) AS width,
+       CAST(64 + (ascii(substring(text, 2, 1)) % 32) AS INT) AS height,
+       'fake/deterministic' AS format
+FROM documents
+"""
+
+# multimodal_frames: intentionally no oracle — md5 over blob slices is
+# not expressible in the oracle dialect; the driver records rows-only.

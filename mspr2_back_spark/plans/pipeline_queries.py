@@ -1,0 +1,125 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — the beyond-the-reference surface a
+100 TB corpus engine needs (BASELINE.json north star).
+
+Same contract as plans/queries.py: (spark, sf_dir) → DataFrame, every
+computed column aliased to match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mspr2_back_spark.functions.text import (
+    fingerprints,
+    predicted_lang,
+    quality_features,
+    token_stats,
+)
+from mspr2_back_spark.operators import dedup, multimodal, similarity
+from mspr2_back_spark.sources.readers import load_table
+
+NGRAM_JACCARD_THRESHOLD = 0.5
+MINHASH_THRESHOLD = 0.8
+COSINE_PAIR_THRESHOLD = 0.45
+ANN_QUERY_ID = 0
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (hash-groupBy)."""
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted index)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), NGRAM_JACCARD_THRESHOLD
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-Jaccard-verified at 0.8.
+
+    The oracle is the exact thresholded pair set: with 32 bands × 2
+    rows, LSH recall at j ≥ 0.8 is 1 − 2e-13, so candidate+verify
+    equals exact with near-certainty (see operators/dedup.py).
+    """
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), MINHASH_THRESHOLD
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 16-bit SimHash fingerprint per document."""
+    return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs verifier)."""
+    return similarity.cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
+    )
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a stored query vector."""
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_ID, k=10
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (sign random projection, 8 planes)."""
+    return similarity.hyperplane_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), ANN_QUERY_ID, k=5
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword-marker density."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"), predicted_lang().alias("predicted_lang"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features + blended score per document."""
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw / normalized / bag-of-words content digests."""
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing via mapInPandas (stub codec)."""
+    return multimodal.image_metadata(load_table(spark, sf_dir, "documents"))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (no SQL oracle: md5-of-blob-slice is
+    not expressible in the oracle dialect; driver checks rows-only)."""
+    return multimodal.sample_frames(load_table(spark, sf_dir, "documents"))
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_topk": ann_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_stats": text_token_stats,
+    "text_fingerprints": text_fingerprints,
+    "multimodal_meta": multimodal_meta,
+    "multimodal_frames": multimodal_frames,
+}

@@ -15,8 +15,7 @@ import math
 import duckdb
 import pytest
 
-from mspr2_back_spark.plans.oracle import ORACLE_SQL
-from mspr2_back_spark.plans.queries import QUERIES
+from mspr2_back_spark.plans import ORACLE_SQL, QUERIES
 from mspr2_back_spark.sources.readers import TESTDATA_TABLES
 
 SQL_KEYS = sorted(ORACLE_SQL)

@@ -1,0 +1,63 @@
+"""Unit tests for pipeline operators beyond the oracle-parity gate."""
+
+from __future__ import annotations
+
+from mspr2_back_spark.operators import dedup, multimodal, similarity
+from mspr2_back_spark.plans import ORACLE_SQL, QUERIES
+from mspr2_back_spark.sources.readers import load_table
+
+
+def test_no_oracle_queries_still_run(spark, sf_dir):
+    missing = [k for k in QUERIES if k not in ORACLE_SQL]
+    assert missing == ["multimodal_frames"], missing
+    for name in missing:
+        df = QUERIES[name](spark, sf_dir)
+        assert df.count() > 0
+
+
+def test_frame_sampling_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    out = multimodal.sample_frames(docs, n_frames=4).collect()
+    assert len(out) == 20
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
+        assert all(len(r.frame_hash) == 32 for r in rows)
+
+
+def test_minhash_matches_exact_jaccard(spark, sf_dir):
+    """LSH candidate+verify must reproduce the exact thresholded set."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    lsh = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in dedup.minhash_lsh_pairs(docs, 0.8).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_blocks_near_dups(spark, sf_dir):
+    """Known near-dup pairs (jaccard>=0.8) should have Hamming-close
+    simhash fingerprints (<= 4 of 16 bits differ)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert pairs
+    for p in pairs:
+        ham = bin(fp[p.doc_id_1] ^ fp[p.doc_id_2]).count("1")
+        assert ham <= 4, (p.doc_id_1, p.doc_id_2, ham)
+
+
+def test_brute_force_topk_self_excluded(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    top = similarity.brute_force_topk(vecs, 0, k=10).collect()
+    assert len(top) == 10
+    assert all(r.vec_id != 0 for r in top)
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
