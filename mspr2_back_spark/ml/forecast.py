@@ -1,0 +1,153 @@
+"""ML surface: feature pipeline + regression metrics + autoregressive
+forecasting (SURVEY §2.9 M1-M8, re-expressed on MLlib + pandas UDFs).
+
+- ``train_rf_metrics``: StringIndexer/OneHot/MinMaxScaler feature
+  pipeline into a RandomForestRegressor with R²/RMSE/MAE evaluation —
+  the reference's sklearn metrics endpoint (ref app/routes/metrics.py:21-42)
+  and encoders (ref predict_france_with_model.py:33-36,67-69).
+- ``autoregressive_forecast``: per-group sequential forecasting under
+  ``applyInPandas`` — one group per series, parallel across groups,
+  sequential inside (the reference's LSTM loop shape, ref
+  app/routes/predict_france_with_model.py:90-101). The default model
+  is a deterministic ridge-regularized linear AR fit in numpy; a
+  torch LSTM drops into the same seam when the library exists
+  (absent in this container — kept behind a try-import, same policy
+  as the multimodal codecs).
+
+Scale: training data prep is all DataFrame ops; the forecast
+parallelism is the number of series, each group fitting in one
+worker's pandas frame — the layout a 1000-executor cluster wants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.ml import Pipeline
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import MinMaxScaler, OneHotEncoder, StringIndexer, VectorAssembler
+from pyspark.ml.regression import RandomForestRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - torch is not shipped in this container
+    import torch  # noqa: F401
+
+    HAVE_TORCH = True
+except Exception:
+    HAVE_TORCH = False
+
+
+def train_rf_metrics(
+    df: DataFrame,
+    numeric_features: Iterable[str],
+    categorical_features: Iterable[str],
+    label: str,
+    seed: int = 42,
+    test_fraction: float = 0.25,
+) -> dict[str, float]:
+    """Fit the feature pipeline + RF on a train split, evaluate on the
+    held-out split (r2 / rmse / mae, mirroring ref metrics.py:37-40
+    and the MAE backtest at predict_france_with_model.py:107-110)."""
+    numeric_features = list(numeric_features)
+    categorical_features = list(categorical_features)
+    stages = []
+    cat_vecs = []
+    for c in categorical_features:
+        stages.append(StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep"))
+        stages.append(OneHotEncoder(inputCol=f"{c}_idx", outputCol=f"{c}_vec"))
+        cat_vecs.append(f"{c}_vec")
+    stages.append(
+        VectorAssembler(inputCols=numeric_features, outputCol="num_raw")
+    )
+    stages.append(MinMaxScaler(inputCol="num_raw", outputCol="num_scaled"))
+    stages.append(
+        VectorAssembler(inputCols=["num_scaled", *cat_vecs], outputCol="features")
+    )
+    stages.append(
+        RandomForestRegressor(
+            featuresCol="features", labelCol=label, numTrees=30, seed=seed
+        )
+    )
+    train, test = df.randomSplit([1 - test_fraction, test_fraction], seed=seed)
+    model = Pipeline(stages=stages).fit(train)
+    pred = model.transform(test)
+    out = {}
+    for metric in ("r2", "rmse", "mae"):
+        out[metric] = RegressionEvaluator(
+            labelCol=label, predictionCol="prediction", metricName=metric
+        ).evaluate(pred)
+    return out
+
+
+def _fit_predict_ar(y: np.ndarray, lookback: int, horizon: int) -> np.ndarray:
+    """Deterministic linear AR(lookback) forecast, fed back
+    autoregressively — the reference's predict loop with the LSTM
+    swapped for a closed-form model."""
+    lookback = min(lookback, max(len(y) - 1, 1))
+    rows = len(y) - lookback
+    if rows < 2:
+        return np.repeat(y[-1] if len(y) else 0.0, horizon)
+    X = np.stack([y[i : i + lookback] for i in range(rows)])
+    t = y[lookback:]
+    Xb = np.hstack([X, np.ones((rows, 1))])
+    # ridge for conditioning; fixed lambda keeps it deterministic
+    w = np.linalg.solve(Xb.T @ Xb + 1e-6 * np.eye(lookback + 1), Xb.T @ t)
+    window = y[-lookback:].astype(np.float64).copy()
+    preds = []
+    for _ in range(horizon):
+        nxt = float(np.dot(window, w[:-1]) + w[-1])
+        preds.append(nxt)
+        window = np.append(window[1:], nxt)
+    return np.array(preds)
+
+
+def autoregressive_forecast(
+    series: DataFrame,
+    group_col: str = "user_id",
+    time_col: str = "day",
+    value_col: str = "value",
+    lookback: int = 14,
+    horizon: int = 7,
+) -> DataFrame:
+    """Forecast `horizon` steps per group.
+
+    Input: one row per (group, time) with a numeric value (prepare
+    with a groupBy upstream). Output: (group, step, forecast_day,
+    forecast_value). Sequential inside a group by nature of
+    autoregression; distributed across groups by applyInPandas."""
+    schema = (
+        f"{group_col} LONG, step INT, forecast_day DATE, forecast_value DOUBLE"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        last_day = pd.Timestamp(pdf[time_col].iloc[-1])
+        preds = _fit_predict_ar(y, lookback, horizon)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                "step": np.arange(1, horizon + 1, dtype=np.int32),
+                "forecast_day": [
+                    (last_day + pd.Timedelta(days=int(s))).date()
+                    for s in range(1, horizon + 1)
+                ],
+                "forecast_value": preds,
+            }
+        )
+
+    return series.groupBy(group_col).applyInPandas(run, schema=schema)
+
+
+def daily_user_series(events: DataFrame) -> DataFrame:
+    """Events → dense per-(user, day) value series (forecast input)."""
+    return (
+        events.groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.sum("value").alias("value"))
+    )

@@ -108,6 +108,16 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(load_table(spark, sf_dir, "documents"))
 
 
+def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autoregressive 7-day forecast via applyInPandas (no
+    SQL oracle: iterative model fit + feedback loop is not
+    SQL-expressible; driver checks rows-only)."""
+    from mspr2_back_spark.ml import forecast
+
+    series = forecast.daily_user_series(load_table(spark, sf_dir, "events"))
+    return forecast.autoregressive_forecast(series, horizon=7)
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -122,4 +132,5 @@ PIPELINE_QUERIES = {
     "text_fingerprints": text_fingerprints,
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
+    "ml_forecast_ar": ml_forecast_ar,
 }
