@@ -6,8 +6,11 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query executes as a count-materialization (full plan runs, no
-driver-side result marshalling in the timing). A tiny warmup query
-amortizes JVM/codegen startup out of the numbers.
+driver-side result marshalling in the timing). Warmup runs every
+headline query once at sf0.001 first: that compiles and caches the
+whole-stage-codegen classes and spins up the Python UDF workers, so
+the timed sf run measures steady-state execution (what a long-lived
+cluster sees), not one-time JVM/JIT startup.
 """
 
 from __future__ import annotations
@@ -45,8 +48,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="mspr2_back_spark_bench")
 
-    # warmup: JVM, codegen, parquet footers
+    # warmup: JVM, whole-stage-codegen compile cache, Python UDF
+    # workers, parquet footers — same plans on the tiny sf so the
+    # generated-code cache is hot for the timed run.
+    warmup_dir = "/root/testdata/sf0.001"
     QUERIES["global_totals"](spark, sf_dir).collect()
+    for name in HEADLINE:
+        QUERIES[name](spark, warmup_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

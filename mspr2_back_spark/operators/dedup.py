@@ -21,12 +21,28 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Word-level shingles: contiguous word k-grams, distinct per document.
 _WORDS = "filter(split(text, ' '), w -> w <> '')"
 _K = 3
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Ensure the corpus is spread across the cluster's cores before
+    CPU-heavy per-row work.
+
+    A 100 TB corpus scan already arrives in thousands of splits and
+    this is a no-op; the guard exists for small/non-splittable inputs
+    (e.g. a single-row-group parquet file ⇒ 1 partition), where an
+    interpreted projection would otherwise run on one core.
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,45 +59,31 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingles_exploded(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word-3-gram shingles, one row per (doc, shingle).
-
-    Built relationally — posexplode the words, then `lead()` over
-    (doc, position) — instead of a `transform(sequence(...), ...)`
-    lambda: higher-order functions evaluate interpreted in Spark,
-    which benchmarked ~4x slower than this codegen'd window form on a
-    wide corpus. One shuffle on doc id, which downstream per-doc aggs
-    reuse. Documents shorter than the shingle width contribute their
-    whole text as a single shingle.
-    """
-    words = docs.select(
-        F.col(id_col).alias("doc"), F.expr(_WORDS).alias("w")
-    )
-    pos = words.select(
-        "doc", F.size("w").alias("n"), F.posexplode("w").alias("pos", "word")
-    )
-    win = W.partitionBy("doc").orderBy("pos")
-    grams = pos.select(
-        "doc",
-        F.concat_ws(
-            " ", "word", F.lead("word", 1).over(win), F.lead("word", 2).over(win)
-        ).alias("shingle"),
-        "pos",
-        "n",
-    ).filter(F.col("pos") + _K <= F.col("n"))
-    short = words.filter(F.size("w") < _K).select(
-        "doc", F.concat_ws(" ", "w").alias("shingle")
-    )
-    return grams.select("doc", "shingle").union(short).dropDuplicates(["doc", "shingle"])
+# Distinct word-3-gram shingle set, built per ROW with higher-order
+# functions: zero shuffle — shingling happens scan-side wherever the
+# document already lives, which is exactly what survives a 100 TB
+# corpus (an earlier windowed formulation shuffled the whole exploded
+# corpus by doc id just to run `lead()`; the interpreted-lambda cost
+# of `transform` is noise next to that exchange). Documents shorter
+# than the shingle width contribute their whole text as one shingle.
+_SHINGLE_SET = (
+    "CASE WHEN size({w}) < {k} THEN array(concat_ws(' ', {w})) "
+    "ELSE array_distinct(transform(sequence(0, size({w}) - {k}), "
+    "i -> concat_ws(' ', slice({w}, i + 1, {k})))) END"
+).format(w=_WORDS, k=_K)
 
 
 def with_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Shingle set per document as an array column (for set
-    intersection/union verification on candidate pairs)."""
-    return (
-        shingles_exploded(docs, id_col)
-        .groupBy("doc")
-        .agg(F.collect_list("shingle").alias("shingles"))
+    """Shingle set per document as an array column — one shuffle-free
+    projection (for set intersection/union verification and for
+    signature building via explode)."""
+    return docs.select(F.col(id_col).alias("doc"), F.expr(_SHINGLE_SET).alias("shingles"))
+
+
+def shingles_exploded(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-3-gram shingles, one row per (doc, shingle)."""
+    return with_shingles(docs, id_col).select(
+        "doc", F.explode("shingles").alias("shingle")
     )
 
 
@@ -97,8 +99,21 @@ def ngram_jaccard_pairs(
     threshold but dominate join cost); the test corpus has no such hot
     shingles, so no cap is applied here.
     """
-    sh = shingles_exploded(docs, id_col)
-    ex = sh.withColumn("n_shingles", F.count(F.lit(1)).over(W.partitionBy("doc")))
+    # Persisted + materialized once so the self-join's two sides read
+    # the cache instead of re-shingling the corpus per side;
+    # explode_outer avoids the size()>0 predicate that would push the
+    # interpreted shingle expression into the file scan (see
+    # minhash_lsh_pairs for both rationales).
+    ex = (
+        with_shingles(_spread(docs), id_col)
+        .select(
+            "doc",
+            F.size("shingles").alias("n_shingles"),
+            F.explode_outer("shingles").alias("shingle"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex.count()
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
@@ -119,33 +134,49 @@ def ngram_jaccard_pairs(
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 32,
+    num_hashes: int = 32,
+    bands: int = 16,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection, verified exactly.
 
-    shingle → 64 minhashes (xxhash64 with per-slot seed, computed
-    scan-side) → 32 bands of 2 rows → bucket-join on (band, band
+    shingle → 32 minhashes (xxhash64 with per-slot seed, computed
+    scan-side) → 16 bands of 2 rows → bucket-join on (band, band
     signature) for candidates → exact Jaccard verification on the
     candidate pairs only.
 
-    With r=2, b=32 the candidate probability at j=0.8 is
-    1-(1-0.8²)⁶⁴ᐟ² ≈ 1-2e-13, so verified output equals the exact
+    With r=2, b=16 the candidate probability at j=0.8 is
+    1-(1-0.8²)¹⁶ ≈ 1-8e-8, so verified output equals the exact
     thresholded pair set with near-certainty while the join only ever
     sees banded buckets — this is the piece that survives 100 TB,
-    where the all-pairs verifier alone would not.
+    where the all-pairs verifier alone would not. (Widen num_hashes
+    for lower thresholds: recall at j is 1-(1-j^r)^b.)
     """
     rows = num_hashes // bands
-    # Signature build: exploded shingles hashed with 64 codegen'd
-    # expressions, min-aggregated per doc. All whole-stage codegen —
-    # the lambda formulation (transform/array_min) is interpreted and
-    # an order of magnitude slower on wide corpora.
-    ex = shingles_exploded(docs, id_col).withColumnRenamed("shingle", "s")
-    hashed = ex.select(
+    # The shingle projection is needed by three consumers (signature
+    # build + both verification sides), so it is persisted and
+    # materialized ONCE, eagerly: without this, Spark's plan has no
+    # common-subexpression sharing across join branches and the
+    # corpus would be re-shingled per branch. `explode_outer` (not
+    # `explode`) matters: `explode` implies a `size(col) > 0` filter
+    # that predicate-pushdown drives all the way into the file scan —
+    # which then evaluates the whole interpreted shingle expression
+    # per row inside the (possibly single-split) scan, serially, once
+    # per branch. Shingle sets are never empty here so the two are
+    # semantically identical.
+    per_doc = with_shingles(_spread(docs), id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc.count()  # eager: populate once, before branches race to compute it
+    hashed = per_doc.select(
+        "doc", F.explode_outer("shingles").alias("s")
+    ).select(
         "doc",
         *[F.xxhash64(F.col("s"), F.lit(k)).alias(f"h{k}") for k in range(num_hashes)],
     )
+    # Per-slot min-hashes as a plain codegen'd hash aggregate (partial
+    # agg collapses before the one shuffle this needs). Keeping it
+    # separate from any collect_list agg matters: mixing them forces
+    # a non-codegen ObjectHashAggregate with sort fallback, ~3x
+    # slower when benchmarked.
     sig = hashed.groupBy("doc").agg(
         *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_hashes)]
     )
@@ -160,21 +191,32 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # Candidate pairs per LSH bucket via groupBy + in-bucket pair
+    # expansion — NOT a self-join: a self-join would execute the
+    # whole signature pipeline twice (Spark does not share subplans
+    # across join sides), and at cluster scale it would shuffle the
+    # banded rows twice. One shuffle to the buckets, then each bucket
+    # expands its (sorted) member list to ordered pairs in-place.
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expansion = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> named_struct('doc_id_1', x, 'doc_id_2', y))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_id_1"), F.col("b.doc").alias("doc_id_2"))
+        buckets.select(F.explode(F.expr(pair_expansion)).alias("p"))
+        .select("p.doc_id_1", "p.doc_id_2")
         .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
-    # Verify candidates exactly — shingle sets are fetched only for
-    # the (few) candidate pairs, so the wide arrays never shuffle
-    # through the band join.
-    sh = with_shingles(docs, id_col)
+    # Verify candidates exactly — shingle sets come straight from the
+    # persisted per-doc projection, fetched only for the (few)
+    # candidate pairs, so the wide arrays never shuffle through the
+    # band join.
+    sh = per_doc
     s1 = sh.select(F.col("doc").alias("doc_id_1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc").alias("doc_id_2"), F.col("shingles").alias("sh2"))
     jac = F.size(F.array_intersect("sh1", "sh2")) / F.size(F.array_union("sh1", "sh2"))
