@@ -1,0 +1,226 @@
+"""Extension queries — engine surface beyond the reference's own ops.
+
+SURVEY §2.4 notes the reference uses no grouping sets / cube / rollup,
+no exact percentiles, and no approximate aggregates; Spark provides
+all of them natively, so the engine exposes them as first-class
+queries. Also here: sessionization (gap-based, the batch twin of the
+streaming stateful operator) and the CRUD surface from operators/crud
+(MERGE-style upsert, DELETE-WHERE, point lookup — ref
+api/api_crud.py:69-383 re-expressed for immutable storage).
+
+Determinism contract (same as plans/queries.py): money sums aggregate
+in DECIMAL, ratios divide identical exact intermediates, percentiles
+use the discrete (value-picking, no interpolation) definition
+hand-rolled identically on both engines — every output double is
+bit-identical between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mspr2_back_spark.functions.numeric import dsum
+from mspr2_back_spark.operators.crud import delete_where, point_lookup, upsert
+from mspr2_back_spark.sources.readers import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregates (rollup / cube / grouping sets)
+# ---------------------------------------------------------------------------
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation revenue with subtotals and a grand total in one
+    pass (``rollup``). One scan feeds every grouping level — at scale
+    this replaces three separate jobs over the fact table; the dims
+    broadcast so only the partial aggregates shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations of (status, priority) in one scan
+    (``cube``); ``lvl`` (grouping_id) disambiguates real NULLs from
+    subtotal rows."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-year totals, per-priority totals,
+    and the grand total, skipping the (year, priority) cross level a
+    cube would also compute."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"), "o_orderpriority", "o_totalprice"
+    )
+    return o.groupingSets(
+        [["o_year"], ["o_orderpriority"], []], "o_year", "o_orderpriority"
+    ).agg(
+        F.grouping_id().alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (discrete definition, bit-identical across engines)
+# ---------------------------------------------------------------------------
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p25/p50/p75) of order price per
+    priority: the k-th smallest value with k = ceil(p·n), hand-rolled
+    with row_number + a conditional min so the definition (and every
+    bit of the result) is engine-independent — built-in
+    ``percentile_cont`` interpolates and differs in ulps across
+    engines. Single shuffle on the group key; the rank window and the
+    aggregate share that partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(win).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+
+    def pick(p: float) -> F.Column:
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("o_totalprice"))
+        )
+
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.25).alias("p25"),
+        pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"),
+        F.max("n").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch twin of streaming/events.py's stateful op)
+# ---------------------------------------------------------------------------
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-minute silence starts a new
+    session. Classic lag-flag-cumsum formulation — one shuffle on
+    user_id serves the lag window and the per-user aggregate. The
+    interval comparison stays in timestamp space (no epoch casts), so
+    sub-second precision is handled identically by both engines."""
+    e = _t(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(win)
+    flagged = e.select(
+        "user_id",
+        F.when(prev.isNull(), 1)
+        .when(F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    grouped = flagged.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+    return grouped.select(
+        "user_id",
+        "n_sessions",
+        "n_events",
+        (F.col("n_events") / F.col("n_sessions")).alias("events_per_session"),
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type
+    (``approx_count_distinct``, rsd 1%) next to the exact count.
+
+    The approximate path is the 100 TB answer: HLL sketches merge
+    map-side, so the shuffle carries one ~kB sketch per (partition,
+    group) instead of every distinct user id crossing the wire the way
+    the exact expand-based plan requires. No SQL oracle — estimates
+    are implementation-defined; the driver's rows-only check applies,
+    and the accompanying test bounds the estimate against the exact
+    count."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRUD surface (operators/crud.py) as oracle-checked queries
+# ---------------------------------------------------------------------------
+
+
+def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: reprioritize every 2001+ order via
+    ``upsert`` (anti-join + union), then summarize — the summary keys
+    on the updated column, so a wrong merge (dropped, duplicated, or
+    unreplaced rows) changes the output."""
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderdate") >= F.lit("2001-01-01")).withColumn(
+        "o_orderpriority", F.lit("0-UPDATED")
+    )
+    merged = upsert(o, updates, keys=["o_orderkey"])
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )
+
+
+def crud_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE status = 'F' via predicate complement
+    (three-valued logic preserved), then a survivors summary."""
+    o = _t(spark, sf_dir, "orders")
+    remaining = delete_where(o, F.col("o_orderstatus") == "F")
+    return remaining.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )
+
+
+def crud_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORM ``get(pk)`` parity: single-key read. The key predicate
+    reaches the parquet scan, so row groups whose min/max statistics
+    exclude the key are skipped entirely."""
+    o = _t(spark, sf_dir, "orders")
+    return point_lookup(o, "o_orderkey", 42).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+EXTENSION_QUERIES = {
+    "rollup_revenue": rollup_revenue,
+    "cube_order_stats": cube_order_stats,
+    "grouping_sets_sales": grouping_sets_sales,
+    "percentile_prices": percentile_prices,
+    "sessionize_events": sessionize_events,
+    "approx_distinct_users": approx_distinct_users,
+    "crud_upsert": crud_upsert,
+    "crud_delete": crud_delete,
+    "crud_point_lookup": crud_point_lookup,
+}

@@ -1,0 +1,128 @@
+"""DuckDB oracle SQL for plans/extensions.py.
+
+Same determinism contract as plans/oracle.py: DECIMAL-exact sums cast
+to DOUBLE at the boundary, discrete (non-interpolating) percentiles,
+timestamp-space interval comparisons. ``approx_distinct_users`` has no
+oracle by design (estimates are implementation-defined).
+"""
+
+from __future__ import annotations
+
+EXTENSION_ORACLE_SQL: dict[str, str] = {}
+
+
+EXTENSION_ORACLE_SQL["rollup_revenue"] = """
+SELECT r_name,
+       n_name,
+       GROUPING(r_name, n_name) AS lvl,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+EXTENSION_ORACLE_SQL["cube_order_stats"] = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS lvl,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+EXTENSION_ORACLE_SQL["grouping_sets_sales"] = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       o_orderpriority,
+       GROUPING(EXTRACT(YEAR FROM o_orderdate), o_orderpriority) AS lvl,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((EXTRACT(YEAR FROM o_orderdate)), (o_orderpriority), ())
+"""
+
+
+EXTENSION_ORACLE_SQL["percentile_prices"] = """
+WITH ranked AS (
+    SELECT o_orderpriority,
+           o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+)
+SELECT o_orderpriority,
+       MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN o_totalprice END) AS p25,
+       MIN(CASE WHEN rn >= CEIL(0.50 * n) THEN o_totalprice END) AS p50,
+       MIN(CASE WHEN rn >= CEIL(0.75 * n) THEN o_totalprice END) AS p75,
+       MAX(n) AS n_orders
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
+EXTENSION_ORACLE_SQL["sessionize_events"] = """
+WITH flagged AS (
+    SELECT user_id,
+           CASE
+               WHEN LAG(ts) OVER w IS NULL THEN 1
+               WHEN ts > LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+               ELSE 0
+           END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       SUM(new_s) AS n_sessions,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(new_s) AS DOUBLE) AS events_per_session
+FROM flagged
+GROUP BY user_id
+"""
+
+
+EXTENSION_ORACLE_SQL["crud_upsert"] = """
+WITH updates AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           '0-UPDATED' AS o_orderpriority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+),
+merged AS (
+    SELECT o.* FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT * FROM updates
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY o_orderpriority
+"""
+
+
+EXTENSION_ORACLE_SQL["crud_delete"] = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE NOT (o_orderstatus = 'F')
+GROUP BY o_orderstatus
+"""
+
+
+EXTENSION_ORACLE_SQL["crud_point_lookup"] = """
+SELECT o_orderkey,
+       o_custkey,
+       o_orderstatus,
+       o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey = 42
+"""

@@ -1,0 +1,113 @@
+"""Unit tests for the extension surface: CRUD operators, grouping
+sets, percentiles, sessionization, approx aggregates.
+
+Oracle parity for every extension query with SQL is covered by
+tests/test_oracle_parity.py (parametrized over ORACLE_SQL); here we
+test operator semantics the oracle can't see — NULL handling in
+DELETE, merge cardinality, estimate error bounds — on tiny literal
+inputs with exact expectations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mspr2_back_spark.operators.crud import delete_where, point_lookup, upsert
+from mspr2_back_spark.plans.extensions import (
+    approx_distinct_users,
+    percentile_prices,
+    rollup_revenue,
+    sessionize_events,
+)
+
+
+def test_upsert_replaces_and_inserts(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    updates = spark.createDataFrame([(2, "B"), (4, "D")], "k int, v string")
+    out = {r.k: r.v for r in upsert(base, updates, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_upsert_composite_key(spark):
+    base = spark.createDataFrame([(1, 1, "x"), (1, 2, "y")], "a int, b int, v string")
+    updates = spark.createDataFrame([(1, 2, "Y")], "a int, b int, v string")
+    out = sorted(upsert(base, updates, ["a", "b"]).collect())
+    assert [r.v for r in out] == ["x", "Y"]
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "F"), (2, "O"), (3, None)], "k int, status string"
+    )
+    kept = sorted(
+        r.k for r in delete_where(df, F.col("status") == "F").collect()
+    )
+    # SQL DELETE WHERE status='F' removes only row 1; the NULL row stays.
+    assert kept == [2, 3]
+
+
+def test_point_lookup_single_row(spark, sf_dir):
+    from mspr2_back_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    rows = point_lookup(o, "o_orderkey", 42).collect()
+    assert len(rows) == 1 and rows[0].o_orderkey == 42
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    rows = approx_distinct_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # rsd=1%; allow 5x slack for small groups.
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
+
+
+def test_sessionize_events_bounds(spark, sf_dir):
+    rows = sessionize_events(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_sessions <= r.n_events
+        assert abs(r.events_per_session - r.n_events / r.n_sessions) < 1e-12
+
+
+def test_sessionize_gap_semantics(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100),
+            (1, "2024-01-01 10:29:00", 101),  # 29 min gap: same session
+            (1, "2024-01-01 11:05:00", 102),  # 36 min gap: new session
+            (2, "2024-01-01 09:00:00", 103),
+        ],
+        "user_id int, ts string, event_id int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    events.createOrReplaceTempView("_sess_fixture")
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(win)
+    flagged = events.select(
+        "user_id",
+        F.when(prev.isNull(), 1)
+        .when(F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    out = {
+        r.user_id: r.n
+        for r in flagged.groupBy("user_id").agg(F.sum("new_s").alias("n")).collect()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    rows = rollup_revenue(spark, sf_dir).collect()
+    grand = [r for r in rows if r.lvl == 3]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(r.n_orders for r in rows if r.lvl == 0)
+
+
+def test_percentiles_ordered(spark, sf_dir):
+    for r in percentile_prices(spark, sf_dir).collect():
+        assert r.p25 <= r.p50 <= r.p75
