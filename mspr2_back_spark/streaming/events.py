@@ -51,6 +51,89 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions per user with native ``session_window`` —
+    the streaming twin of the batch `sessionize_events` query
+    (plans/extensions.py).
+
+    Session state merges as events arrive and is finalized (emitted in
+    append mode) once the watermark passes the session's end + gap.
+    State is keyed by (user, session), so it distributes across
+    executors and is bounded by the watermark — the shape that holds
+    on an unbounded 100 TB/day stream, where a driver-side or
+    unbounded-state formulation would not.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(METRIC)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (event count, value sum) carried across
+    micro-batches.
+
+    Demonstrates the engine's arbitrary-stateful-processing path —
+    the escape hatch for operators windowed aggregation can't express
+    (per-key counters, custom eviction, model state). State is one
+    tuple per user, Arrow-batched per group; each micro-batch emits
+    the updated running totals for the users it touched (update
+    output mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> None:
+    """Drain all available input into an append-mode parquet sink with
+    a checkpoint — the production sink shape. Re-running with the same
+    checkpoint resumes from the persisted offsets + watermark, which
+    is what makes late-data eviction observable across restarts."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, mode: str = "update") -> None:
     """Drain all available input into an in-memory sink (test/serving
     harness; a production job would write a parquet/Delta sink with a

@@ -87,3 +87,135 @@ def test_forecast_linear_trend_extrapolates():
     y = np.arange(1.0, 31.0)  # perfect linear trend
     preds = forecast._fit_predict_ar(y, lookback=5, horizon=3)
     assert preds == pytest.approx([31.0, 32.0, 33.0], rel=1e-3)
+
+
+def test_stream_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """Append-mode session windows: every emitted session must match a
+    batch-computed session exactly (sessions still open when the
+    stream drains stay in state and are legitimately absent)."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_sess")
+    src.write.mode("overwrite").parquet(stream_dir)
+
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    sess = stream_events.sessionized_event_counts(
+        stream, gap="30 minutes", watermark="1 minute"
+    )
+    stream_events.run_to_memory(sess, "sessions_stream", mode="append")
+    emitted = spark.table("sessions_stream").collect()
+    assert emitted  # watermark passes all but the newest sessions
+
+    batch = (
+        src.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"), "n_events")
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in batch.collect()
+    }
+    for r in emitted:
+        key = (r.user_id, r.session_start, r.session_end)
+        assert expected.get(key) == r.n_events, f"session {key} diverges from batch"
+
+    # Cross-check session *counts* per user against the lag-based batch
+    # sessionizer (plans/extensions.py) — two formulations, same gaps.
+    from mspr2_back_spark.plans.extensions import sessionize_events
+
+    lag_counts = {r.user_id: r.n_sessions for r in sessionize_events(spark, sf_dir).collect()}
+    win_counts = {}
+    for r in batch.collect():
+        win_counts[r.user_id] = win_counts.get(r.user_id, 0) + 1
+    assert win_counts == lag_counts
+    shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: final running totals must equal the
+    batch per-user aggregates (counts exact; float sums to 1e-6)."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_state")
+    src.write.mode("overwrite").parquet(stream_dir)
+
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    totals = stream_events.running_user_totals(stream)
+    stream_events.run_to_memory(totals, "running_totals", mode="update")
+
+    final = {}
+    for r in spark.table("running_totals").collect():
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    expected = {
+        r.user_id: (r.n, r.v)
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, v) in expected.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - v) < 1e-6 * max(1.0, abs(v))
+    shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Restart with the same checkpoint: rows older than the persisted
+    watermark are dropped, closed windows are never re-emitted."""
+    import pandas as pd
+
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "events_late"
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    stream_dir.mkdir()
+
+    def write_batch(rows, name):
+        # The file stream source watches one directory level, so land
+        # each batch's part files directly in it under unique names.
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["props"] = "{}"
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(staging))
+        for i, f in enumerate(staging.glob("part-*.parquet")):
+            f.rename(stream_dir / f"{name}_{i}.parquet")
+
+    write_batch(
+        [
+            (1, "2024-06-01 10:05:00", 1, "click", 1.0),
+            (2, "2024-06-01 11:10:00", 1, "click", 1.0),
+            (3, "2024-06-01 13:00:00", 1, "click", 1.0),  # watermark → 12:30
+        ],
+        "b1",
+    )
+    schema = spark.read.parquet(str(stream_dir)).schema
+    stream = stream_events.read_event_stream(spark, str(stream_dir), schema)
+    agg = stream_events.windowed_event_counts(stream, watermark="30 minutes")
+    stream_events.run_to_parquet(agg, out_dir, ckpt)
+    first = {r.hour: r.n_events for r in spark.read.parquet(out_dir).collect()}
+    assert first == {"2024-06-01 10": 1, "2024-06-01 11": 1}  # 13:00 window open
+
+    # Late row (09:00 < persisted watermark 12:30) must be dropped;
+    # 13:40 is on time (joins the open 13:00 window); 15:30 pushes the
+    # watermark to 15:00, past the 13:00 window's end, closing it.
+    write_batch(
+        [
+            (4, "2024-06-01 09:00:00", 1, "click", 1.0),
+            (5, "2024-06-01 13:40:00", 1, "click", 1.0),
+            (6, "2024-06-01 15:30:00", 1, "click", 1.0),
+        ],
+        "b2",
+    )
+    stream2 = stream_events.read_event_stream(spark, str(stream_dir), schema)
+    agg2 = stream_events.windowed_event_counts(stream2, watermark="30 minutes")
+    stream_events.run_to_parquet(agg2, out_dir, ckpt)
+    second = {r.hour: r.n_events for r in spark.read.parquet(out_dir).collect()}
+    assert "2024-06-01 09" not in second  # late row evicted, window never emitted
+    assert second["2024-06-01 13"] == 2  # both on-time rows; late row excluded
+    assert "2024-06-01 15" not in second  # newest window still open
