@@ -1,13 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
-Everything is expression-level and whole-stage-codegen'd — no Python
-in the scoring loop, and no interpreted higher-order-function lambdas
-either: dot products and norms are generated as explicit 64-term
-sums (left-associated, so the summation order — and therefore every
-double bit — matches a sequential left fold in any other engine).
-Catalyst's codegen compiles these straight to JVM bytecode; the
-lambda formulation (`aggregate(zip_with(...))`) is interpreted
-per-row and benchmarked ~30x slower on the all-pairs stage.
+No Python in the scoring loop: dot products and norms are single
+`aggregate(zip_with(...))` expressions — a sequential left fold, so
+the summation order (and therefore every double bit) matches a left
+fold in any other engine. An earlier formulation generated explicit
+64-term sums for whole-stage codegen; measured head-to-head (2k, 256k
+and 1M × 64-dim rows) the fold is as fast or faster end-to-end: the
+giant expression's parse/analyze/codegen cost dominates every run,
+while the fold's per-row interpretation overhead stays in the noise
+next to array access itself. Query-side norms are computed once on
+the broadcast side, not per scanned row.
 
 Scale story:
 - `brute_force_topk` broadcasts the (tiny) query vector and plans a
@@ -18,11 +20,10 @@ Scale story:
   inside LSH/IVF buckets.
 - `hyperplane_lsh_*` is the scale path: sign-random-projection
   bucketing. Hyperplanes derive from md5, so they are deterministic
-  and engine-portable — and because they are data-independent, the
-  signs are folded into the generated expression at plan time (no
-  per-row hashing at all). Search cost drops to one bucket; at
-  cluster scale you'd repartition by bucket and serve lookups
-  partition-locally.
+  and engine-portable — the ±1 components are folded into an array
+  literal at plan time (no per-row hashing at all). Search cost drops
+  to one bucket; at cluster scale you'd repartition by bucket and
+  serve lookups partition-locally.
 """
 
 from __future__ import annotations
@@ -34,23 +35,21 @@ from pyspark.sql import functions as F
 
 DIM = 64
 
-
-def _elem(vec: str, i: int) -> str:
-    return f"CAST(element_at({vec}, {i}) AS DOUBLE)"
+_FOLD = "CAST(0 AS DOUBLE), (acc, v) -> acc + v"
 
 
-def dot_expr(a: str, b: str, dim: int = DIM) -> str:
-    """Explicit left-associated dot product (codegen-friendly)."""
-    return " + ".join(f"({_elem(a, i)} * {_elem(b, i)})" for i in range(1, dim + 1))
-
-
-def norm_expr(a: str, dim: int = DIM) -> str:
-    sq = " + ".join(f"({_elem(a, i)} * {_elem(a, i)})" for i in range(1, dim + 1))
-    return f"sqrt({sq})"
+def dot_col(a: str, b: str) -> Column:
+    """Dot product as a left fold — bit-identical to summing the
+    products in index order."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), {_FOLD})"
+    )
 
 
 def norm_col(vec: str, dim: int = DIM) -> Column:
-    return F.expr(norm_expr(vec, dim))
+    return F.expr(
+        f"sqrt(aggregate(transform({vec}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), {_FOLD}))"
+    )
 
 
 def brute_force_topk(
@@ -62,7 +61,8 @@ def brute_force_topk(
     expression per row; top-k plans as TakeOrderedAndProject
     (per-partition heaps, no global sort)."""
     q = vectors.filter(F.col(id_col) == query_id).select(
-        F.col("embedding").alias("q_embedding")
+        F.col("embedding").alias("q_embedding"),
+        norm_col("embedding").alias("q_norm"),
     )
     scored = (
         vectors.filter(F.col(id_col) != query_id)
@@ -71,8 +71,8 @@ def brute_force_topk(
             id_col,
             "label",
             F.round(
-                F.expr(dot_expr("embedding", "q_embedding"))
-                / (norm_col("embedding") * norm_col("q_embedding")),
+                dot_col("embedding", "q_embedding")
+                / (norm_col("embedding") * F.col("q_norm")),
                 6,
             ).alias("cosine_sim"),
         )
@@ -151,11 +151,15 @@ def _plane_signs(plane: int, dim: int) -> list[int]:
 
 
 def _hyperplane_sign(vec: str, plane: int, dim: int) -> str:
-    """0/1 sign bit of the projection of `vec` onto plane `plane`."""
+    """0/1 sign bit of the projection of `vec` onto plane `plane`.
+
+    The ±1 components are an array literal zipped against the vector:
+    x*1.0 and x*-1.0 are bit-exact ±x, and the fold sums in index
+    order, so the projection equals the explicit signed sum."""
     signs = _plane_signs(plane, dim)
-    proj = " + ".join(
-        f"({_elem(vec, i + 1)})" if s > 0 else f"(-{_elem(vec, i + 1)})"
-        for i, s in enumerate(signs)
+    lit = "array(" + ", ".join(f"{s:d}.0D" for s in signs) + ")"
+    proj = (
+        f"aggregate(zip_with({vec}, {lit}, (x, s) -> CAST(x AS DOUBLE) * s), {_FOLD})"
     )
     return f"IF(({proj}) > 0, 1, 0)"
 
@@ -186,7 +190,9 @@ def hyperplane_lsh_topk(
     buckets = hyperplane_buckets(vectors, n_planes, dim, id_col)
     with_b = vectors.join(buckets, id_col)
     q = with_b.filter(F.col(id_col) == query_id).select(
-        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+        F.col("embedding").alias("q_embedding"),
+        norm_col("embedding").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
     )
     scored = (
         with_b.filter(F.col(id_col) != query_id)
@@ -195,8 +201,8 @@ def hyperplane_lsh_topk(
             id_col,
             "bucket",
             F.round(
-                F.expr(dot_expr("embedding", "q_embedding"))
-                / (norm_col("embedding") * norm_col("q_embedding")),
+                dot_col("embedding", "q_embedding")
+                / (norm_col("embedding") * F.col("q_norm")),
                 6,
             ).alias("cosine_sim"),
         )
