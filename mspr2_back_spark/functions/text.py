@@ -11,7 +11,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-WORDS = "filter(split(text, ' '), w -> w <> '')"
+# array_remove (plain JVM expression) instead of a filter() lambda:
+# the lambda is interpreted per word; this is codegen-friendly.
+WORDS = "array_remove(split(text, ' '), '')"
 
 # Minimal per-language stopword markers for the heuristic language ID.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
