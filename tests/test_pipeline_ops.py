@@ -61,3 +61,15 @@ def test_brute_force_topk_self_excluded(spark, sf_dir):
     sims = [r.cosine_sim for r in top]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_catalog_introspection(spark, sf_dir):
+    from mspr2_back_spark.sources.catalog import list_tables, table_columns
+    from mspr2_back_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("cat_probe_nation")
+    assert "cat_probe_nation" in list_tables(spark)
+    assert list_tables(spark, pattern="cat_probe") == ["cat_probe_nation"]
+    cols = table_columns(spark, "cat_probe_nation")
+    assert cols["n_name"] == "string"
+    spark.catalog.dropTempView("cat_probe_nation")
