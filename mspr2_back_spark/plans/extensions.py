@@ -150,6 +150,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (k-means cells, 3-of-8 probes) — the
+    train-an-index scale path next to ann_lsh_topk's hash-based one.
+    No SQL oracle (k-means assignment isn't SQL-expressible); the
+    driver's rows-only check applies, and the recall test bounds it
+    against brute force."""
+    from mspr2_back_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), query_id=7, k=10)
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type
     (``approx_count_distinct``, rsd 1%) next to the exact count.
@@ -219,6 +230,7 @@ EXTENSION_QUERIES = {
     "grouping_sets_sales": grouping_sets_sales,
     "percentile_prices": percentile_prices,
     "sessionize_events": sessionize_events,
+    "ann_ivf_topk": ann_ivf_topk,
     "approx_distinct_users": approx_distinct_users,
     "crud_upsert": crud_upsert,
     "crud_delete": crud_delete,

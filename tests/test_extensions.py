@@ -111,3 +111,56 @@ def test_rollup_has_grand_total(spark, sf_dir):
 def test_percentiles_ordered(spark, sf_dir):
     for r in percentile_prices(spark, sf_dir).collect():
         assert r.p25 <= r.p50 <= r.p75
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from mspr2_back_spark.operators.similarity import brute_force_topk, ivf_topk
+    from mspr2_back_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id: r.cosine_sim for r in brute_force_topk(emb, 7, k=10).collect()}
+    approx = {r.vec_id: r.cosine_sim for r in ivf_topk(emb, 7, k=10).collect()}
+    assert len(approx) == 10
+    hits = set(exact) & set(approx)
+    assert len(hits) >= 5, f"recall collapsed: {len(hits)}/10"
+    for vid in hits:  # scores must agree exactly where ids overlap
+        assert exact[vid] == approx[vid]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from mspr2_back_spark.operators.skew import salted_join
+
+    # 10k rows of one hot key + a tail, joined to a 3-row dim.
+    big = spark.range(10000).select(
+        F.when(F.col("id") < 9000, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 3).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k0", "A"), ("k1", "B")], "k string, label string"
+    )
+    got = salted_join(big, dim, on=["k"], n_salt=4)
+    expected = big.join(dim, on=["k"])
+    assert got.count() == expected.count()
+    g = got.groupBy("k", "label").count().collect()
+    e = expected.groupBy("k", "label").count().collect()
+    assert sorted(map(tuple, g)) == sorted(map(tuple, e))
+
+
+def test_salted_count_distinct_exact(spark, sf_dir):
+    from mspr2_back_spark.operators.skew import salted_count_distinct
+    from mspr2_back_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    got = {
+        r.event_type: r.n_distinct
+        for r in salted_count_distinct(e, "event_type", "user_id").collect()
+    }
+    expected = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == expected
