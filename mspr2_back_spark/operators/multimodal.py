@@ -91,6 +91,60 @@ def image_metadata(docs: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+FEATURE_SCHEMA = "doc_id BIGINT, feature ARRAY<FLOAT>"
+
+RESIZE_SCHEMA = "doc_id BIGINT, width INT, height INT, payload BINARY"
+
+
+def extract_features(docs: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: a fixed-width float vector per
+    payload (a real model would replace the byte-histogram with a CNN
+    forward pass — the Arrow batch shape, schema, and parallelism are
+    exactly what that deployment uses, with the model broadcast).
+
+    The stand-in feature is a normalized byte histogram folded to
+    ``dim`` buckets — deterministic, engine-portable, and nonzero for
+    any non-empty payload.
+    """
+    import numpy as np
+
+    payloads = with_binary_payload(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "feature": feats})
+
+    return payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(docs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize plumbing: emits a fixed-size payload per input (a real
+    resizer would decode → scale → re-encode; the stub truncates/pads
+    the byte stream to width*height deterministically)."""
+    payloads = with_binary_payload(docs)
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload or b"")
+                out = (p * (target // max(len(p), 1) + 1))[:target] if p else b"\x00" * target
+                rows.append(
+                    {"doc_id": doc_id, "width": width, "height": height, "payload": out}
+                )
+            yield pd.DataFrame(rows)
+            rows = []
+
+    return payloads.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(docs: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing: deterministic byte-offset "frames"
     from each payload (a video decoder would replace the offset

@@ -73,3 +73,21 @@ def test_catalog_introspection(spark, sf_dir):
     cols = table_columns(spark, "cat_probe_nation")
     assert cols["n_name"] == "string"
     spark.catalog.dropTempView("cat_probe_nation")
+
+
+def test_multimodal_feature_extract_and_resize(spark, sf_dir):
+    from mspr2_back_spark.operators.multimodal import extract_features, resize_images
+    from mspr2_back_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    feats = extract_features(docs, dim=16).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized histogram
+    resized = resize_images(docs, width=8, height=8).collect()
+    assert len(resized) == 50
+    assert all(len(r.payload) == 64 for r in resized)
+    # Determinism across runs (stub codec contract).
+    feats2 = extract_features(docs, dim=16).collect()
+    assert {r.doc_id: r.feature for r in feats} == {r.doc_id: r.feature for r in feats2}
