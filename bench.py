@@ -39,6 +39,10 @@ HEADLINE = [
     "text_token_stats",
     "ann_topk",
     "dedup_embedding_cosine",
+    "sessionize_events",
+    "rollup_revenue",
+    "percentile_prices",
+    "crud_upsert",
 ]
 
 
