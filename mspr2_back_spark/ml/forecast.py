@@ -41,17 +41,14 @@ except Exception:
     HAVE_TORCH = False
 
 
-def train_rf_metrics(
-    df: DataFrame,
+def build_rf_pipeline(
     numeric_features: Iterable[str],
     categorical_features: Iterable[str],
     label: str,
     seed: int = 42,
-    test_fraction: float = 0.25,
-) -> dict[str, float]:
-    """Fit the feature pipeline + RF on a train split, evaluate on the
-    held-out split (r2 / rmse / mae, mirroring ref metrics.py:37-40
-    and the MAE backtest at predict_france_with_model.py:107-110)."""
+):
+    """The feature pipeline (StringIndexer → OneHot → MinMaxScaler →
+    assemble) + RandomForestRegressor as an unfit MLlib Pipeline."""
     numeric_features = list(numeric_features)
     categorical_features = list(categorical_features)
     stages = []
@@ -72,8 +69,24 @@ def train_rf_metrics(
             featuresCol="features", labelCol=label, numTrees=30, seed=seed
         )
     )
+    return Pipeline(stages=stages)
+
+
+def train_rf_metrics(
+    df: DataFrame,
+    numeric_features: Iterable[str],
+    categorical_features: Iterable[str],
+    label: str,
+    seed: int = 42,
+    test_fraction: float = 0.25,
+) -> dict[str, float]:
+    """Fit the feature pipeline + RF on a train split, evaluate on the
+    held-out split (r2 / rmse / mae, mirroring ref metrics.py:37-40
+    and the MAE backtest at predict_france_with_model.py:107-110)."""
     train, test = df.randomSplit([1 - test_fraction, test_fraction], seed=seed)
-    model = Pipeline(stages=stages).fit(train)
+    model = build_rf_pipeline(numeric_features, categorical_features, label, seed).fit(
+        train
+    )
     pred = model.transform(test)
     out = {}
     for metric in ("r2", "rmse", "mae"):
@@ -81,6 +94,15 @@ def train_rf_metrics(
             labelCol=label, predictionCol="prediction", metricName=metric
         ).evaluate(pred)
     return out
+
+
+def predict_single(model, spark, features: dict[str, object]) -> float:
+    """Single-row inference (SURVEY M7, the reference's JSON-features
+    predict endpoint recovered from bytecode): one feature dict → one
+    prediction, via the same fitted pipeline that serves batches — no
+    separate serving path to drift."""
+    row_df = spark.createDataFrame([features])
+    return float(model.transform(row_df).select("prediction").first()[0])
 
 
 def _fit_predict_ar(y: np.ndarray, lookback: int, horizon: int) -> np.ndarray:

@@ -134,6 +134,53 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> None:
     q.awaitTermination()
 
 
+def run_upsert_to_gold(
+    stream_df: DataFrame,
+    gold_path: str,
+    checkpoint: str,
+    keys: list[str],
+) -> None:
+    """Stream → gold-table maintenance via ``foreachBatch`` upsert:
+    each micro-batch's aggregates MERGE into the parquet gold table
+    (replace matching keys, append new ones), so the table always
+    holds the latest value per key — the production pattern for
+    serving continuously-updated rollups. On Delta/Iceberg the body
+    becomes a real MERGE INTO; the relational algebra is identical
+    (operators/crud.upsert).
+
+    Update-mode batches can re-emit a key with a fresher value, which
+    plain append sinks can't reconcile — exactly-once-per-key needs
+    this read-modify-write (idempotent on retry: re-upserting the
+    same batch is a no-op).
+    """
+    from mspr2_back_spark.operators.crud import upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            base = spark.read.parquet(gold_path)
+        except Exception:
+            base = None
+        merged = batch_df if base is None else upsert(base, batch_df, keys)
+        # Write-then-swap is not atomic on plain parquet; collect to
+        # the driver is avoided by writing a temp dir and renaming.
+        tmp = gold_path + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(gold_path, ignore_errors=True)
+        shutil.move(tmp, gold_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, mode: str = "update") -> None:
     """Drain all available input into an in-memory sink (test/serving
     harness; a production job would write a parquet/Delta sink with a

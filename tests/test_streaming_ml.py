@@ -219,3 +219,62 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     assert "2024-06-01 09" not in second  # late row evicted, window never emitted
     assert second["2024-06-01 13"] == 2  # both on-time rows; late row excluded
     assert "2024-06-01 15" not in second  # newest window still open
+
+
+def test_predict_single_row(spark, sf_dir):
+    from mspr2_back_spark.ml.forecast import build_rf_pipeline, predict_single
+
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+    model = build_rf_pipeline(
+        ["l_quantity", "l_discount"], ["l_returnflag"], "l_extendedprice"
+    ).fit(li)
+    pred = predict_single(
+        model, spark,
+        {"l_quantity": 10.0, "l_discount": 0.05, "l_returnflag": "N"},
+    )
+    assert pred == pred and pred > 0  # finite, positive price
+    # Single-row path must agree with the batch path on the same row.
+    batch = model.transform(
+        spark.createDataFrame(
+            [{"l_quantity": 10.0, "l_discount": 0.05, "l_returnflag": "N"}]
+        )
+    ).select("prediction").first()[0]
+    assert pred == batch
+
+
+def test_foreachbatch_gold_upsert(spark, sf_dir, tmp_path):
+    """Two availableNow runs: the second's fresher aggregates replace
+    the first's rows per key instead of appending duplicates."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "gold_in"
+    stream_dir.mkdir()
+    gold = str(tmp_path / "gold_out")
+    ckpt = str(tmp_path / "gold_ckpt")
+
+    def land(df, name):
+        staging = tmp_path / f"gstage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        for i, f in enumerate(staging.glob("part-*.parquet")):
+            f.rename(stream_dir / f"{name}_{i}.parquet")
+
+    half = src.limit(src.count() // 2)
+    land(half, "b1")
+
+    def run():
+        stream = stream_events.read_event_stream(spark, str(stream_dir), src.schema)
+        counts = stream.groupBy("event_type").count()
+        stream_events.run_upsert_to_gold(
+            counts, gold, ckpt, keys=["event_type"]
+        )
+
+    run()
+    first = {r.event_type: r["count"] for r in spark.read.parquet(gold).collect()}
+    assert first
+
+    land(src.subtract(half), "b2")
+    run()
+    final = {r.event_type: r["count"] for r in spark.read.parquet(gold).collect()}
+    # One row per key (upsert, not append)...
+    assert len(final) == spark.read.parquet(gold).count()
+    # ...and values reflect batch-2 increments over batch 1.
+    assert all(final[k] >= v for k, v in first.items() if k in final)
