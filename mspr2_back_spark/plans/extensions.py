@@ -180,6 +180,81 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Set algebra + outer/anti joins (beyond the reference's single UNION)
+# ---------------------------------------------------------------------------
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over two derived key sets (nations
+    with negative-balance customers vs suppliers) — one labeled row
+    per set operation. Spark plans intersect/except as hash
+    joins (left-semi / left-anti over distincts): no row expansion."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_nationkey").cast("int").alias("nk"))
+        .distinct()
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").cast("int").alias("nk"))
+        .distinct()
+    )
+
+    def one(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_nations")).select(
+            F.lit(label).alias("set_op"), "n_nations"
+        )
+
+    return (
+        one("intersect", c.intersect(s))
+        .unionByName(one("except", c.subtract(s)))
+        .unionByName(one("union", c.union(s).distinct()))
+    )
+
+
+def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN of two period aggregates per customer — rows
+    survive when either side is missing; presence is tagged so the
+    outer-join semantics are visible in the output."""
+    o = _t(spark, sf_dir, "orders")
+    early = (
+        o.filter(F.year("o_orderdate") <= 1997)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum("o_totalprice").alias("early_total"))
+    )
+    late = (
+        o.filter(F.year("o_orderdate") >= 2001)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum("o_totalprice").alias("late_total"))
+    )
+    joined = early.join(late, on="custkey", how="full_outer")
+    return joined.select(
+        "custkey",
+        "early_total",
+        "late_total",
+        F.when(F.col("early_total").isNull(), "late_only")
+        .when(F.col("late_total").isNull(), "early_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+def customers_no_jumbo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no order above 400k,
+    counted per segment. Broadcast left-anti — the probe side streams,
+    nothing expands."""
+    c = _t(spark, sf_dir, "customer")
+    jumbo = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(jumbo, c.c_custkey == jumbo.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # CRUD surface (operators/crud.py) as oracle-checked queries
 # ---------------------------------------------------------------------------
 
@@ -232,6 +307,9 @@ EXTENSION_QUERIES = {
     "sessionize_events": sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
     "approx_distinct_users": approx_distinct_users,
+    "set_ops_nations": set_ops_nations,
+    "customer_order_coverage": customer_order_coverage,
+    "customers_no_jumbo_order": customers_no_jumbo_order,
     "crud_upsert": crud_upsert,
     "crud_delete": crud_delete,
     "crud_point_lookup": crud_point_lookup,

@@ -126,3 +126,57 @@ SELECT o_orderkey,
 FROM orders
 WHERE o_orderkey = 42
 """
+
+
+EXTENSION_ORACLE_SQL["set_ops_nations"] = """
+WITH c AS (
+    SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nk
+    FROM customer WHERE c_acctbal < 0
+),
+s AS (
+    SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nk
+    FROM supplier WHERE s_acctbal < 0
+)
+SELECT 'intersect' AS set_op,
+       (SELECT COUNT(*) FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)) AS n_nations
+UNION ALL
+SELECT 'except',
+       (SELECT COUNT(*) FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s))
+UNION ALL
+SELECT 'union',
+       (SELECT COUNT(*) FROM (SELECT nk FROM c UNION SELECT nk FROM s))
+"""
+
+
+EXTENSION_ORACLE_SQL["customer_order_coverage"] = """
+WITH early AS (
+    SELECT o_custkey AS custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS early_total
+    FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) <= 1997
+    GROUP BY o_custkey
+),
+late AS (
+    SELECT o_custkey AS custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS late_total
+    FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 2001
+    GROUP BY o_custkey
+)
+SELECT COALESCE(early.custkey, late.custkey) AS custkey,
+       early_total,
+       late_total,
+       CASE WHEN early_total IS NULL THEN 'late_only'
+            WHEN late_total IS NULL THEN 'early_only'
+            ELSE 'both' END AS presence
+FROM early FULL OUTER JOIN late ON early.custkey = late.custkey
+"""
+
+
+EXTENSION_ORACLE_SQL["customers_no_jumbo_order"] = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+GROUP BY c_mktsegment
+"""
