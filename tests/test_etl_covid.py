@@ -203,3 +203,29 @@ def test_grafana_panels(spark, tables):
     assert [r["cases_delta"] for r in euro] == [0, 25 - 10]
     latest = records(serving.grafana_latest_year_region_summary(spark))
     assert {r["Year"] for r in latest} == {2021}
+
+
+def test_etl_job_end_to_end(spark, tmp_path):
+    """The runnable job (python -m mspr2_back_spark.etl.run) against
+    the reference's real CSVs: every table lands with plausible
+    cardinalities and the warehouse is re-runnable (idempotent
+    overwrite)."""
+    import os
+
+    from mspr2_back_spark.etl.run import main
+
+    data_dir = "/root/reference/app/data"
+    if not os.path.exists(os.path.join(data_dir, "data_covid")):
+        pytest.skip("reference data not present")
+    wh = str(tmp_path / "wh")
+    manifest = main(["--data-dir", data_dir, "--warehouse", wh])
+    assert manifest["weekly_statistics"] == 62640
+    assert manifest["who_region"] == 8  # 7 decoded + null-region row
+    assert manifest["disease"] == 1
+    assert manifest["vaccine"] >= 2  # real vaccines + the 'unknown' default
+    assert manifest["global_total_cumulative_cases"] == 1
+    # Rerun converges (overwrite, not append).
+    manifest2 = main(["--data-dir", data_dir, "--warehouse", wh])
+    assert manifest2 == manifest
+    got = spark.read.parquet(f"{wh}/weekly_statistics").count()
+    assert got == manifest["weekly_statistics"]
