@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> dict[str, int]:
         bronze["metadata"],
         worldometer=bronze.get("worldometer"),
     )
+    # Materialize the forecast table the reference serves but never
+    # creates (SURVEY §2.10; ref app/routes/data.py:63-66).
+    from mspr2_back_spark.ml.forecast import predict_weekly_statistics
+
+    tables["predicted_weekly_statistics"] = predict_weekly_statistics(
+        tables["weekly_statistics"]
+    )
     covid.save_tables(tables, args.warehouse)
     covid.register_views(tables)
     manifest = {name: df.count() for name, df in tables.items()}

@@ -165,6 +165,44 @@ def autoregressive_forecast(
     return series.groupBy(group_col).applyInPandas(run, schema=schema)
 
 
+def predict_weekly_statistics(
+    weekly: DataFrame, horizon_weeks: int = 4, lookback: int = 12
+) -> DataFrame:
+    """Materialize the table the reference serves but never creates
+    (``predicted_weekly_statistics``, SURVEY §2.10; ref
+    app/routes/data.py:63-66): per-country weekly new-case forecasts,
+    same grain as weekly_statistics.
+
+    Input is the warehouse fact (country_short_code, date_of_report,
+    week_new_reported_cases); output one row per (country, future
+    week). Grouped autoregression under applyInPandas — the
+    reference's per-country LSTM loop shape with the deterministic AR
+    stand-in."""
+    schema = (
+        "country_short_code STRING, date_of_report DATE, "
+        "predicted_new_cases DOUBLE, step INT"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date_of_report")
+        y = pdf["week_new_reported_cases"].fillna(0).to_numpy(dtype=np.float64)
+        preds = _fit_predict_ar(y, lookback, horizon_weeks)
+        last = pd.Timestamp(pdf["date_of_report"].iloc[-1])
+        return pd.DataFrame(
+            {
+                "country_short_code": pdf["country_short_code"].iloc[0],
+                "date_of_report": [
+                    (last + pd.Timedelta(weeks=s)).date()
+                    for s in range(1, horizon_weeks + 1)
+                ],
+                "predicted_new_cases": preds,
+                "step": np.arange(1, horizon_weeks + 1, dtype=np.int32),
+            }
+        )
+
+    return weekly.groupBy("country_short_code").applyInPandas(run, schema=schema)
+
+
 def daily_user_series(events: DataFrame) -> DataFrame:
     """Events → dense per-(user, day) value series (forecast input)."""
     return (

@@ -229,3 +229,31 @@ def test_etl_job_end_to_end(spark, tmp_path):
     assert manifest2 == manifest
     got = spark.read.parquet(f"{wh}/weekly_statistics").count()
     assert got == manifest["weekly_statistics"]
+
+
+def test_predicted_weekly_statistics(tables):
+    """The §2.10 fix: predicted_weekly_statistics exists at the fact
+    grain, one row per (country, future week), dates continuing the
+    observed series weekly."""
+    from mspr2_back_spark.ml.forecast import predict_weekly_statistics
+
+    weekly = tables["weekly_statistics"]
+    pred = predict_weekly_statistics(weekly, horizon_weeks=3, lookback=2)
+    rows = pred.collect()
+    countries = {r.country_short_code for r in weekly.select("country_short_code").collect()}
+    assert len(rows) == 3 * len(countries)
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.country_short_code, []).append(r)
+    last_obs = {
+        r.country_short_code: r.d
+        for r in weekly.groupBy("country_short_code")
+        .agg(F.max("date_of_report").alias("d"))
+        .collect()
+    }
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r.step)
+        assert [r.step for r in rs] == [1, 2, 3]
+        assert (rs[0].date_of_report - last_obs[c]).days == 7
+        assert all((b.date_of_report - a.date_of_report).days == 7 for a, b in zip(rs, rs[1:]))
+        assert all(r.predicted_new_cases == r.predicted_new_cases for r in rs)  # no NaN
