@@ -150,6 +150,25 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time self as-of join: each event (per-user, per-ts
+    pre-aggregated for determinism) is tagged with the user's latest
+    event value from AT LEAST 30 minutes earlier — "state as of half
+    an hour ago". DuckDB's native ASOF JOIN is the oracle; Spark-side
+    it's the union + ordered-carry composition in operators/asof.py.
+    Decimal-exact value sums keep both engines bit-identical."""
+    from mspr2_back_spark.operators.asof import asof_join
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value"))
+    )
+    return asof_join(
+        e, e, key="user_id", ts="ts", value_col="value", tolerance="30 minutes"
+    ).select("user_id", "ts", "value", "asof_value")
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 (k-means cells, 3-of-8 probes) — the
     train-an-index scale path next to ann_lsh_topk's hash-based one.
@@ -307,6 +326,7 @@ EXTENSION_QUERIES = {
     "sessionize_events": sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
     "approx_distinct_users": approx_distinct_users,
+    "asof_event_value": asof_event_value,
     "set_ops_nations": set_ops_nations,
     "customer_order_coverage": customer_order_coverage,
     "customers_no_jumbo_order": customers_no_jumbo_order,

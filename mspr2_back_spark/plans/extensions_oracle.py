@@ -180,3 +180,16 @@ WHERE NOT EXISTS (
 )
 GROUP BY c_mktsegment
 """
+
+
+EXTENSION_ORACLE_SQL["asof_event_value"] = """
+WITH e AS (
+    SELECT user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+    FROM events
+    GROUP BY user_id, ts
+)
+SELECT a.user_id, a.ts, a.value, b.value AS asof_value
+FROM e a ASOF LEFT JOIN e b
+  ON a.user_id = b.user_id AND b.ts <= a.ts - INTERVAL 30 MINUTE
+"""

@@ -164,3 +164,39 @@ def test_salted_count_distinct_exact(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_asof_join_semantics(spark):
+    """Literal as-of check: latest right value with rts + tol <= lts,
+    NULL when no right row qualifies, ties at the boundary included."""
+    from mspr2_back_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (1, "2024-01-01 11:00:00", "b"),
+         (2, "2024-01-01 10:00:00", "c")],
+        "k int, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 1.0),   # qualifies for 10:00 (tol 30m)
+         (1, "2024-01-01 10:29:00", 2.0),   # qualifies for 11:00 only
+         (2, "2024-01-01 09:45:00", 3.0)],  # 15m before: NOT within tol for 10:00
+        "k int, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.k, r.tag): r.asof_value
+        for r in asof_join(left, right, "k", "ts", "v", "30 minutes").collect()
+    }
+    assert out == {(1, "a"): 1.0, (1, "b"): 2.0, (2, "c"): None}
+
+
+def test_asof_no_row_explosion(spark, sf_dir):
+    """The composition emits exactly one output row per left row."""
+    from mspr2_back_spark.plans.extensions import asof_event_value
+
+    from mspr2_back_spark.sources.readers import load_table
+
+    n_left = (
+        load_table(spark, sf_dir, "events").select("user_id", "ts").distinct().count()
+    )
+    assert asof_event_value(spark, sf_dir).count() == n_left
