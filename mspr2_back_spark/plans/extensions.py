@@ -169,6 +169,33 @@ def asof_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "value", "asof_value")
 
 
+def events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events against 45-minute observation windows spaced
+    every 4 hours over the event month, aggregated per window. The
+    Spark plan is the bucketed equi-join (operators/rangejoin.py);
+    the oracle is DuckDB's inequality join over the same generated
+    windows — same derivation on both engines."""
+    from mspr2_back_spark.operators.rangejoin import bucketed_range_join
+
+    e = _t(spark, sf_dir, "events")
+    windows = spark.range(0, 180).select(
+        F.col("id").alias("window_id"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.col("id") * F.expr("INTERVAL 4 HOURS")
+        ).alias("w_start"),
+        (
+            F.lit("2024-01-01 00:45:00").cast("timestamp")
+            + F.col("id") * F.expr("INTERVAL 4 HOURS")
+        ).alias("w_end"),
+    )
+    joined = bucketed_range_join(e, windows, ts="ts", bucket="1 hour")
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 (k-means cells, 3-of-8 probes) — the
     train-an-index scale path next to ann_lsh_topk's hash-based one.
@@ -327,6 +354,7 @@ EXTENSION_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
+    "events_in_windows": events_in_windows,
     "set_ops_nations": set_ops_nations,
     "customer_order_coverage": customer_order_coverage,
     "customers_no_jumbo_order": customers_no_jumbo_order,

@@ -193,3 +193,19 @@ SELECT a.user_id, a.ts, a.value, b.value AS asof_value
 FROM e a ASOF LEFT JOIN e b
   ON a.user_id = b.user_id AND b.ts <= a.ts - INTERVAL 30 MINUTE
 """
+
+
+EXTENSION_ORACLE_SQL["events_in_windows"] = """
+WITH windows AS (
+    SELECT i AS window_id,
+           TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 4 HOUR AS w_start,
+           TIMESTAMP '2024-01-01 00:45:00' + i * INTERVAL 4 HOUR AS w_end
+    FROM range(0, 180) t(i)
+)
+SELECT window_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN windows w ON w.w_start <= e.ts AND e.ts < w.w_end
+GROUP BY window_id
+"""

@@ -200,3 +200,50 @@ def test_asof_no_row_explosion(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("user_id", "ts").distinct().count()
     )
     assert asof_event_value(spark, sf_dir).count() == n_left
+
+
+def test_bucketed_range_join_matches_naive(spark, sf_dir):
+    """The bucketed equi-join must equal the naive inequality join."""
+    from mspr2_back_spark.operators.rangejoin import bucketed_range_join
+    from mspr2_back_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    windows = spark.range(0, 50).select(
+        F.col("id").alias("window_id"),
+        (F.lit("2024-01-03 00:10:00").cast("timestamp")
+         + F.col("id") * F.expr("INTERVAL 7 HOURS")).alias("w_start"),
+        (F.lit("2024-01-03 01:00:00").cast("timestamp")
+         + F.col("id") * F.expr("INTERVAL 7 HOURS")).alias("w_end"),
+    )
+    got = bucketed_range_join(e, windows, ts="ts", bucket="1 hour")
+    naive = e.join(
+        windows,
+        (F.col("w_start") <= F.col("ts")) & (F.col("ts") < F.col("w_end")),
+    )
+    a = sorted((r.event_id, r.window_id) for r in got.collect())
+    b = sorted((r.event_id, r.window_id) for r in naive.collect())
+    assert a == b and len(a) > 0
+
+
+def test_range_join_boundary_semantics(spark):
+    """start inclusive, end exclusive; window ending on a bucket
+    boundary must not leak into the next bucket."""
+    from mspr2_back_spark.operators.rangejoin import bucketed_range_join
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"),   # == start: included
+         (2, "2024-01-01 11:00:00"),   # == end: excluded
+         (3, "2024-01-01 10:59:59")],
+        "event_id int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    windows = spark.createDataFrame(
+        [(7, "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "window_id int, w_start string, w_end string",
+    ).withColumn("w_start", F.to_timestamp("w_start")).withColumn(
+        "w_end", F.to_timestamp("w_end")
+    )
+    got = sorted(
+        r.event_id
+        for r in bucketed_range_join(events, windows, ts="ts").collect()
+    )
+    assert got == [1, 3]

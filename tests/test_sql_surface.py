@@ -22,6 +22,7 @@ from mspr2_back_spark.sources.readers import register_views
 # DuckDB-only constructs; everything else must run on Spark SQL too.
 DUCKDB_ONLY = {
     "asof_event_value",  # native ASOF JOIN
+    "events_in_windows",  # range(n) table function
     "date_spine",  # unnest(range(...))
     "dedup_embedding_cosine",  # list_reduce
     "dedup_minhash_lsh",  # list macros in the jaccard CTE
