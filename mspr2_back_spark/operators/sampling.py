@@ -1,0 +1,54 @@
+"""Sampling operators for training-data curation.
+
+Two families with different guarantees:
+
+- ``hash_sample``: DETERMINISTIC content-keyed sampling — a row is in
+  or out based only on its key's hash, independent of partitioning,
+  cluster size, or run order. This is the reproducible-split
+  primitive (train/val/test, A/B cohorts): reruns and backfills land
+  every row on the same side. Sampling rate precision is 1/10000.
+- ``stratified_sample``: per-stratum Bernoulli sampling via
+  ``sampleBy`` — statistically sized (not exact counts), seeded.
+  Use for downsampling over-represented strata (language, source,
+  quality band) in a corpus.
+
+Scale: both are scan-side filters — no shuffle, no driver state; the
+hash sample pushes nothing to the driver and never materializes the
+population.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash (deterministic:
+    the same key always lands on the same side, any partitioning)."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), F.lit(10000))
+    return df.filter(bucket < int(fraction * 10000))
+
+
+def train_val_test_split(
+    df: DataFrame, key_col: str, val_fraction: float = 0.1, test_fraction: float = 0.1
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Disjoint, exhaustive, deterministic 3-way split by key hash —
+    the same row set partitions identically on every rerun."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(10000))
+    val_hi = int(val_fraction * 10000)
+    test_hi = val_hi + int(test_fraction * 10000)
+    val = df.filter(bucket < val_hi)
+    test = df.filter((bucket >= val_hi) & (bucket < test_hi))
+    train = df.filter(bucket >= test_hi)
+    return train, val, test
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: Mapping[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (``sampleBy``); strata absent from
+    ``fractions`` are dropped — the rebalance-a-skewed-corpus shape."""
+    return df.sampleBy(strata_col, dict(fractions), seed=seed)

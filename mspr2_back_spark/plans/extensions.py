@@ -300,6 +300,44 @@ def customers_no_jumbo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiling: null count, distinct count, and
+    min/max (as strings, decimal-normalized for floats) per profiled
+    column, unpivoted to one row per column via ``stack``. One scan +
+    one aggregate produces every column's stats — the shape that
+    profiles a 100 TB table in one job instead of one job per column."""
+    o = _t(spark, sf_dir, "orders")
+    def render(c: str, agg) -> F.Column:
+        # min/max aggregate on the NATIVE type (string min over numbers
+        # would be lexicographic), rendered to string after — doubles
+        # through DECIMAL so both engines format identically.
+        if c == "o_totalprice":
+            return agg(F.col(c)).cast("decimal(18,2)").cast("string")
+        return agg(F.col(c)).cast("string")
+
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c in ["o_custkey", "o_orderstatus", "o_totalprice"]
+            for x in (
+                F.count(c).alias(f"{c}__nn"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+                render(c, F.min).alias(f"{c}__min"),
+                render(c, F.max).alias(f"{c}__max"),
+            )
+        ],
+    )
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    stack_expr = "stack({n}, {args}) as (col_name, n_nulls, n_distinct, min_value, max_value)".format(
+        n=len(cols),
+        args=", ".join(
+            f"'{c}', n_rows - {c}__nn, {c}__nd, {c}__min, {c}__max" for c in cols
+        ),
+    )
+    return stats.select(F.expr(stack_expr))
+
+
 # ---------------------------------------------------------------------------
 # CRUD surface (operators/crud.py) as oracle-checked queries
 # ---------------------------------------------------------------------------
@@ -355,6 +393,7 @@ EXTENSION_QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
     "events_in_windows": events_in_windows,
+    "profile_orders": profile_orders,
     "set_ops_nations": set_ops_nations,
     "customer_order_coverage": customer_order_coverage,
     "customers_no_jumbo_order": customers_no_jumbo_order,

@@ -209,3 +209,24 @@ FROM events e
 JOIN windows w ON w.w_start <= e.ts AND e.ts < w.w_end
 GROUP BY window_id
 """
+
+
+EXTENSION_ORACLE_SQL["profile_orders"] = """
+WITH stats AS (
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS ck_nn, COUNT(DISTINCT o_custkey) AS ck_nd,
+           CAST(MIN(o_custkey) AS STRING) AS ck_min, CAST(MAX(o_custkey) AS STRING) AS ck_max,
+           COUNT(o_orderstatus) AS st_nn, COUNT(DISTINCT o_orderstatus) AS st_nd,
+           CAST(MIN(o_orderstatus) AS STRING) AS st_min, CAST(MAX(o_orderstatus) AS STRING) AS st_max,
+           COUNT(o_totalprice) AS tp_nn, COUNT(DISTINCT o_totalprice) AS tp_nd,
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS STRING) AS tp_min,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS STRING) AS tp_max
+    FROM orders
+)
+SELECT 'o_custkey' AS col_name, n_rows - ck_nn AS n_nulls, ck_nd AS n_distinct,
+       ck_min AS min_value, ck_max AS max_value FROM stats
+UNION ALL
+SELECT 'o_orderstatus', n_rows - st_nn, st_nd, st_min, st_max FROM stats
+UNION ALL
+SELECT 'o_totalprice', n_rows - tp_nn, tp_nd, tp_min, tp_max FROM stats
+"""

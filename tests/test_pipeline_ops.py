@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 from mspr2_back_spark.operators import dedup, multimodal, similarity
+from pyspark.sql import functions as F
+
 from mspr2_back_spark.plans import ORACLE_SQL, QUERIES
 from mspr2_back_spark.sources.readers import load_table
 
@@ -91,3 +93,47 @@ def test_multimodal_feature_extract_and_resize(spark, sf_dir):
     # Determinism across runs (stub codec contract).
     feats2 = extract_features(docs, dim=16).collect()
     assert {r.doc_id: r.feature for r in feats} == {r.doc_id: r.feature for r in feats2}
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    from mspr2_back_spark.operators.sampling import hash_sample
+    from mspr2_back_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    assert a == b  # deterministic: same keys every run
+    assert 0.1 * n < len(a) < 0.3 * n
+    # Different salt: a different (but still deterministic) subset.
+    c = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, salt="v2").select("doc_id").collect()}
+    assert c != a
+
+
+def test_train_val_test_split_partitions(spark, sf_dir):
+    from mspr2_back_spark.operators.sampling import train_val_test_split
+    from mspr2_back_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, val, test = train_val_test_split(docs, "doc_id", 0.15, 0.15)
+    n = docs.count()
+    nt, nv, ns = train.count(), val.count(), test.count()
+    assert nt + nv + ns == n  # exhaustive
+    ids = [set(r.doc_id for r in d.select("doc_id").collect()) for d in (train, val, test)]
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    assert nv > 0 and ns > 0 and nt > max(nv, ns)
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    from mspr2_back_spark.operators.sampling import stratified_sample
+    from mspr2_back_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    types = [r.event_type for r in e.select("event_type").distinct().collect()]
+    keep, drop = types[0], types[1]
+    out = stratified_sample(e, "event_type", {keep: 0.5})
+    got = {r.event_type for r in out.select("event_type").distinct().collect()}
+    assert got == {keep}  # absent strata dropped
+    n_keep_pop = e.filter(F.col("event_type") == keep).count()
+    n_keep_sample = out.count()
+    assert 0.3 * n_keep_pop < n_keep_sample < 0.7 * n_keep_pop
