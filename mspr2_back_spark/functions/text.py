@@ -43,7 +43,7 @@ def predicted_lang(min_ratio: float = 0.02) -> Column:
     for lang in reversed(list(LANG_MARKERS)):
         s = scores[lang]
         cond = (s >= F.greatest(*[scores[o] for o in LANG_MARKERS if o != lang])) & (
-            s.cast("double") / n_words >= min_ratio
+            s.cast("double") / F.nullif(n_words, F.lit(0)) >= min_ratio
         )
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
     return pred
@@ -73,9 +73,12 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     n_stop = F.expr(_marker_hits("en"))
     n_distinct = F.expr(f"size(array_distinct({WORDS}))")
     n_chars = F.length("text")
-    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words
-    stop_ratio = n_stop.cast("double") / n_words
-    ttr = n_distinct.cast("double") / n_words
+    # ANSI mode makes x/0 an ERROR, not NULL — a single empty document
+    # would kill a 100 TB job. nullif() restores null-ratio semantics.
+    denom = F.nullif(n_words, F.lit(0))
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / denom
+    stop_ratio = n_stop.cast("double") / denom
+    ttr = n_distinct.cast("double") / denom
     score = F.round(
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
         + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3

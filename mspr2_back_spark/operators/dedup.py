@@ -78,7 +78,13 @@ def with_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     from pyspark.ml.feature import NGram
 
-    words = docs.select(F.col(id_col).alias("doc"), F.expr(_WORDS).alias("words"))
+    # NULL-safe: split(NULL) is NULL and MLlib's NGram NPEs on null
+    # arrays — null/empty documents become the empty word list and
+    # contribute a single empty-string shingle.
+    words = docs.select(
+        F.col(id_col).alias("doc"),
+        F.coalesce(F.expr(_WORDS), F.array().cast("array<string>")).alias("words"),
+    )
     grams = NGram(n=_K, inputCol="words", outputCol="grams").transform(words)
     return grams.select(
         "doc",

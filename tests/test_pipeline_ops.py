@@ -137,3 +137,23 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
     n_keep_pop = e.filter(F.col("event_type") == keep).count()
     n_keep_sample = out.count()
     assert 0.3 * n_keep_pop < n_keep_sample < 0.7 * n_keep_pop
+
+
+def test_null_and_empty_text_robustness(spark):
+    """Null/empty/whitespace documents must flow through every text
+    operator without crashing (nulls may propagate as nulls)."""
+    from mspr2_back_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    shingled = {r.doc: r.shingles for r in dedup.with_shingles(docs).collect()}
+    assert shingled[1] == [""] and shingled[2] == [""] and shingled[3] == [""]
+    assert len(shingled[4]) == 2  # 'one two three', 'two three four'
+
+    assert len(dedup.exact_duplicates(docs).collect()) == 4
+    assert dedup.minhash_lsh_pairs(docs, threshold=0.8).count() >= 1  # 3 empty-ish docs pair up
+    assert len(T.quality_features(docs).collect()) == 4
+    assert len(T.token_stats(docs).collect()) == 4
+    assert len(T.fingerprints(docs).collect()) == 4
