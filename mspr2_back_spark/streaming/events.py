@@ -134,6 +134,42 @@ def run_to_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> None:
     q.awaitTermination()
 
 
+def join_event_streams(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same
+    user's view events from the preceding ``within`` interval.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance, so Spark can evict buffered state for rows
+    no future match can reach — the requirement that makes
+    stream-stream joins runnable on unbounded input. Without the time
+    bound the state grows forever; with it, state per side is
+    O(watermark + within) of throughput.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("c_user", "click_id", "c_ts", "view_id", "v_ts", "view_value")
+
+
 def run_upsert_to_gold(
     stream_df: DataFrame,
     gold_path: str,

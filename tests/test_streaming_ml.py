@@ -278,3 +278,32 @@ def test_foreachbatch_gold_upsert(spark, sf_dir, tmp_path):
     assert len(final) == spark.read.parquet(gold).count()
     # ...and values reflect batch-2 increments over batch 1.
     assert all(final[k] >= v for k, v in first.items() if k in final)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream time-bounded join == the same join in batch over
+    the drained input."""
+    src = load_table(spark, sf_dir, "events")
+    clicks_dir = str(tmp_path / "ss_clicks")
+    views_dir = str(tmp_path / "ss_views")
+    clicks_b = src.filter(F.col("event_type") == "click")
+    views_b = src.filter(F.col("event_type") == "view")
+    clicks_b.write.parquet(clicks_dir)
+    views_b.write.parquet(views_dir)
+
+    c_stream = stream_events.read_event_stream(spark, clicks_dir, src.schema)
+    v_stream = stream_events.read_event_stream(spark, views_dir, src.schema)
+    joined = stream_events.join_event_streams(c_stream, v_stream)
+    stream_events.run_to_memory(joined, "ss_join", mode="append")
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.table("ss_join").collect()
+    }
+
+    expected = {
+        (r.click_id, r.view_id)
+        for r in stream_events.join_event_streams(
+            clicks_b, views_b  # same logic, batch DataFrames
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
