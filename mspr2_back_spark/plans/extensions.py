@@ -300,6 +300,40 @@ def customers_no_jumbo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one window (rank,
+    dense_rank, ntile, percent_rank, cume_dist) — deterministic via a
+    unique (price, key) ordering. One shuffle on the partition key
+    serves all five functions."""
+    o = _t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.filter(F.col("o_totalprice") > 350000).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(win).alias("rnk"),
+        F.dense_rank().over(win).alias("drnk"),
+        F.ntile(4).over(win).alias("quartile"),
+        F.round(F.percent_rank().over(win), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(win), 9).alias("cume"),
+    )
+
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority with one column per status
+    (groupBy().pivot() — Spark plans it as conditional aggregation,
+    exactly what the ANSI oracle spells out). Pairs with the stack()
+    unpivot in profile_orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profiling: null count, distinct count, and
     min/max (as strings, decimal-normalized for floats) per profiled
@@ -393,6 +427,8 @@ EXTENSION_QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
     "events_in_windows": events_in_windows,
+    "order_rank_metrics": order_rank_metrics,
+    "status_pivot": status_pivot,
     "profile_orders": profile_orders,
     "set_ops_nations": set_ops_nations,
     "customer_order_coverage": customer_order_coverage,

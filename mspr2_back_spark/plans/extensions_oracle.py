@@ -230,3 +230,27 @@ SELECT 'o_orderstatus', n_rows - st_nn, st_nd, st_min, st_max FROM stats
 UNION ALL
 SELECT 'o_totalprice', n_rows - tp_nn, tp_nd, tp_min, tp_max FROM stats
 """
+
+
+EXTENSION_ORACLE_SQL["order_rank_metrics"] = """
+SELECT o_orderpriority,
+       o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume
+FROM orders
+WHERE o_totalprice > 350000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+EXTENSION_ORACLE_SQL["status_pivot"] = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
