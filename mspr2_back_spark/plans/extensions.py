@@ -334,6 +334,49 @@ def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their own customer's average price, counted per
+    status. DataFrame side: one window average + filter (single
+    shuffle). Oracle side: a correlated scalar subquery — proving the
+    window formulation IS the decorrelated plan Catalyst would build.
+    DECIMAL averages keep the boundary comparison identical on both
+    engines (double averages differ in ulps and can flip rows)."""
+    o = _t(spark, sf_dir, "orders")
+    cust_avg = F.avg(F.col("o_totalprice").cast("decimal(18,2)")).over(
+        W.partitionBy("o_custkey")
+    )
+    return (
+        o.withColumn("_avg", cust_avg)
+        .filter(F.col("o_totalprice").cast("decimal(18,2)") > F.col("_avg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+def window_frame_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family over yearly totals: lead, lag,
+    first_value, last_value, nth_value on an explicit
+    unbounded-unbounded frame — the frame spec the reference never
+    uses (SURVEY §2.5 'only default frames')."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dsum("o_totalprice").alias("total")
+    )
+    ordered = W.orderBy("o_year")
+    full = W.orderBy("o_year").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return yearly.select(
+        "o_year",
+        "total",
+        F.lag("total").over(ordered).alias("prev_total"),
+        F.lead("total").over(ordered).alias("next_total"),
+        F.first_value("total").over(full).alias("first_year_total"),
+        F.last_value("total").over(full).alias("last_year_total"),
+        F.nth_value("total", 2).over(full).alias("second_year_total"),
+    )
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profiling: null count, distinct count, and
     min/max (as strings, decimal-normalized for floats) per profiled
@@ -427,6 +470,8 @@ EXTENSION_QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
     "events_in_windows": events_in_windows,
+    "above_avg_orders": above_avg_orders,
+    "window_frame_metrics": window_frame_metrics,
     "order_rank_metrics": order_rank_metrics,
     "status_pivot": status_pivot,
     "profile_orders": profile_orders,

@@ -254,3 +254,35 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+EXTENSION_ORACLE_SQL["above_avg_orders"] = """
+SELECT o_orderstatus, COUNT(*) AS n_above_avg
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+    SELECT AVG(CAST(i.o_totalprice AS DECIMAL(18,2)))
+    FROM orders i
+    WHERE i.o_custkey = o.o_custkey
+)
+GROUP BY o_orderstatus
+"""
+
+
+EXTENSION_ORACLE_SQL["window_frame_metrics"] = """
+WITH yearly AS (
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY EXTRACT(YEAR FROM o_orderdate)
+)
+SELECT o_year,
+       total,
+       LAG(total) OVER w AS prev_total,
+       LEAD(total) OVER w AS next_total,
+       FIRST_VALUE(total) OVER wf AS first_year_total,
+       LAST_VALUE(total) OVER wf AS last_year_total,
+       NTH_VALUE(total, 2) OVER wf AS second_year_total
+FROM yearly
+WINDOW w AS (ORDER BY o_year),
+       wf AS (ORDER BY o_year ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
