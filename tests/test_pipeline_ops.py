@@ -157,3 +157,19 @@ def test_null_and_empty_text_robustness(spark):
     assert len(T.quality_features(docs).collect()) == 4
     assert len(T.token_stats(docs).collect()) == 4
     assert len(T.fingerprints(docs).collect()) == 4
+
+
+def test_engine_facade(spark, sf_dir):
+    from mspr2_back_spark.engine import AnalyticsEngine
+
+    eng = AnalyticsEngine(spark=spark, sf_dir=sf_dir)
+    assert "revenue_by_nation" in eng.list_queries()
+    assert eng.run("global_totals").count() == 1
+    assert "SELECT" in eng.reference_sql("pricing_summary").upper()
+    got = eng.sql("SELECT COUNT(*) AS n FROM orders").first().n
+    assert got == load_table(spark, sf_dir, "orders").count()
+    try:
+        eng.run("nope")
+        raise AssertionError("expected KeyError")
+    except KeyError as e:
+        assert "list_queries" in str(e)
