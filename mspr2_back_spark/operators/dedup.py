@@ -102,16 +102,24 @@ def shingles_exploded(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float, id_col: str = "doc_id"
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle
     index — the scalable formulation: explode shingles, self-join on
     shingle (co-occurrence counts), then Jaccard from set sizes.
 
-    At 100 TB you bound the posting lists (drop shingles with document
-    frequency above a cap — they can't push a pair over a high
-    threshold but dominate join cost); the test corpus has no such hot
-    shingles, so no cap is applied here.
+    ``max_doc_freq`` bounds posting lists at scale: shingles appearing
+    in more than that many documents are dropped from the INDEX (the
+    self-join's cost is Σ posting_len², so one stop-phrase shingle in
+    10⁶ docs is 10¹² candidate pairs); candidate pairs found via the
+    surviving rare shingles are then verified EXACTLY against the full
+    shingle sets, so emitted Jaccard values are uncapped-identical.
+    Recall caveat (standard for df-capped indexes): a qualifying pair
+    sharing only hot shingles is missed — size the cap so that
+    near-dup pairs keep at least one sub-cap shingle.
     """
     # Persisted + materialized once so the self-join's two sides read
     # the cache instead of re-shingling the corpus per side;
@@ -128,7 +136,17 @@ def ngram_jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ex.count()
-    a, b = ex.alias("a"), ex.alias("b")
+    if max_doc_freq is not None:
+        rare = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        index = ex.join(rare, "shingle")
+    else:
+        index = ex
+    a, b = index.alias("a"), index.alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_id_1"), F.col("b.doc").alias("doc_id_2"))
@@ -138,9 +156,24 @@ def ngram_jaccard_pairs(
             F.first("b.n_shingles").alias("n2"),
         )
     )
-    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    if max_doc_freq is None:
+        # Index is complete: Jaccard comes straight from the counts.
+        jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+        return (
+            pairs.select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # Capped index: counts undercount shared hot shingles — verify the
+    # candidate pairs exactly against the full (uncapped) shingle sets.
+    full = ex.groupBy("doc").agg(F.collect_set("shingle").alias("sh"))
+    s1 = full.select(F.col("doc").alias("doc_id_1"), F.col("sh").alias("sh1"))
+    s2 = full.select(F.col("doc").alias("doc_id_2"), F.col("sh").alias("sh2"))
+    jac = F.size(F.array_intersect("sh1", "sh2")) / F.size(F.array_union("sh1", "sh2"))
     return (
-        pairs.select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -41,3 +41,40 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
 def scan_plan(df: DataFrame) -> str:
     """Physical-plan string (for pruning/pushdown assertions)."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 256
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files —
+    the small-files remedy.
+
+    Streaming sinks and fine-grained ingestion leave thousands of
+    KB-sized files; every query then pays file-open + footer-read per
+    file and the driver's file index balloons. Compaction reads the
+    directory, coalesces to ceil(bytes/target) output files, and
+    atomically swaps the directory. Returns the new file count.
+
+    At warehouse scale this runs per partition directory (bounded
+    work, partition-parallel); the full-directory form here is the
+    single-table case.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "._precompact"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return n_files

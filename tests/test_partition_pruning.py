@@ -63,3 +63,21 @@ def test_column_pruning_in_read_schema(spark, sf_dir):
     assert "l_orderkey" in schema_part and "l_quantity" in schema_part
     # A 16-column table projected to 2 must not read the rest.
     assert "l_extendedprice" not in schema_part and "l_shipdate" not in schema_part
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from mspr2_back_spark.sources.partitioned import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(path)  # 64 small files
+    import glob
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 64
+    before = orders.count()
+
+    n = compact_parquet(spark, path, target_file_mb=256)
+    files_after = glob.glob(f"{path}/part-*.parquet")
+    assert len(files_after) == n == 1  # tiny table -> one file
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert sorted(after.columns) == sorted(orders.columns)

@@ -173,3 +173,26 @@ def test_engine_facade(spark, sf_dir):
         raise AssertionError("expected KeyError")
     except KeyError as e:
         assert "list_queries" in str(e)
+
+
+def test_ngram_jaccard_df_cap_equivalent_when_generous(spark, sf_dir):
+    """A document-frequency cap above every real posting length must
+    not change the output; a tiny cap reduces candidates but emitted
+    jaccard values stay exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    capped = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8, max_doc_freq=10**6).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0
+    tight = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, 0.8, max_doc_freq=3).collect()
+    }
+    assert set(tight) <= set(uncapped)
+    for k, v in tight.items():
+        assert v == uncapped[k]  # exact verification, cap or no cap
