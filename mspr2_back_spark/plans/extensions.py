@@ -334,6 +334,52 @@ def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 per order for one
+    market segment — a 3-way fact join narrowed by selective filters
+    on both fact sides before the join (pushdown does the narrowing
+    scan-side), then TakeOrderedAndProject for the top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+        )
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where the supplier and the customer
+    share a nation, per nation for one year — the 6-way star-plus-fact
+    join. Dims broadcast; the only shuffles are the two fact-fact
+    joins and the final group-by."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"))
+    )
+
+
 def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders above their own customer's average price, counted per
     status. DataFrame side: one window average + filter (single
@@ -470,6 +516,8 @@ EXTENSION_QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
     "events_in_windows": events_in_windows,
+    "shipping_priority": shipping_priority,
+    "local_supplier_volume": local_supplier_volume,
     "above_avg_orders": above_avg_orders,
     "window_frame_metrics": window_frame_metrics,
     "order_rank_metrics": order_rank_metrics,

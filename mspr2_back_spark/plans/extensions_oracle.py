@@ -286,3 +286,36 @@ FROM yearly
 WINDOW w AS (ORDER BY o_year),
        wf AS (ORDER BY o_year ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
+
+
+EXTENSION_ORACLE_SQL["shipping_priority"] = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+EXTENSION_ORACLE_SQL["local_supplier_volume"] = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+GROUP BY n_name
+"""
