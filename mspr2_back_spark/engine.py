@@ -33,7 +33,7 @@ class AnalyticsEngine:
         self._views_registered = False
 
     def list_queries(self) -> list[str]:
-        """Names accepted by :meth:`run` (64 as of this round;
+        """Names accepted by :meth:`run` (one per engine operator;
         ORACLE_SQL holds the ANSI-SQL twin where one exists)."""
         return sorted(QUERIES)
 

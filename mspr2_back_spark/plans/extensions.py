@@ -334,6 +334,25 @@ def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment: rank window +
+    rank <= k filter. Spark's rank-limit pushdown (WindowGroupLimit)
+    prunes to <= k rows per group on BOTH sides of the shuffle, so the
+    exchange never carries full groups — the per-group twin of
+    TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    win = W.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: unshipped-revenue top-10 per order for one
     market segment — a 3-way fact join narrowed by selective filters
@@ -516,6 +535,7 @@ EXTENSION_QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
     "events_in_windows": events_in_windows,
+    "top3_orders_per_segment": top3_orders_per_segment,
     "shipping_priority": shipping_priority,
     "local_supplier_volume": local_supplier_volume,
     "above_avg_orders": above_avg_orders,

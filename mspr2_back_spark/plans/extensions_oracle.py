@@ -319,3 +319,15 @@ JOIN nation ON s_nationkey = n_nationkey
 WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
 GROUP BY n_name
 """
+
+
+EXTENSION_ORACLE_SQL["top3_orders_per_segment"] = """
+SELECT c_mktsegment, rn, o_orderkey, o_totalprice
+FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rn <= 3
+"""
