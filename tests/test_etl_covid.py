@@ -257,3 +257,41 @@ def test_predicted_weekly_statistics(tables):
         assert (rs[0].date_of_report - last_obs[c]).days == 7
         assert all((b.date_of_report - a.date_of_report).days == 7 for a, b in zip(rs, rs[1:]))
         assert all(r.predicted_new_cases == r.predicted_new_cases for r in rs)  # no NaN
+
+
+def test_csv_ingestion_tolerates_malformed_rows(spark, tmp_path):
+    """Bronze reads must survive dirty rows: PERMISSIVE mode keeps
+    malformed lines as null-filled rows instead of failing the job —
+    at 100 TB a handful of bad lines must never kill ingestion."""
+    from mspr2_back_spark.etl import schemas
+
+    path = tmp_path / "dirty.csv"
+    path.write_text(
+        "Date_reported,Country_code,Country,WHO_region,New_cases,"
+        "Cumulative_cases,New_deaths,Cumulative_deaths\n"
+        "2021-01-04,FR,France,EURO,20,35,2,3\n"
+        "2021-01-05,FR,France,EURO,NOT_A_NUMBER,36,1,4\n"  # bad int
+        "2021-01-06,FR,France,EURO,5,41,0,4\n"
+    )
+    df = (
+        spark.read.schema(schemas.WHO_COVID_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(str(path))
+    )
+    rows = {r.Date_reported: r for r in df.collect()}
+    assert len(rows) == 3  # nothing dropped, nothing crashed
+    assert rows["2021-01-04"].New_cases == 20
+    assert rows["2021-01-05"].New_cases is None  # malformed cell -> null
+    assert rows["2021-01-06"].New_cases == 5
+    # FAILFAST is the strict alternative: same file must raise.
+    import pytest as _pytest
+
+    strict = (
+        spark.read.schema(schemas.WHO_COVID_SCHEMA)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(str(path))
+    )
+    with _pytest.raises(Exception):
+        strict.collect()
