@@ -442,6 +442,30 @@ def window_frame_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path via Spark 4's VARIANT type: parse the JSON
+    props column once (`parse_json`), extract typed fields with
+    `variant_get`, aggregate. VARIANT stores a parsed binary form, so
+    repeated field access skips re-parsing — the modern replacement
+    for per-access get_json_object string parsing (which
+    props_extract keeps for comparison). Oracle: DuckDB JSON
+    extraction of the same field."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profiling: null count, distinct count, and
     min/max (as strings, decimal-normalized for floats) per profiled
@@ -542,6 +566,7 @@ EXTENSION_QUERIES = {
     "window_frame_metrics": window_frame_metrics,
     "order_rank_metrics": order_rank_metrics,
     "status_pivot": status_pivot,
+    "props_variant_stats": props_variant_stats,
     "profile_orders": profile_orders,
     "set_ops_nations": set_ops_nations,
     "customer_order_coverage": customer_order_coverage,

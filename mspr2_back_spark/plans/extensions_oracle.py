@@ -331,3 +331,14 @@ FROM (
 )
 WHERE rn <= 3
 """
+
+
+EXTENSION_ORACLE_SQL["props_variant_stats"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max
+FROM events
+GROUP BY event_type
+"""

@@ -35,6 +35,7 @@ DUCKDB_ONLY = {
     "hourly_events",  # strftime
     "multimodal_meta",  # 1-arg encode()
     "props_extract",  # lenient '' -> INT cast
+    "props_variant_stats",  # json_extract
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
