@@ -442,6 +442,39 @@ def window_frame_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (50k buckets over order price) —
+    one scan, one small-key aggregate; the distribution-profiling
+    twin of percentile_prices."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return (
+        o.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_total"),
+        )
+    )
+
+
+def hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-phrase analytics: word 3-grams appearing
+    in ≥5 distinct documents, by document frequency — the boilerplate/
+    template detector (and the distribution the Jaccard index's
+    df-cap is sized from). One explode + one aggregate; shuffle
+    carries (shingle, partial count)."""
+    from mspr2_back_spark.operators.dedup import shingles_exploded
+
+    ex = shingles_exploded(_t(spark, sf_dir, "documents"))
+    return (
+        ex.groupBy("shingle")
+        .agg(F.countDistinct("doc").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 5)
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
 def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path via Spark 4's VARIANT type: parse the JSON
     props column once (`parse_json`), extract typed fields with
@@ -566,6 +599,8 @@ EXTENSION_QUERIES = {
     "window_frame_metrics": window_frame_metrics,
     "order_rank_metrics": order_rank_metrics,
     "status_pivot": status_pivot,
+    "price_histogram": price_histogram,
+    "hot_shingles": hot_shingles,
     "props_variant_stats": props_variant_stats,
     "profile_orders": profile_orders,
     "set_ops_nations": set_ops_nations,

@@ -342,3 +342,37 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+EXTENSION_ORACLE_SQL["price_histogram"] = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS price_bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+FROM orders
+GROUP BY CAST(FLOOR(o_totalprice / 50000) AS INTEGER)
+"""
+
+
+EXTENSION_ORACLE_SQL["hot_shingles"] = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                  FOR i IN range(1, len(w) - 1)])
+         END AS shingles
+  FROM words
+),
+ex AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+)
+SELECT shingle, COUNT(DISTINCT doc_id) AS doc_freq
+FROM ex
+GROUP BY shingle
+HAVING COUNT(DISTINCT doc_id) >= 5
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT 20
+"""

@@ -36,6 +36,7 @@ DUCKDB_ONLY = {
     "multimodal_meta",  # 1-arg encode()
     "props_extract",  # lenient '' -> INT cast
     "props_variant_stats",  # json_extract
+    "hot_shingles",  # list comprehension / unnest
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter

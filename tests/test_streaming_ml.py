@@ -307,3 +307,28 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: dropDuplicates on event_id within the
+    watermark absorbs replayed input (at-least-once sources), so the
+    sink sees each event once."""
+    src = load_table(spark, sf_dir, "events").limit(500)
+    stream_dir = tmp_path / "dedup_in"
+    stream_dir.mkdir()
+
+    def land(df, name):
+        staging = tmp_path / f"ddstage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        for i, f in enumerate(staging.glob("part-*.parquet")):
+            f.rename(stream_dir / f"{name}_{i}.parquet")
+
+    land(src, "original")
+    land(src, "replay")  # the same 500 events again
+
+    stream = stream_events.read_event_stream(spark, str(stream_dir), src.schema)
+    deduped = stream.withWatermark("ts", "10 days").dropDuplicates(["event_id"])
+    stream_events.run_to_memory(deduped, "dedup_stream", mode="append")
+    out = spark.table("dedup_stream").select("event_id").collect()
+    assert len(out) == 500  # 1000 input rows, every event exactly once
+    assert len({r.event_id for r in out}) == 500
