@@ -442,6 +442,31 @@ def window_frame_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scaled_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MinMax feature scaling as pure window algebra
+    (SURVEY M1's per-country fit, relationally): scaled =
+    (x - min_g) / (max_g - min_g) with a nullif guard for constant
+    groups. No pandas, no fitted state — one shuffle on the group key
+    computes every group's scaler and applies it in the same pass.
+    Summed per user for a compact oracle-checked output."""
+    e = _t(spark, sf_dir, "events")
+    g = W.partitionBy("user_id")
+    mn = F.min("value").over(g)
+    mx = F.max("value").over(g)
+    scaled = (F.col("value") - mn) / F.nullif(mx - mn, F.lit(0.0))
+    per_row = e.select(
+        "user_id", F.round(scaled, 9).alias("scaled")
+    )
+    # Sum in DECIMAL: double addition is order-dependent in the last
+    # ulps and the oracle gate is bit-exact.
+    return per_row.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("scaled").cast("decimal(18,9)")).cast("double").alias("scaled_sum"),
+        F.min("scaled").alias("scaled_min"),
+        F.max("scaled").alias("scaled_max"),
+    )
+
+
 def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram (50k buckets over order price) —
     one scan, one small-key aggregate; the distribution-profiling
@@ -599,6 +624,7 @@ EXTENSION_QUERIES = {
     "window_frame_metrics": window_frame_metrics,
     "order_rank_metrics": order_rank_metrics,
     "status_pivot": status_pivot,
+    "scaled_user_values": scaled_user_values,
     "price_histogram": price_histogram,
     "hot_shingles": hot_shingles,
     "props_variant_stats": props_variant_stats,

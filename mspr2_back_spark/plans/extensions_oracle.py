@@ -376,3 +376,21 @@ HAVING COUNT(DISTINCT doc_id) >= 5
 ORDER BY doc_freq DESC, shingle ASC
 LIMIT 20
 """
+
+
+EXTENSION_ORACLE_SQL["scaled_user_values"] = """
+WITH per_row AS (
+    SELECT user_id,
+           ROUND((value - MIN(value) OVER g)
+                 / NULLIF(MAX(value) OVER g - MIN(value) OVER g, 0.0), 9) AS scaled
+    FROM events
+    WINDOW g AS (PARTITION BY user_id)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(scaled AS DECIMAL(18,9))) AS DOUBLE) AS scaled_sum,
+       MIN(scaled) AS scaled_min,
+       MAX(scaled) AS scaled_max
+FROM per_row
+GROUP BY user_id
+"""
