@@ -442,6 +442,31 @@ def window_frame_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are assigned
+    to fixed-budget chunks (8192 whitespace tokens) by prefix-sum
+    bucketing — chunk id = floor(preceding-cumulative / budget) over a
+    deterministic doc order. The streaming-friendly packing rule:
+    one window cumsum, no iterative state, chunks overfill by at most
+    one document. Output: per-chunk document count and token total."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("size(array_remove(split(text, ' '), ''))").alias("n_tokens")
+    )
+    win = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    with_chunk = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(win) - F.col("n_tokens")) / F.lit(8192)
+        ).alias("chunk_id"),
+    )
+    return with_chunk.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+
+
 def scaled_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group MinMax feature scaling as pure window algebra
     (SURVEY M1's per-country fit, relationally): scaled =
@@ -624,6 +649,7 @@ EXTENSION_QUERIES = {
     "window_frame_metrics": window_frame_metrics,
     "order_rank_metrics": order_rank_metrics,
     "status_pivot": status_pivot,
+    "pack_documents": pack_documents,
     "scaled_user_values": scaled_user_values,
     "price_histogram": price_histogram,
     "hot_shingles": hot_shingles,

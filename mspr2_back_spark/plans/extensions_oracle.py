@@ -394,3 +394,22 @@ SELECT user_id,
 FROM per_row
 GROUP BY user_id
 """
+
+
+EXTENSION_ORACLE_SQL["pack_documents"] = """
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+    FROM documents
+),
+with_chunk AS (
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 8192) AS BIGINT) AS chunk_id
+    FROM toks
+)
+SELECT chunk_id, COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+FROM with_chunk
+GROUP BY chunk_id
+"""

@@ -37,6 +37,7 @@ DUCKDB_ONLY = {
     "props_extract",  # lenient '' -> INT cast
     "props_variant_stats",  # json_extract
     "hot_shingles",  # list comprehension / unnest
+    "pack_documents",  # list_filter
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
