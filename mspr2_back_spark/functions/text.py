@@ -109,3 +109,38 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.md5(normalized).alias("normalized_hash"),
         F.md5(bag).alias("bag_hash"),
     )
+
+
+def repair_encoding(docs: DataFrame, bytes_col: str, out_col: str = "text") -> DataFrame:
+    """Decode raw bytes with the reference's fallback chain —
+    utf-8 → latin-1 → cp1252 (ref app/routes/tables.py:13-22).
+
+    Spark reads UTF-8 natively, so this exists only for parity with
+    the reference's defensive decoding of legacy exports. It is the
+    one deliberately-Python text function here: charset sniffing has
+    no JVM expression form, so it runs as an Arrow-batched pandas
+    iterator over the binary column (off the hot path by design —
+    run once at ingest, not per query).
+    """
+    import pandas as pd
+
+    def decode(batches):
+        def one(b: bytes | None) -> str | None:
+            if b is None:
+                return None
+            for enc in ("utf-8", "latin-1", "cp1252"):
+                try:
+                    return bytes(b).decode(enc)
+                except (UnicodeDecodeError, ValueError):
+                    continue
+            return bytes(b).decode("utf-8", errors="replace")
+
+        for pdf in batches:
+            out = pdf.drop(columns=[bytes_col])
+            out[out_col] = [one(b) for b in pdf[bytes_col]]
+            yield out
+
+    out_fields = [f"{f.name} {f.dataType.simpleString()}"
+                  for f in docs.schema.fields if f.name != bytes_col]
+    schema = ", ".join(out_fields + [f"{out_col} string"])
+    return docs.mapInPandas(decode, schema=schema)

@@ -196,3 +196,20 @@ def test_ngram_jaccard_df_cap_equivalent_when_generous(spark, sf_dir):
     assert set(tight) <= set(uncapped)
     for k, v in tight.items():
         assert v == uncapped[k]  # exact verification, cap or no cap
+
+
+def test_repair_encoding_fallback_chain(spark):
+    from mspr2_back_spark.functions.text import repair_encoding
+
+    rows = [
+        (1, "plain ascii".encode("utf-8")),
+        (2, "café crème".encode("utf-8")),
+        (3, "café".encode("latin-1")),      # invalid utf-8, valid latin-1
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, raw binary")
+    out = {r.doc_id: r.text for r in repair_encoding(df, "raw").collect()}
+    assert out[1] == "plain ascii"
+    assert out[2] == "café crème"
+    assert out[3] == "café"
+    assert out[4] is None
