@@ -139,9 +139,14 @@ def join_event_streams(
     views: DataFrame,
     watermark: str = "1 hour",
     within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each click pairs with the same
-    user's view events from the preceding ``within`` interval.
+    """Stream-stream join: each click pairs with the same user's view
+    events from the preceding ``within`` interval. ``how="left_outer"``
+    additionally emits unmatched clicks (null view columns) once the
+    watermark proves no match can still arrive — the click stays
+    buffered until then, which is why outer results trail inner ones
+    by the watermark delay.
 
     Both sides carry watermarks and the join condition bounds the
     event-time distance, so Spark can evict buffered state for rows
@@ -166,7 +171,7 @@ def join_event_streams(
         (F.col("c_user") == F.col("v_user"))
         & (F.col("v_ts") <= F.col("c_ts"))
         & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {within}")),
-        "inner",
+        how,
     ).select("c_user", "click_id", "c_ts", "view_id", "v_ts", "view_value")
 
 

@@ -332,3 +332,33 @@ def test_stream_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
     out = spark.table("dedup_stream").select("event_id").collect()
     assert len(out) == 500  # 1000 input rows, every event exactly once
     assert len({r.event_id for r in out}) == 500
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: inner pairs plus null-view rows
+    for clicks the watermark has proven unmatched."""
+    src = load_table(spark, sf_dir, "events")
+    clicks_dir = str(tmp_path / "lo_clicks")
+    views_dir = str(tmp_path / "lo_views")
+    clicks_b = src.filter(F.col("event_type") == "click")
+    views_b = src.filter(F.col("event_type") == "view")
+    clicks_b.write.parquet(clicks_dir)
+    views_b.write.parquet(views_dir)
+
+    c_stream = stream_events.read_event_stream(spark, clicks_dir, src.schema)
+    v_stream = stream_events.read_event_stream(spark, views_dir, src.schema)
+    joined = stream_events.join_event_streams(
+        c_stream, v_stream, watermark="1 minute", how="left_outer"
+    )
+    stream_events.run_to_memory(joined, "lo_join", mode="append")
+    rows = spark.table("lo_join").collect()
+    matched = {(r.click_id, r.view_id) for r in rows if r.view_id is not None}
+    unmatched = {r.click_id for r in rows if r.view_id is None}
+    assert matched and unmatched
+
+    batch = stream_events.join_event_streams(clicks_b, views_b)
+    expected_matched = {(r.click_id, r.view_id) for r in batch.collect()}
+    assert matched == expected_matched
+    # Every null-view click truly has no view within the window.
+    matched_clicks = {cid for cid, _ in expected_matched}
+    assert not (unmatched & matched_clicks)
