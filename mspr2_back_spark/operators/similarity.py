@@ -81,53 +81,116 @@ def brute_force_topk(
 
 
 def cosine_pairs(
-    vectors: DataFrame, threshold: float, id_col: str = "vec_id"
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    block_size: int = 4096,
 ) -> DataFrame:
-    """All-pairs cosine near-duplicate detection (exact).
+    """All-pairs cosine near-duplicate detection (exact), as a
+    block-pair matmul join — no full-corpus collect or broadcast.
 
-    The O(N²·d) scoring runs as a blocked BLAS matmul: the normalized
-    comparison matrix is broadcast once (like a dim table), and each
-    Arrow batch of the scan side multiplies against it in numpy.
-    This is the Pandas-UDF slow-path done right — one matmul per
-    batch, no per-pair Python. A BroadcastNestedLoopJoin with an
-    expression-level dot product benchmarks ~50x slower here because
-    nested-loop conditions aren't whole-stage-codegen'd.
+    The corpus is split into id-contiguous blocks of ``block_size``
+    vectors; each block is packed into ONE row (sorted id list +
+    matrix). The tiny block-id relation is crossed with itself
+    (ba ≤ bb), broadcast onto the packed blocks, and every surviving
+    (block_a, block_b) pair becomes one task-local numpy matmul via
+    ``mapInPandas``. That keeps the O(N²·d) scoring in BLAS with no
+    per-pair Python, while every stage stays distributed:
 
-    Scale: broadcasting the index bounds N at ~10⁶ vectors (0.5 GB);
-    beyond that, block both sides (block-pair join keyed by block id)
-    or pre-bucket with `hyperplane_buckets` and verify within
-    buckets. Rounding/threshold semantics happen Spark-side so the
-    output contract is identical to an in-engine formulation.
+    - shuffle volume is O(N·n_blocks) — the inherent cost of exact
+      all-pairs (each block must meet every other block) — not a
+      driver collect;
+    - executor memory per task is two blocks (block_size × dim × 8 B,
+      ~2 MB at the 4096 default), independent of corpus size;
+    - at 100 TB you'd first bucket with `hyperplane_buckets` and run
+      this verifier within buckets; unbucketed it degrades
+      quadratically in n_blocks, which is all-pairs' nature.
+
+    Determinism: block packing is sorted by id, the matmul result is
+    pruned with a small slack, and the exact round+threshold contract
+    is applied Spark-side — output is bit-identical to the
+    broadcast-index formulation this replaces.
     """
     import numpy as np
     import pandas as pd
 
-    sc = vectors.sparkSession.sparkContext
-    rows = vectors.select(id_col, "embedding").collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    index_bc = sc.broadcast((ids, mat))
+    blk = F.floor(F.col(id_col) / block_size).cast("bigint")
+    packed = (
+        vectors.select(blk.alias("blk"), id_col, "embedding")
+        .groupBy("blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("vid"), F.col("embedding").alias("emb"))
+                )
+            ).alias("vecs")
+        )
+        .select(
+            "blk",
+            F.expr("transform(vecs, v -> v.vid)").alias("ids"),
+            F.expr("transform(vecs, v -> v.emb)").alias("mat"),
+        )
+    )
+    # Feeds the pair-key relation and both join sides; persist one
+    # materialization instead of re-packing the corpus three times.
+    from pyspark import StorageLevel
+
+    packed = packed.persist(StorageLevel.MEMORY_AND_DISK)
+    blk_ids = packed.select("blk")
+    # Broadcast one side: a plain crossJoin of two n_partition-ed
+    # relations plans an n²-task CartesianProduct even for a
+    # block-count-sized input.
+    pair_keys = (
+        blk_ids.withColumnRenamed("blk", "ba")
+        .crossJoin(F.broadcast(blk_ids.withColumnRenamed("blk", "bb")))
+        .filter(F.col("ba") <= F.col("bb"))
+    )
+    a_side = packed.select(
+        F.col("blk").alias("ba"),
+        F.col("ids").alias("a_ids"),
+        F.col("mat").alias("a_mat"),
+    )
+    b_side = packed.select(
+        F.col("blk").alias("bb"),
+        F.col("ids").alias("b_ids"),
+        F.col("mat").alias("b_mat"),
+    )
+    paired = (
+        F.broadcast(pair_keys)
+        .join(a_side, "ba")
+        .join(b_side, "bb")
+        .select("a_ids", "a_mat", "b_ids", "b_mat")
+    )
     slack = threshold - 1e-6  # numpy prune; exact round+filter is Spark-side
 
     def score(batches):
-        b_ids, b_mat = index_bc.value
         for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ b_mat.T
-            keep = (sims >= slack) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_id_1": a_ids[ai],
-                    "vec_id_2": b_ids[bj],
-                    "raw_sim": sims[ai, bj],
-                }
-            )
+            out_a, out_b, out_s = [], [], []
+            for a_ids_c, a_mat_c, b_ids_c, b_mat_c in zip(
+                pdf["a_ids"], pdf["a_mat"], pdf["b_ids"], pdf["b_mat"]
+            ):
+                a_ids = np.asarray(a_ids_c, dtype=np.int64)
+                a_mat = np.array(list(a_mat_c), dtype=np.float64)
+                a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+                b_ids = np.asarray(b_ids_c, dtype=np.int64)
+                b_mat = np.array(list(b_mat_c), dtype=np.float64)
+                b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+                sims = a_mat @ b_mat.T
+                keep = (sims >= slack) & (a_ids[:, None] < b_ids[None, :])
+                ai, bj = np.nonzero(keep)
+                out_a.append(a_ids[ai])
+                out_b.append(b_ids[bj])
+                out_s.append(sims[ai, bj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_id_1": np.concatenate(out_a),
+                        "vec_id_2": np.concatenate(out_b),
+                        "raw_sim": np.concatenate(out_s),
+                    }
+                )
 
-    scored = vectors.select(id_col, "embedding").mapInPandas(
+    scored = paired.mapInPandas(
         score, schema="vec_id_1 BIGINT, vec_id_2 BIGINT, raw_sim DOUBLE"
     )
     return (
@@ -234,6 +297,104 @@ def ivf_topk(
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def _sq_dist_col(vec: str, cent: str) -> Column:
+    """Squared L2 distance vector↔centroid as a left fold (index
+    order), so any engine folding the same way gets the same bits."""
+    return F.expr(
+        f"aggregate(zip_with({vec}, {cent}, "
+        f"(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), {_FOLD})"
+    )
+
+
+def ivf_topk_deterministic(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a fully deterministic, engine-portable index
+    build, so the whole query is oracle-checkable bit-for-bit.
+
+    Index: cells seeded by hash-sharding (``vec_id % n_cells``), then
+    ONE Lloyd refinement. Centroid components are DECIMAL(27,12)
+    sums cast to DOUBLE divided by the member count — decimal
+    addition is order-invariant, so centroids are identical under any
+    partitioning (the determinism contract in plans/oracle.py).
+    Assignment is argmin of a left-fold squared distance with
+    (dist, cell) tie-breaks. Search probes the ``n_probe`` nearest
+    cells and cosine-scores only their members.
+
+    Scale: the centroid pass is a (cell, dim)-keyed aggregate with
+    map-side partials (n_cells × dim groups); assignment is a
+    broadcast join against the centroid table; no driver-side math.
+    MLlib KMeans (``ivf_topk``) stays as the adaptive-index variant;
+    this one trades k-means convergence for reproducibility.
+    """
+    vecs = vectors.select(id_col, "embedding")
+
+    def centroids(assigned: DataFrame) -> DataFrame:
+        """(id, cell, embedding) → (cell, cvec array<double>)."""
+        per_dim = assigned.select(
+            "cell", F.posexplode("embedding").alias("d", "x")
+        ).groupBy("cell", "d").agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        return per_dim.groupBy("cell").agg(
+            F.expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)").alias(
+                "cvec"
+            )
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        """argmin_cell dist²(embedding, cvec), (dist, cell) tie-break."""
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            F.struct(
+                _sq_dist_col("embedding", "cvec").alias("dist"), F.col("cell")
+            ).alias("dc"),
+        )
+        return scored.groupBy(id_col).agg(F.min("dc").getField("cell").alias("cell"))
+
+    cent0 = centroids(vecs.withColumn("cell", F.col(id_col) % n_cells))
+    assign1 = assign(cent0)
+    cent1 = centroids(vecs.join(assign1, id_col))
+    final_cells = assign(cent1)
+
+    q_vec = vectors.filter(F.col(id_col) == query_id).select(
+        F.col("embedding").alias("q_embedding"),
+        norm_col("embedding").alias("q_norm"),
+    )
+    probes = (
+        q_vec.crossJoin(F.broadcast(cent1))
+        .select("cell", _sq_dist_col("q_embedding", "cvec").alias("dist"))
+        .orderBy("dist", "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    return (
+        vectors.join(final_cells, id_col)
+        .join(F.broadcast(probes), "cell", "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q_vec))
+        .select(
+            id_col,
+            "cell",
+            F.round(
+                dot_col("embedding", "q_embedding")
+                / (norm_col("embedding") * F.col("q_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def hyperplane_lsh_topk(

@@ -197,14 +197,18 @@ def events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (k-means cells, 3-of-8 probes) — the
-    train-an-index scale path next to ann_lsh_topk's hash-based one.
-    No SQL oracle (k-means assignment isn't SQL-expressible); the
-    driver's rows-only check applies, and the recall test bounds it
-    against brute force."""
-    from mspr2_back_spark.operators.similarity import ivf_topk
+    """IVF ANN top-10 (3-of-8 probe cells) — the train-an-index scale
+    path next to ann_lsh_topk's hash-based one. Uses the
+    deterministic index build (hash-shard seed + one decimal-mean
+    Lloyd step, `similarity.ivf_topk_deterministic`) so the probe set
+    and scores are bit-reproducible in the DuckDB oracle; the MLlib
+    KMeans variant (`similarity.ivf_topk`) remains the adaptive-index
+    operator, bounded by the recall test."""
+    from mspr2_back_spark.operators.similarity import ivf_topk_deterministic
 
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"), query_id=7, k=10)
+    return ivf_topk_deterministic(
+        load_table(spark, sf_dir, "embeddings"), query_id=7, k=10
+    )
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,19 +450,64 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: documents are assigned
     to fixed-budget chunks (8192 whitespace tokens) by prefix-sum
     bucketing — chunk id = floor(preceding-cumulative / budget) over a
-    deterministic doc order. The streaming-friendly packing rule:
-    one window cumsum, no iterative state, chunks overfill by at most
-    one document. Output: per-chunk document count and token total."""
+    deterministic doc order. Chunks overfill by at most one document.
+
+    The global prefix sum is computed scale-safely in two phases
+    instead of one all-rows `Window.orderBy` (which would funnel the
+    corpus through a single task — SURVEY's X4 anti-pattern):
+
+    1. range-partition on doc_id, so ascending partition ids hold
+       ascending disjoint doc_id ranges;
+    2. per-partition token totals (one row per partition) are turned
+       into exclusive per-partition offsets with a window over that
+       tiny totals relation, and broadcast-joined back;
+    3. the within-partition cumsum (window partitioned by the range
+       partition id) plus the partition offset is the exact global
+       cumsum — every stage is distributed over all partitions.
+
+    The result is invariant to the partition count: range bounds only
+    decide where the local/global split happens, never the order.
+    Output: per-chunk document count and token total."""
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.expr("size(array_remove(split(text, ' '), ''))").alias("n_tokens")
+    # Persisted: the (doc_id, n_tokens, pid) projection feeds both the
+    # totals and the cumsum subtree, and the pid assignment (sampled
+    # range bounds + spark_partition_id) must be IDENTICAL in both —
+    # persisting pins one materialization rather than trusting
+    # ReuseExchange across the two branches.
+    toks = (
+        d.select(
+            "doc_id",
+            F.expr("size(array_remove(split(text, ' '), ''))").alias("n_tokens"),
+        )
+        .repartitionByRange("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    win = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    with_chunk = toks.select(
+    totals = toks.groupBy("pid").agg(F.sum("n_tokens").alias("pid_total"))
+    # One row per partition: this window is single-partition but over
+    # a partition-count-sized relation, not the corpus.
+    off_win = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("pid_total").over(off_win), F.lit(0)).alias("pid_offset"),
+    )
+    local_win = (
+        W.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_chunk = toks.join(F.broadcast(offsets), "pid").select(
         "doc_id",
         "n_tokens",
         F.floor(
-            (F.sum("n_tokens").over(win) - F.col("n_tokens")) / F.lit(8192)
+            (
+                F.col("pid_offset")
+                + F.sum("n_tokens").over(local_win)
+                - F.col("n_tokens")
+            )
+            / F.lit(8192)
         ).alias("chunk_id"),
     )
     return with_chunk.groupBy("chunk_id").agg(

@@ -77,7 +77,7 @@ WITH flagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id,
-       SUM(new_s) AS n_sessions,
+       CAST(SUM(new_s) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events,
        CAST(COUNT(*) AS DOUBLE) / CAST(SUM(new_s) AS DOUBLE) AS events_per_session
 FROM flagged
@@ -111,7 +111,7 @@ SELECT o_orderstatus,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
-WHERE NOT (o_orderstatus = 'F')
+WHERE o_orderstatus IS DISTINCT FROM 'F'
 GROUP BY o_orderstatus
 """
 
@@ -248,9 +248,9 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
 
 EXTENSION_ORACLE_SQL["status_pivot"] = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -409,7 +409,88 @@ with_chunk AS (
                        - n_tokens) / 8192) AS BIGINT) AS chunk_id
     FROM toks
 )
-SELECT chunk_id, COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+SELECT chunk_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
 FROM with_chunk
 GROUP BY chunk_id
 """
+
+
+# Deterministic IVF: the SQL mirrors similarity.ivf_topk_deterministic
+# step for step — hash-shard seed cells, decimal-mean centroids (one
+# Lloyd refinement), left-fold distances, (dist, cell) tie-breaks —
+# so every float matches bit-for-bit (see the determinism contract in
+# plans/oracle.py).
+_IVF_DIST = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])), "
+    "(x, y) -> x + y)"
+)
+_IVF_CENT = """
+  SELECT cell, d,
+         CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+             / COUNT(*) AS c
+  FROM {src}, (SELECT unnest(generate_series(1, 64)) AS d) dims
+  GROUP BY cell, d
+"""
+
+EXTENSION_ORACLE_SQL["ann_ivf_topk"] = """
+WITH cells0 AS (
+  SELECT vec_id, vec_id % 8 AS cell, embedding FROM embeddings
+),
+cent0 AS ({cent0}),
+cent0l AS (SELECT cell, list(c ORDER BY d) AS cvec FROM cent0 GROUP BY cell),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist_v_c0} ASC, c.cell ASC) AS rn
+    FROM embeddings v, cent0l c
+  ) WHERE rn = 1
+),
+cells1 AS (
+  SELECT v.vec_id, a1.cell, v.embedding
+  FROM embeddings v JOIN a1 ON v.vec_id = a1.vec_id
+),
+cent1 AS ({cent1}),
+cent1l AS (SELECT cell, list(c ORDER BY d) AS cvec FROM cent1 GROUP BY cell),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist_v_c1} ASC, c.cell ASC) AS rn
+    FROM embeddings v, cent1l c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c.cell
+  FROM embeddings q, cent1l c
+  WHERE q.vec_id = 7
+  ORDER BY {dist_q_c1} ASC, c.cell ASC
+  LIMIT 3
+),
+nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+q AS (SELECT embedding, nrm FROM nv WHERE vec_id = 7)
+SELECT v.vec_id, a2.cell,
+       ROUND({dot} / (v.nrm * q.nrm), 6) AS cosine_sim
+FROM nv v
+JOIN a2 ON v.vec_id = a2.vec_id, q
+WHERE a2.cell IN (SELECT cell FROM probes) AND v.vec_id <> 7
+ORDER BY cosine_sim DESC, v.vec_id ASC
+LIMIT 10
+""".format(
+    cent0=_IVF_CENT.format(src="cells0"),
+    cent1=_IVF_CENT.format(src="cells1"),
+    dist_v_c0=_IVF_DIST.format(v="v.embedding", c="c.cvec"),
+    dist_v_c1=_IVF_DIST.format(v="v.embedding", c="c.cvec"),
+    dist_q_c1=_IVF_DIST.format(v="q.embedding", c="c.cvec"),
+    dot=(
+        "list_reduce(list_transform(generate_series(1, 64), "
+        "i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    ),
+)

@@ -274,7 +274,7 @@ GROUP BY 1
 
 ORACLE_SQL["props_extract"] = """
 SELECT event_type,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k,
        COUNT(*) AS n_events
 FROM (
@@ -316,7 +316,7 @@ ORDER BY spine.day
 ORACLE_SQL["pct_negative_acctbal"] = """
 SELECT n_name,
        COUNT(*) AS n_customers,
-       SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
        ROUND(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
            AS pct_negative
 FROM customer JOIN nation ON c_nationkey = n_nationkey

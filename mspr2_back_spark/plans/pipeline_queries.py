@@ -56,9 +56,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs verifier)."""
+    """Embedding-cosine near-dup pairs (exact all-pairs verifier).
+
+    block_size=256 so even sf0.01 (500 vectors) exercises the
+    multi-block pair join, not a degenerate single block."""
     return similarity.cosine_pairs(
-        load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
+        load_table(spark, sf_dir, "embeddings"),
+        COSINE_PAIR_THRESHOLD,
+        block_size=256,
     )
 
 

@@ -38,6 +38,7 @@ DUCKDB_ONLY = {
     "props_variant_stats",  # json_extract
     "hot_shingles",  # list comprehension / unnest
     "pack_documents",  # list_filter
+    "ann_ivf_topk",  # list(c ORDER BY d) aggregate, list_reduce distances
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
