@@ -38,15 +38,22 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: every left row, plus ``out_col`` holding the
     latest right ``value_col`` with ``right.ts + tolerance <= left.ts``
-    (NULL when no right row qualifies)."""
-    l_tag = left.withColumn("_is_l", F.lit(1)).withColumn("_rv", F.lit(None).cast(
-        right.schema[value_col].dataType
-    ))
+    (NULL when no right row qualifies).
+
+    The carried value is wrapped in a one-field struct: the struct is
+    NULL exactly on left placeholder rows, so ``last(ignorenulls)``
+    skips those but still carries a right row whose value is
+    legitimately NULL — matching DuckDB ASOF JOIN, which returns that
+    row's NULL rather than an older non-null value."""
+    rv_type = f"struct<v:{right.schema[value_col].dataType.simpleString()}>"
+    l_tag = left.withColumn("_is_l", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(rv_type)
+    )
     r_tag = (
         right.select(
             F.col(key),
             (F.col(ts) + F.expr(f"INTERVAL {tolerance}")).alias(ts),
-            F.col(value_col).alias("_rv"),
+            F.struct(F.col(value_col).alias("v")).alias("_rv"),
         )
         .withColumn("_is_l", F.lit(0))
     )
@@ -63,6 +70,6 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.withColumn(
-        out_col, F.last("_rv", ignorenulls=True).over(win)
+        out_col, F.last("_rv", ignorenulls=True).over(win).getField("v")
     )
     return carried.filter(F.col("_is_l") == 1).drop("_is_l", "_rv")

@@ -44,13 +44,14 @@ def upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFram
     """MERGE INTO semantics: rows of ``base`` whose key appears in
     ``updates`` are replaced; new keys are inserted.
 
-    (ORM insert/update, ref api/api_crud.py:92,136-138.) The update
-    side is usually small relative to the base, so the anti-join's
-    build side (distinct update keys) broadcasts and the base is
-    filtered without a shuffle.
+    (ORM insert/update, ref api/api_crud.py:92,136-138.) The anti-join
+    strategy is left to the optimizer: when the distinct update-key
+    side is small, AQE converts it to a broadcast join at runtime; a
+    forced broadcast hint here would OOM on a large update batch
+    (millions of keys) at the scale this module targets.
     """
     update_keys = updates.select(*keys).distinct()
-    survivors = base.join(F.broadcast(update_keys), on=list(keys), how="left_anti")
+    survivors = base.join(update_keys, on=list(keys), how="left_anti")
     return survivors.unionByName(updates.select(*base.columns))
 
 

@@ -16,8 +16,35 @@ makes it the value oracle for the bucketed plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+}
+
+
+def _bucket_micros(bucket: str) -> int:
+    """Parse '<n> <unit>[s]' (e.g. '2 hours') into microseconds."""
+    try:
+        n_str, unit = bucket.strip().split()
+        n = int(n_str)
+        return n * _UNIT_US[unit.lower().rstrip("s")]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"bucketed_range_join: unsupported bucket {bucket!r}; "
+            f"expected '<n> <second|minute|hour|day>[s]'"
+        ) from None
+
+
+def _floor_to_bucket(col: Column, bucket_us: int) -> Column:
+    """Floor a timestamp to its bucket start (epoch-aligned)."""
+    return F.timestamp_micros(
+        (F.floor(F.unix_micros(col) / bucket_us) * bucket_us).cast("long")
+    )
 
 
 def bucketed_range_join(
@@ -33,21 +60,25 @@ def bucketed_range_join(
 
     ``bucket`` must be at least the longest window length — each
     window then overlaps ≤ 2 buckets, bounding the explode factor.
+    Bucket assignment is derived from the bucket WIDTH (epoch-aligned
+    floor), so any width ('2 hours', '30 minutes', ...) keeps event
+    buckets aligned with the window bucket set.
     Returns events columns + windows columns (inner or left_semi).
     """
+    bucket_us = _bucket_micros(bucket)
     bucket_s = F.expr(f"INTERVAL {bucket}")
-    ev = events.withColumn(
-        "_b", F.date_trunc("hour", F.col(ts))  # bucket floor for the event
-    )
-    # Window → the (≤2) hour buckets it overlaps.
+    ev = events.withColumn("_b", _floor_to_bucket(F.col(ts), bucket_us))
+    # Window → the (≤2) buckets it overlaps.
     win = windows.withColumn(
         "_b",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", F.col(start)),
+                _floor_to_bucket(F.col(start), bucket_us),
                 # end is exclusive: a window ending exactly on a bucket
                 # boundary does not reach into that bucket.
-                F.date_trunc("hour", F.col(end) - F.expr("INTERVAL 1 microsecond")),
+                _floor_to_bucket(
+                    F.col(end) - F.expr("INTERVAL 1 microsecond"), bucket_us
+                ),
                 bucket_s,
             )
         ),

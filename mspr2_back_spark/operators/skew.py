@@ -43,8 +43,17 @@ def salted_join(
     shuffle partitions instead of one.
 
     ``small`` must be the dimension side (its replication factor is
-    n_salt). Output equals the unsalted join exactly.
+    n_salt). Output equals the unsalted join exactly — which is why
+    ``how`` is restricted to modes whose output is driven by the
+    (uniquely-salted) big side: a right/full outer join would emit
+    every unmatched ``small`` row once per replica (n_salt times).
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            f"rows n_salt times; use one of {sorted(allowed)}"
+        )
     keys = list(on)
     big = skewed.withColumn(
         _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")

@@ -10,6 +10,7 @@ inputs with exact expectations.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mspr2_back_spark.operators.crud import delete_where, point_lookup, upsert
@@ -247,3 +248,57 @@ def test_range_join_boundary_semantics(spark):
         for r in bucketed_range_join(events, windows, ts="ts").collect()
     )
     assert got == [1, 3]
+
+
+def test_asof_carries_legit_null_right_value(spark):
+    """A right row whose value is legitimately NULL must be carried
+    (DuckDB ASOF JOIN returns that row's NULL), not skipped in favor
+    of an older non-null value."""
+    from mspr2_back_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00", "x")], "k int, ts string, tag string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 5.0),
+         (1, "2024-01-01 11:00:00", None)],  # latest, NULL-valued
+        "k int, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = asof_join(left, right, "k", "ts", "v").collect()
+    assert len(rows) == 1 and rows[0].asof_value is None
+
+
+def test_salted_join_rejects_small_side_outer_modes(spark):
+    from mspr2_back_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("a", 1)], "k string, v int")
+    dim = spark.createDataFrame([("a", "A"), ("b", "B")], "k string, label string")
+    for how in ("right", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, dim, on=["k"], n_salt=4, how=how)
+    # left join keeps unmatched big rows exactly once
+    big2 = spark.createDataFrame([("a", 1), ("z", 2)], "k string, v int")
+    rows = salted_join(big2, dim, on=["k"], n_salt=4, how="left").collect()
+    assert sorted((r.k, r.label) for r in rows) == [("a", "A"), ("z", None)]
+
+
+def test_bucketed_range_join_non_hour_bucket(spark):
+    """bucket='2 hours' must align event buckets with window buckets
+    (regression: truncation used to be hardcoded to 1 hour)."""
+    from mspr2_back_spark.operators.rangejoin import bucketed_range_join
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00"),
+         (2, "2024-01-01 11:30:00"),
+         (3, "2024-01-01 13:30:00")],
+        "event_id int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    windows = spark.createDataFrame(
+        [(7, "2024-01-01 10:15:00", "2024-01-01 12:00:00")],
+        "window_id int, w_start string, w_end string",
+    ).withColumn("w_start", F.to_timestamp("w_start")).withColumn(
+        "w_end", F.to_timestamp("w_end")
+    )
+    for bucket in ("2 hours", "30 minutes", "1 day"):
+        got = bucketed_range_join(events, windows, ts="ts", bucket=bucket)
+        assert sorted(r.event_id for r in got.collect()) == [1, 2], bucket
