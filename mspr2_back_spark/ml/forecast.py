@@ -105,6 +105,112 @@ def predict_single(model, spark, features: dict[str, object]) -> float:
     return float(model.transform(row_df).select("prediction").first()[0])
 
 
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class NumpyLSTM:
+    """CPU forward pass of the reference's forecasting network — two
+    stacked LSTM(128) layers + a dense 1-unit head (ref
+    app/train_lstm_multipays (1).py:80-117 builds it; ref
+    app/routes/predict_france_with_model.py:39-47 serves it).
+
+    Weight layout matches ``torch.nn.LSTM``: per layer ``W_ih`` is
+    ``[4H, in]``, ``W_hh`` is ``[4H, H]``, biases ``[4H]``, gate order
+    (i, f, g, o) — so a state_dict exported from the reference's
+    ``.pth`` loads directly via :meth:`load_torch_state`. Absent real
+    weights (torch is not in this container), a seeded
+    uniform(-1/√H, 1/√H) init — torch's default — stands in, keeping
+    the whole path deterministic and testable.
+    """
+
+    def __init__(
+        self,
+        input_size: int = 1,
+        hidden_size: int = 128,
+        num_layers: int = 2,
+        seed: int = 7,
+    ):
+        rng = np.random.default_rng(seed)
+        self.hidden_size = hidden_size
+        self.layers: list[dict[str, np.ndarray]] = []
+        k = 1.0 / np.sqrt(hidden_size)
+        for layer in range(num_layers):
+            in_sz = input_size if layer == 0 else hidden_size
+            self.layers.append(
+                {
+                    "W_ih": rng.uniform(-k, k, (4 * hidden_size, in_sz)),
+                    "W_hh": rng.uniform(-k, k, (4 * hidden_size, hidden_size)),
+                    "b_ih": rng.uniform(-k, k, 4 * hidden_size),
+                    "b_hh": rng.uniform(-k, k, 4 * hidden_size),
+                }
+            )
+        self.W_fc = rng.uniform(-k, k, (1, hidden_size))
+        self.b_fc = rng.uniform(-k, k, 1)
+
+    def load_torch_state(self, state: dict[str, np.ndarray]) -> None:
+        """Load a torch state_dict (values as numpy arrays) with the
+        reference's parameter names: ``lstm.weight_ih_l{n}``,
+        ``lstm.weight_hh_l{n}``, ``lstm.bias_ih_l{n}``,
+        ``lstm.bias_hh_l{n}``, ``fc.weight``, ``fc.bias``."""
+        for n, layer in enumerate(self.layers):
+            layer["W_ih"] = np.asarray(state[f"lstm.weight_ih_l{n}"], dtype=np.float64)
+            layer["W_hh"] = np.asarray(state[f"lstm.weight_hh_l{n}"], dtype=np.float64)
+            layer["b_ih"] = np.asarray(state[f"lstm.bias_ih_l{n}"], dtype=np.float64)
+            layer["b_hh"] = np.asarray(state[f"lstm.bias_hh_l{n}"], dtype=np.float64)
+        self.W_fc = np.asarray(state["fc.weight"], dtype=np.float64)
+        self.b_fc = np.asarray(state["fc.bias"], dtype=np.float64)
+
+    def forward(self, seq: np.ndarray) -> float:
+        """One scaled input window ``(T,)`` → one scalar prediction
+        (the head reads the last timestep's top-layer hidden state,
+        as the reference does)."""
+        H = self.hidden_size
+        x = np.asarray(seq, dtype=np.float64).reshape(-1, 1)
+        for layer in self.layers:
+            h = np.zeros(H)
+            c = np.zeros(H)
+            outs = np.empty((x.shape[0], H))
+            for t in range(x.shape[0]):
+                gates = (
+                    layer["W_ih"] @ x[t]
+                    + layer["b_ih"]
+                    + layer["W_hh"] @ h
+                    + layer["b_hh"]
+                )
+                i = _sigmoid(gates[0:H])
+                f = _sigmoid(gates[H : 2 * H])
+                g = np.tanh(gates[2 * H : 3 * H])
+                o = _sigmoid(gates[3 * H : 4 * H])
+                c = f * c + i * g
+                h = o * np.tanh(c)
+                outs[t] = h
+            x = outs
+        return float(self.W_fc @ x[-1] + self.b_fc)
+
+
+def _fit_predict_lstm(
+    y: np.ndarray, lookback: int, horizon: int, model: NumpyLSTM | None = None
+) -> np.ndarray:
+    """Autoregressive multi-step forecast through the LSTM forward —
+    the reference's serving loop (predict_france_with_model.py:90-101):
+    min-max scale the history, feed the last ``lookback`` steps, append
+    each prediction, inverse-scale at the end. With torch absent the
+    network runs the seeded stand-in weights; the loop, scaling and
+    topology are the reference's."""
+    model = model or NumpyLSTM()
+    lo, hi = float(np.min(y)), float(np.max(y))
+    span = (hi - lo) or 1.0
+    scaled = (np.asarray(y, dtype=np.float64) - lo) / span
+    window = scaled[-min(lookback, len(scaled)) :].copy()
+    preds = []
+    for _ in range(horizon):
+        nxt = model.forward(window)
+        preds.append(nxt)
+        window = np.append(window[1:], nxt)
+    return np.array(preds) * span + lo
+
+
 def _fit_predict_ar(y: np.ndarray, lookback: int, horizon: int) -> np.ndarray:
     """Deterministic linear AR(lookback) forecast, fed back
     autoregressively — the reference's predict loop with the LSTM
@@ -134,13 +240,20 @@ def autoregressive_forecast(
     value_col: str = "value",
     lookback: int = 14,
     horizon: int = 7,
+    model: str = "ar",
 ) -> DataFrame:
     """Forecast `horizon` steps per group.
 
     Input: one row per (group, time) with a numeric value (prepare
     with a groupBy upstream). Output: (group, step, forecast_day,
     forecast_value). Sequential inside a group by nature of
-    autoregression; distributed across groups by applyInPandas."""
+    autoregression; distributed across groups by applyInPandas.
+
+    ``model``: 'ar' (closed-form linear AR, the fast default) or
+    'lstm' (the reference-topology NumpyLSTM forward)."""
+    if model not in ("ar", "lstm"):
+        raise ValueError(f"model must be 'ar' or 'lstm', got {model!r}")
+    predict = _fit_predict_ar if model == "ar" else _fit_predict_lstm
     schema = (
         f"{group_col} LONG, step INT, forecast_day DATE, forecast_value DOUBLE"
     )
@@ -149,7 +262,7 @@ def autoregressive_forecast(
         pdf = pdf.sort_values(time_col)
         y = pdf[value_col].to_numpy(dtype=np.float64)
         last_day = pd.Timestamp(pdf[time_col].iloc[-1])
-        preds = _fit_predict_ar(y, lookback, horizon)
+        preds = predict(y, lookback, horizon)
         return pd.DataFrame(
             {
                 group_col: pdf[group_col].iloc[0],

@@ -362,3 +362,61 @@ def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
     # Every null-view click truly has no view within the window.
     matched_clicks = {cid for cid, _ in expected_matched}
     assert not (unmatched & matched_clicks)
+
+
+class TestNumpyLSTM:
+    """M4 shape parity: the torch-absent path must still exercise the
+    reference's model topology (2×LSTM(128) + FC(1), ref
+    train_lstm_multipays (1).py:80-117)."""
+
+    def test_parameter_shapes_match_reference_topology(self):
+        import numpy as np
+
+        m = forecast.NumpyLSTM()
+        assert len(m.layers) == 2
+        assert m.layers[0]["W_ih"].shape == (4 * 128, 1)
+        assert m.layers[1]["W_ih"].shape == (4 * 128, 128)
+        for layer in m.layers:
+            assert layer["W_hh"].shape == (4 * 128, 128)
+            assert layer["b_ih"].shape == (4 * 128,)
+            assert layer["b_hh"].shape == (4 * 128,)
+        assert m.W_fc.shape == (1, 128)
+        out = m.forward(np.linspace(0, 1, 14))
+        assert isinstance(out, float) and out == out
+
+    def test_torch_state_dict_names_load(self):
+        import numpy as np
+
+        m = forecast.NumpyLSTM(hidden_size=4, num_layers=2)
+        rng = np.random.default_rng(0)
+        state = {}
+        for n in (0, 1):
+            in_sz = 1 if n == 0 else 4
+            state[f"lstm.weight_ih_l{n}"] = rng.normal(size=(16, in_sz))
+            state[f"lstm.weight_hh_l{n}"] = rng.normal(size=(16, 4))
+            state[f"lstm.bias_ih_l{n}"] = rng.normal(size=16)
+            state[f"lstm.bias_hh_l{n}"] = rng.normal(size=16)
+        state["fc.weight"] = rng.normal(size=(1, 4))
+        state["fc.bias"] = rng.normal(size=1)
+        m.load_torch_state(state)
+        assert (m.layers[1]["W_hh"] == state["lstm.weight_hh_l1"]).all()
+        a = m.forward([0.1, 0.5, 0.9])
+        assert a == m.forward([0.1, 0.5, 0.9])  # deterministic
+
+    def test_lstm_forecast_loop_contract(self):
+        import numpy as np
+
+        y = np.arange(30, dtype=np.float64)
+        preds = forecast._fit_predict_lstm(y, lookback=14, horizon=7)
+        assert preds.shape == (7,) and np.isfinite(preds).all()
+        # inverse scaling puts predictions back in data units
+        assert preds.min() > -30 and preds.max() < 60
+
+    def test_lstm_model_through_applyinpandas(self, spark, sf_dir):
+        series = forecast.daily_user_series(
+            load_table(spark, sf_dir, "events")
+        ).filter(F.col("user_id") < 5)
+        out = forecast.autoregressive_forecast(series, horizon=3, model="lstm")
+        rows = out.collect()
+        assert len(rows) == 5 * 3
+        assert all(r.forecast_value == r.forecast_value for r in rows)
