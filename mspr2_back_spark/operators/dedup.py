@@ -313,3 +313,155 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("bucket_size"), F.min(id_col).alias("min_doc_id"))
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_id_1",
+    b_col: str = "doc_id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    document in a pair gets the MINIMUM reachable doc id as its
+    cluster id — the canonical "keep one per duplicate cluster"
+    assignment (pairs alone under-merge: {a,b} and {b,c} are one
+    cluster even if (a,c) was never emitted).
+
+    Algorithm: minimum-label propagation to fixpoint. Each iteration
+    is one distributed join (labels onto edges) + one min-aggregate;
+    the driver only checks a convergence count per round, so state
+    stays on the executors. Converges in graph-diameter rounds —
+    near-dup clusters are shallow (stars/chains of a few hops), so
+    this beats the large-star/small-star alternation (which pays ~2x
+    the per-round joins to guarantee O(log n) rounds on adversarial
+    chains) on real dedup graphs. Iteration caps at ``max_iter`` and
+    raises if not converged, rather than returning a silently
+    under-merged clustering.
+
+    Output: one row per distinct node — (node, cluster) with
+    ``cluster = min(reachable ids)``.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "cluster")
+        )
+        # localCheckpoint truncates the logical plan each round:
+        # without it the union+join lineage nests per iteration and
+        # the plan grows exponentially (a 12-node chain alone blows
+        # past Spark's 2 GB plan-string cap around round 11). This is
+        # the standard iterative-algorithm pattern (GraphX does the
+        # same); on a cluster you'd use reliable checkpoints if
+        # executor loss matters mid-computation.
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"near_dup_clusters: no fixpoint after {max_iter} rounds "
+        "(pathological chain graph? raise max_iter)"
+    )
+
+
+def repeated_span_coverage(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Substring-level duplication signal per document: the fraction
+    of a document's distinct word-3-gram spans that also occur in at
+    least one OTHER document (suffix-array-style substring dedup,
+    approximated at fixed span width — the curation signal used to
+    drop boilerplate-heavy documents, complementing pairwise Jaccard
+    which only scores whole-document similarity).
+
+    Plan shape: one shingle explode, one document-frequency aggregate
+    over shingles (map-side partials; hot shingles are exactly the
+    interesting ones), one semi-join back. Shuffles carry (shingle,
+    count) and (doc, shingle) — never text.
+    """
+    ex = shingles_exploded(_spread(docs), id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    shared = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("shingle")
+    )
+    totals = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_spans"))
+    repeated = (
+        ex.join(shared, "shingle", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_repeated"))
+    )
+    return (
+        totals.join(repeated, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_spans",
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            F.round(
+                F.coalesce("n_repeated", F.lit(0)) / F.col("n_spans"), 6
+            ).alias("repeated_ratio"),
+        )
+    )
+
+
+def contamination_screen(
+    docs: DataFrame,
+    benchmark_pred,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination screen: for every candidate training
+    document, the fraction of its distinct word-3-gram spans that
+    appear in any document of a held-out benchmark set
+    (``benchmark_pred`` marks benchmark rows). Documents with any
+    overlap are reported — the pre-training hygiene check that a
+    training corpus doesn't contain the eval set.
+
+    Plan shape: the benchmark shingle set is a distinct projection
+    (small by construction — benchmarks are tiny next to the corpus)
+    joined as a semi-join build side; the corpus side is one explode +
+    count. At 100 TB the benchmark side broadcasts.
+    """
+    ex = shingles_exploded(_spread(docs), id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    bench_ids = docs.filter(benchmark_pred).select(F.col(id_col).alias("doc"))
+    bench_shingles = (
+        ex.join(bench_ids, "doc", "left_semi").select("shingle").distinct()
+    )
+    candidates = ex.join(bench_ids, "doc", "left_anti")
+    totals = candidates.groupBy("doc").agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (
+        candidates.join(bench_shingles, "shingle", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_spans",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_spans"), 6).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -45,6 +45,11 @@ _SWEEP_FIRST = [
     # plan or oracle changed this round
     "ann_ivf_topk",
     "dedup_embedding_cosine",
+    # new in round 2
+    "dedup_clusters",
+    "repeated_spans",
+    "contamination_screen",
+    "pii_scrub",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _SWEEP_FIRST if n in QUERIES},

@@ -234,3 +234,112 @@ FROM documents
 
 # multimodal_frames: intentionally no oracle — md5 over blob slices is
 # not expressible in the oracle dialect; the driver records rows-only.
+
+
+# --- round 2: corpus-curation additions ---------------------------------
+
+# Connected components via transitive closure (the oracle can afford
+# closure at sf scale; the engine runs label propagation instead).
+PIPELINE_ORACLE_SQL["dedup_clusters"] = (
+    "WITH RECURSIVE pairs AS (\n"
+    "  SELECT doc_id_1, doc_id_2 FROM (\n"
+    + PIPELINE_ORACLE_SQL["dedup_minhash_lsh"]
+    + "  )\n"
+    "),\n"
+    "edges AS (\n"
+    "  SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs\n"
+    "  UNION SELECT doc_id_2, doc_id_1 FROM pairs\n"
+    "),\n"
+    "reach AS (\n"
+    "  SELECT src, dst FROM edges\n"
+    "  UNION\n"
+    "  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src\n"
+    "),\n"
+    "lab AS (SELECT src AS node, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src)\n"
+    "SELECT node AS doc_id, cluster AS cluster_id,\n"
+    "       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size\n"
+    "FROM lab\n"
+)
+
+_EX_CTE = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM words
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+"""
+
+PIPELINE_ORACLE_SQL["repeated_spans"] = (
+    _EX_CTE
+    + """
+, shared AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 1),
+totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM ex GROUP BY doc_id),
+rep AS (
+  SELECT doc_id, COUNT(*) AS n_repeated FROM ex
+  WHERE s IN (SELECT s FROM shared) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans,
+       COALESCE(r.n_repeated, 0) AS n_repeated,
+       ROUND(CAST(COALESCE(r.n_repeated, 0) AS DOUBLE) / t.n_spans, 6)
+           AS repeated_ratio
+FROM totals t LEFT JOIN rep r USING (doc_id)
+"""
+)
+
+PIPELINE_ORACLE_SQL["contamination_screen"] = (
+    _EX_CTE
+    + """
+, bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0),
+cand AS (SELECT * FROM ex WHERE doc_id % 50 <> 0),
+totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM cand GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated FROM cand
+  WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans, h.n_contaminated,
+       ROUND(CAST(h.n_contaminated AS DOUBLE) / t.n_spans, 6) AS contamination
+FROM totals t JOIN hits h USING (doc_id)
+"""
+)
+
+# PII patterns: character-identical to functions/pii.py (the portable
+# Java-regex/RE2 subset); redaction order email -> phone -> ip and the
+# 'g' flag mirror Spark's replace-all semantics.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+_PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_REDACTED = (
+    "regexp_replace(regexp_replace(regexp_replace(text, '"
+    + _PII_EMAIL + "', '[EMAIL]', 'g'), '"
+    + _PII_PHONE + "', '[PHONE]', 'g'), '"
+    + _PII_IPV4 + "', '[IP]', 'g')"
+)
+
+PIPELINE_ORACLE_SQL["pii_scrub"] = (
+    """
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '""" + _PII_EMAIL + """')) AS n_email,
+       len(regexp_extract_all(text, '""" + _PII_PHONE + """')) AS n_phone,
+       len(regexp_extract_all(text, '""" + _PII_IPV4 + """')) AS n_ipv4,
+       md5(""" + _PII_REDACTED + """) AS redacted_hash,
+       length(""" + _PII_REDACTED + """) AS redacted_len
+FROM injected
+"""
+)

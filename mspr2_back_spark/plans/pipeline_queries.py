@@ -123,6 +123,83 @@ def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast.autoregressive_forecast(series, horizon=7)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components (min-label
+    propagation) over the MinHash-verified pair graph, plus each
+    cluster's size. The step after pair generation in any real dedup
+    pipeline — pairs alone under-merge transitive duplicates."""
+    from pyspark.sql import Window as W
+
+    pairs = dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), MINHASH_THRESHOLD
+    )
+    labels = dedup.near_dup_clusters(pairs)
+    size_w = W.partitionBy("cluster")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        F.count(F.lit(1)).over(size_w).alias("cluster_size"),
+    )
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: per-document fraction of word-
+    3-gram spans shared with any other document."""
+    return dedup.repeated_span_coverage(load_table(spark, sf_dir, "documents"))
+
+
+def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: training docs sharing any
+    word-3-gram span with the held-out set (doc_id % 50 == 0 stands
+    in as the benchmark membership predicate)."""
+    return dedup.contamination_screen(
+        load_table(spark, sf_dir, "documents"), F.col("doc_id") % 50 == 0
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact audit. The word-soup corpus carries no
+    natural PII, so deterministic synthetic PII (email/phone/IPv4
+    derived from doc_id, on disjoint modulo classes) is injected
+    before scrubbing — detection and redaction then have non-trivial,
+    oracle-checkable work on every third/fifth/seventh row."""
+    from mspr2_back_spark.functions.pii import scrub_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_documents(injected)
+
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -138,4 +215,8 @@ PIPELINE_QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
     "ml_forecast_ar": ml_forecast_ar,
+    "dedup_clusters": dedup_clusters,
+    "repeated_spans": repeated_spans,
+    "contamination_screen": contamination_screen,
+    "pii_scrub": pii_scrub,
 }

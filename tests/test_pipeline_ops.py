@@ -213,3 +213,70 @@ def test_repair_encoding_fallback_chain(spark):
     assert out[2] == "café crème"
     assert out[3] == "café"
     assert out[4] is None
+
+
+def test_near_dup_clusters_transitive_merge(spark):
+    """{a,b} + {b,c} must merge into one cluster labeled min(a,b,c),
+    and disjoint pairs must stay separate."""
+    from mspr2_back_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 9), (20, 21)], "doc_id_1 long, doc_id_2 long"
+    )
+    got = {r.node: r.cluster for r in near_dup_clusters(pairs).collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 20: 20, 21: 20}
+
+
+def test_near_dup_clusters_chain_converges(spark):
+    """A 12-node chain needs multi-round propagation (diameter > 1)."""
+    from mspr2_back_spark.operators.dedup import near_dup_clusters
+
+    chain = [(i, i + 1) for i in range(11)]
+    pairs = spark.createDataFrame(chain, "doc_id_1 long, doc_id_2 long")
+    got = {r.node: r.cluster for r in near_dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_pii_detect_and_redact_literals(spark):
+    from mspr2_back_spark.functions.pii import scrub_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@corp.example.org today"),
+            (2, "call +33 555-0199 or ping 192.168.0.7 now"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_documents(docs).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 0, 0)
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 1, 1)
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+    # redaction removes every detected span
+    from mspr2_back_spark.functions.pii import redact_pii
+    import pyspark.sql.functions as F
+
+    red = {r.doc_id: r.red for r in docs.select(
+        "doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert red[1] == "reach me at [EMAIL] today"
+    assert red[2] == "call [PHONE] or ping [IP] now"
+    assert red[3] == "no pii here at all"
+
+
+def test_repeated_span_and_contamination_bounds(spark, sf_dir):
+    """Ratios live in [0, 1]; contamination rows exclude the
+    benchmark docs themselves."""
+    from mspr2_back_spark.operators.dedup import (
+        contamination_screen,
+        repeated_span_coverage,
+    )
+    from mspr2_back_spark.sources.readers import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    rs = repeated_span_coverage(docs)
+    bad = rs.filter((F.col("repeated_ratio") < 0) | (F.col("repeated_ratio") > 1))
+    assert bad.count() == 0 and rs.count() == docs.count()
+    cs = contamination_screen(docs, F.col("doc_id") % 50 == 0)
+    assert cs.filter(F.col("doc_id") % 50 == 0).count() == 0
+    assert cs.filter((F.col("contamination") <= 0) | (F.col("contamination") > 1)).count() == 0

@@ -39,6 +39,10 @@ DUCKDB_ONLY = {
     "hot_shingles",  # list comprehension / unnest
     "pack_documents",  # list_filter
     "ann_ivf_topk",  # list(c ORDER BY d) aggregate, list_reduce distances
+    "dedup_clusters",  # WITH RECURSIVE transitive closure
+    "repeated_spans",  # list macros in the shingle CTE
+    "contamination_screen",  # list macros in the shingle CTE
+    "pii_scrub",  # regexp_replace 'g' flag, len(regexp_extract_all)
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
