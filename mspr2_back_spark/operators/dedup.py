@@ -379,6 +379,7 @@ def near_dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            edges.unpersist()
             return labels
     raise RuntimeError(
         f"near_dup_clusters: no fixpoint after {max_iter} rounds "
@@ -450,7 +451,7 @@ def contamination_screen(
     candidates = ex.join(bench_ids, "doc", "left_anti")
     totals = candidates.groupBy("doc").agg(F.count(F.lit(1)).alias("n_spans"))
     hits = (
-        candidates.join(bench_shingles, "shingle", "left_semi")
+        candidates.join(F.broadcast(bench_shingles), "shingle", "left_semi")
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
@@ -464,4 +465,50 @@ def contamination_screen(
                 "contamination"
             ),
         )
+    )
+
+
+def incremental_ngram_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs between an EXISTING corpus
+    and a NEW batch only — the shape of a daily ingest pipeline,
+    where re-scoring corpus×corpus every day would be quadratic
+    waste. Cost is |batch's shingles| joined against the corpus
+    inverted index: linear in the batch, not the corpus.
+
+    Output: (corpus doc, batch doc, jaccard) at or above threshold.
+    At scale the corpus index is a persisted/bucketed table keyed by
+    shingle, and each day's batch probes it.
+    """
+    old_ex = with_shingles(_spread(corpus), id_col).select(
+        F.col("doc").alias("old_doc"),
+        F.size("shingles").alias("n_old"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    new_ex = with_shingles(_spread(batch), id_col).select(
+        F.col("doc").alias("new_doc"),
+        F.size("shingles").alias("n_new"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    pairs = (
+        old_ex.join(new_ex, "shingle")
+        .groupBy("old_doc", "new_doc")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("n_old").alias("n1"),
+            F.first("n_new").alias("n2"),
+        )
+    )
+    jac = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    return (
+        pairs.select(
+            F.col("old_doc").alias("corpus_doc_id"),
+            F.col("new_doc").alias("batch_doc_id"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

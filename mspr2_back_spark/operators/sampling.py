@@ -52,3 +52,26 @@ def stratified_sample(
     """Per-stratum Bernoulli sample (``sampleBy``); strata absent from
     ``fractions`` are dropped — the rebalance-a-skewed-corpus shape."""
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def portable_hash_bucket(key, salt: str = "", buckets: int = 65536):
+    """Deterministic ENGINE-PORTABLE bucket in [0, buckets): the first
+    4 hex nibbles of md5(key || '|' || salt) — md5 is md5 everywhere,
+    so an external engine (or a SQL oracle) reproduces the exact
+    bucket with string functions alone. Use where reproducibility
+    must survive an engine swap; ``hash_sample``'s xxhash64 is faster
+    when it only has to survive reruns."""
+    hexes = F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + salt))), 1, 4)
+    return F.pmod(F.conv(hexes, 16, 10).cast("int"), F.lit(buckets))
+
+
+def mixture_sample(
+    df: DataFrame, rate_col, key_col: str, salt: str = "mix"
+) -> DataFrame:
+    """Domain-mixture (re)weighting: keep each row with probability
+    ``rate_col`` (any per-row expression, e.g. a per-source rate),
+    decided by the portable key hash — the deterministic version of
+    the per-domain sampling every corpus mixing recipe needs.
+    Scan-side filter: no shuffle, no driver state."""
+    bucket = portable_hash_bucket(F.col(key_col), salt)
+    return df.filter(bucket < (rate_col * 65536).cast("int"))

@@ -50,6 +50,9 @@ _SWEEP_FIRST = [
     "repeated_spans",
     "contamination_screen",
     "pii_scrub",
+    "dedup_incremental",
+    "source_mixture_sample",
+    "quality_filter",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _SWEEP_FIRST if n in QUERIES},

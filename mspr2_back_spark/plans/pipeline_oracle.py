@@ -343,3 +343,80 @@ SELECT doc_id,
 FROM injected
 """
 )
+
+
+PIPELINE_ORACLE_SQL["dedup_incremental"] = (
+    _WORDS_CTE
+    + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM words
+),
+exn AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS corpus_doc_id, b.doc_id AS batch_doc_id,
+         COUNT(*) AS shared, ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+  FROM exn a JOIN exn b
+    ON a.s = b.s AND a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7
+  GROUP BY 1, 2
+)
+SELECT corpus_doc_id, batch_doc_id, jaccard FROM (
+  SELECT corpus_doc_id, batch_doc_id,
+         CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
+  FROM pairs
+) WHERE jaccard >= {threshold}
+""".format(threshold=NGRAM_JACCARD_THRESHOLD)
+)
+
+# Engine-portable md5 bucket: first 4 hex nibbles of
+# md5(key || '|mix') — character-identical to
+# operators/sampling.py::portable_hash_bucket.
+_NIB = "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+_MD5_BUCKET = (
+    _NIB.format(i=1) + " * 4096 + " + _NIB.format(i=2) + " * 256 + "
+    + _NIB.format(i=3) + " * 16 + " + _NIB.format(i=4)
+)
+
+PIPELINE_ORACLE_SQL["source_mixture_sample"] = """
+WITH hashed AS (
+  SELECT source, md5(CAST(doc_id AS VARCHAR) || '|mix') AS h FROM documents
+),
+rated AS (
+  SELECT source, {bucket} AS bucket,
+         CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 1.0
+              WHEN CAST(substring(source, 4) AS INT) < 10 THEN 0.5
+              WHEN CAST(substring(source, 4) AS INT) < 15 THEN 0.25
+              ELSE 0.1 END AS rate
+  FROM hashed
+),
+kept AS (
+  SELECT source, COUNT(*) AS n_kept FROM rated
+  WHERE bucket < CAST(rate * 65536 AS INT) GROUP BY source
+),
+totals AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source)
+SELECT t.source, t.n_total,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / t.n_total, 6) AS kept_ratio
+FROM totals t LEFT JOIN kept k USING (source)
+""".format(bucket=_MD5_BUCKET)
+
+PIPELINE_ORACLE_SQL["quality_filter"] = (
+    "WITH q AS (SELECT * FROM (" + PIPELINE_ORACLE_SQL["text_quality"] + ")),\n"
+    "t AS (SELECT * FROM (" + PIPELINE_ORACLE_SQL["text_token_stats"] + ")),\n"
+    "l AS (SELECT * FROM (" + PIPELINE_ORACLE_SQL["text_lang_id"] + ")),\n"
+    "k AS (SELECT md5(text) AS ch, MIN(doc_id) AS keeper_id FROM documents GROUP BY 1),\n"
+    "h AS (SELECT doc_id, md5(text) AS ch FROM documents),\n"
+    "dup AS (SELECT h.doc_id, (h.doc_id <> k.keeper_id) AS is_dup FROM h JOIN k USING (ch))\n"
+    "SELECT q.doc_id, q.quality_score, t.n_ws_tokens,\n"
+    "       CASE WHEN dup.is_dup THEN 'duplicate'\n"
+    "            WHEN t.n_ws_tokens < 25 THEN 'too_short'\n"
+    "            WHEN t.n_ws_tokens > 90 THEN 'too_long'\n"
+    "            WHEN q.quality_score < 0.55 THEN 'low_quality'\n"
+    "            WHEN l.predicted_lang <> l.labeled_lang THEN 'lang_mismatch'\n"
+    "            ELSE 'keep' END AS verdict\n"
+    "FROM q JOIN t USING (doc_id) JOIN l USING (doc_id) JOIN dup USING (doc_id)\n"
+)

@@ -200,6 +200,81 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: near-dup pairs between the standing corpus
+    (doc_id % 10 != 7) and the new batch (doc_id % 10 == 7) only —
+    linear in the batch, never corpus x corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_ngram_pairs(
+        d.filter(F.col("doc_id") % 10 != 7),
+        d.filter(F.col("doc_id") % 10 == 7),
+        NGRAM_JACCARD_THRESHOLD,
+    )
+
+
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source keep rates (1.0 / 0.5 /
+    0.25 / 0.1 by source index band) applied via the engine-portable
+    md5 bucket, reported as per-source kept/total counts."""
+    from mspr2_back_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(idx < 5, F.lit(1.0))
+        .when(idx < 10, F.lit(0.5))
+        .when(idx < 15, F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    kept = mixture_sample(d, rate, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_total"), 6).alias(
+            "kept_ratio"
+        ),
+    )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict per document, fusing the pipeline
+    signals: exact-dup keeper status, token-count band, blended
+    quality score, language agreement. First failing rule wins (fixed
+    rule order — the filter ladder every corpus recipe runs)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_features(d).select("doc_id", "quality_score")
+    t = token_stats(d).select("doc_id", "n_ws_tokens")
+    lg = d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), predicted_lang().alias("pl")
+    )
+    keepers = dedup.exact_duplicates(d).select(
+        F.col("content_hash").alias("ch"), F.col("keeper_id")
+    )
+    hashed = d.select("doc_id", F.md5("text").alias("ch"))
+    dup = hashed.join(keepers, "ch").select(
+        "doc_id", (F.col("doc_id") != F.col("keeper_id")).alias("is_dup_loser")
+    )
+    verdict = (
+        F.when(F.col("is_dup_loser"), F.lit("duplicate"))
+        .when(F.col("n_ws_tokens") < 25, F.lit("too_short"))
+        .when(F.col("n_ws_tokens") > 90, F.lit("too_long"))
+        .when(F.col("quality_score") < 0.55, F.lit("low_quality"))
+        .when(F.col("pl") != F.col("labeled_lang"), F.lit("lang_mismatch"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        q.join(t, "doc_id")
+        .join(lg, "doc_id")
+        .join(dup, "doc_id")
+        .select("doc_id", "quality_score", "n_ws_tokens", verdict.alias("verdict"))
+    )
+
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -219,4 +294,7 @@ PIPELINE_QUERIES = {
     "repeated_spans": repeated_spans,
     "contamination_screen": contamination_screen,
     "pii_scrub": pii_scrub,
+    "dedup_incremental": dedup_incremental,
+    "source_mixture_sample": source_mixture_sample,
+    "quality_filter": quality_filter,
 }

@@ -43,6 +43,9 @@ DUCKDB_ONLY = {
     "repeated_spans",  # list macros in the shingle CTE
     "contamination_screen",  # list macros in the shingle CTE
     "pii_scrub",  # regexp_replace 'g' flag, len(regexp_extract_all)
+    "dedup_incremental",  # list macros in the shingle CTE
+    "source_mixture_sample",  # strpos nibble bucket (Spark side uses conv())
+    "quality_filter",  # composes list-macro CTEs
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
