@@ -343,3 +343,34 @@ def test_quality_filter_rule_order(spark):
     assert t[3] < 25  # too_short branch reachable
     q = {r.doc_id: r.quality_score for r in quality_features(docs).collect()}
     assert q[1] is not None
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_query_plan_shapes(spark, sf_dir):
+    """Pin the scale-critical plan properties of the round-2 queries:
+    no cartesian/nested-loop joins anywhere; pii_scrub stays a
+    zero-shuffle scan; pack_documents' only single-partition exchange
+    is the partition-count-sized offsets window."""
+    from mspr2_back_spark.plans import QUERIES
+
+    for name in (
+        "pii_scrub",
+        "contamination_screen",
+        "repeated_spans",
+        "source_mixture_sample",
+        "quality_filter",
+        "dedup_incremental",
+        "pack_documents",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    pii = _plan(QUERIES["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in pii  # pure per-row expressions
+
+    pack = _plan(QUERIES["pack_documents"](spark, sf_dir))
+    assert pack.count("Exchange SinglePartition") <= 1  # offsets only
