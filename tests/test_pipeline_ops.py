@@ -374,3 +374,32 @@ def test_new_query_plan_shapes(spark, sf_dir):
 
     pack = _plan(QUERIES["pack_documents"](spark, sf_dir))
     assert pack.count("Exchange SinglePartition") <= 1  # offsets only
+
+
+def test_pack_documents_partition_count_invariant(spark, sf_dir):
+    """The two-phase prefix sum must be bit-identical under different
+    shuffle partitioning — the property the round-1 global window got
+    for free and the distributed form must not lose."""
+    from mspr2_back_spark.plans.extensions import pack_documents
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, pack_documents(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, pack_documents(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0
+
+
+def test_cosine_pairs_block_size_invariant(spark, sf_dir):
+    """Block decomposition is an execution detail: any block_size
+    must produce the identical pair set."""
+    from mspr2_back_spark.operators.similarity import cosine_pairs
+    from mspr2_back_spark.sources.readers import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, cosine_pairs(vecs, 0.45, block_size=64).collect()))
+    b = sorted(map(tuple, cosine_pairs(vecs, 0.45, block_size=1024).collect()))
+    assert a == b and len(a) > 0

@@ -420,3 +420,52 @@ class TestNumpyLSTM:
         rows = out.collect()
         assert len(rows) == 5 * 3
         assert all(r.forecast_value == r.forecast_value for r in rows)
+
+
+def test_streaming_pii_scrub_matches_batch(spark, sf_dir, tmp_path):
+    """Batch/stream unification of the curation surface: the same
+    scrub_documents expressions run unchanged over readStream and
+    reproduce the batch scrub exactly (per-row expressions are
+    trivially streamable — this pins that no batch-only construct
+    sneaks into the scrubber)."""
+    from mspr2_back_spark.functions.pii import scrub_documents
+
+    src = load_table(spark, sf_dir, "documents")
+    stream_dir = str(tmp_path / "docs_stream")
+    src.write.mode("overwrite").parquet(stream_dir)
+
+    stream = spark.readStream.schema(src.schema).parquet(stream_dir)
+    scrubbed = scrub_documents(stream)
+    stream_events.run_to_memory(scrubbed, "pii_stream", mode="append")
+    got = {
+        r.doc_id: (r.n_email, r.n_phone, r.n_ipv4, r.redacted_hash)
+        for r in spark.table("pii_stream").collect()
+    }
+    expected = {
+        r.doc_id: (r.n_email, r.n_phone, r.n_ipv4, r.redacted_hash)
+        for r in scrub_documents(src).collect()
+    }
+    assert got == expected
+    shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The per-row half of quality_filter (token band + quality
+    score) streams unchanged; the corpus-dependent rules (dup,
+    language priors) stay in the batch layer by design."""
+    from mspr2_back_spark.functions.text import quality_features
+
+    src = load_table(spark, sf_dir, "documents")
+    stream_dir = str(tmp_path / "docs_stream_q")
+    src.write.mode("overwrite").parquet(stream_dir)
+
+    stream = spark.readStream.schema(src.schema).parquet(stream_dir)
+    gated = quality_features(stream).filter(F.col("quality_score") >= 0.55)
+    stream_events.run_to_memory(gated, "quality_stream", mode="append")
+    got = sorted(r.doc_id for r in spark.table("quality_stream").collect())
+    expected = sorted(
+        r.doc_id
+        for r in quality_features(src).filter(F.col("quality_score") >= 0.55).collect()
+    )
+    assert got == expected and len(got) > 0
+    shutil.rmtree(stream_dir, ignore_errors=True)
