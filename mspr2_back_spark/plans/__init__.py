@@ -53,6 +53,7 @@ _SWEEP_FIRST = [
     "dedup_incremental",
     "source_mixture_sample",
     "quality_filter",
+    "user_event_sequences",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _SWEEP_FIRST if n in QUERIES},

@@ -211,6 +211,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence materialization: each user's events as ONE
+    ordered row — the export shape sequence models train on (and the
+    batch twin of the streaming session state). One shuffle on the
+    group key; the sequence is assembled with sort_array(collect_list)
+    so the order is data-defined, not partition-defined. Serialized
+    as a delimited string (engine-portable; an array column would
+    pin the comparator to array formatting)."""
+    e = _t(spark, sf_dir, "events")
+    seq = F.expr(
+        "concat_ws('|', transform(sort_array(collect_list("
+        "struct(ts, event_id, event_type))), s -> s.event_type))"
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            seq.alias("event_type_seq"),
+        )
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type
     (``approx_count_distinct``, rsd 1%) next to the exact count.
@@ -688,6 +712,7 @@ EXTENSION_QUERIES = {
     "percentile_prices": percentile_prices,
     "sessionize_events": sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
+    "user_event_sequences": user_event_sequences,
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
     "events_in_windows": events_in_windows,

@@ -494,3 +494,15 @@ LIMIT 10
         "(x, y) -> x + y)"
     ),
 )
+
+
+EXTENSION_ORACLE_SQL["user_event_sequences"] = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       array_to_string(list(event_type ORDER BY ts, event_id), '|')
+           AS event_type_seq
+FROM events
+GROUP BY user_id
+"""

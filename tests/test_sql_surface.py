@@ -46,6 +46,7 @@ DUCKDB_ONLY = {
     "dedup_incremental",  # list macros in the shingle CTE
     "source_mixture_sample",  # strpos nibble bucket (Spark side uses conv())
     "quality_filter",  # composes list-macro CTEs
+    "user_event_sequences",  # list(x ORDER BY ...) aggregate
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
