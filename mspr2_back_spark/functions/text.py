@@ -63,6 +63,24 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def quality_score_col() -> Column:
+    """The blended quality score as a standalone column expression —
+    single source of truth for `quality_features` and any single-pass
+    consumer (e.g. the quality_filter verdict ladder)."""
+    n_words = F.expr(f"size({WORDS})")
+    n_stop = F.expr(_marker_hits("en"))
+    n_distinct = F.expr(f"size(array_distinct({WORDS}))")
+    denom = F.nullif(n_words, F.lit(0))
+    stop_ratio = n_stop.cast("double") / denom
+    ttr = n_distinct.cast("double") / denom
+    return F.round(
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
+        + ttr * 0.3,
+        6,
+    )
+
+
 def quality_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Quality-scoring features: length, mean word length, stopword
     ratio, type-token ratio, and a blended quality score.
@@ -79,12 +97,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     avg_word_len = (n_chars - (n_words - 1)).cast("double") / denom
     stop_ratio = n_stop.cast("double") / denom
     ttr = n_distinct.cast("double") / denom
-    score = F.round(
-        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
-        + ttr * 0.3,
-        6,
-    )
+    score = quality_score_col()
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),

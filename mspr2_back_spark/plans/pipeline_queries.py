@@ -245,32 +245,38 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals: exact-dup keeper status, token-count band, blended
     quality score, language agreement. First failing rule wins (fixed
     rule order — the filter ladder every corpus recipe runs)."""
+    from mspr2_back_spark.functions.text import WORDS, quality_score_col
+
     d = load_table(spark, sf_dir, "documents")
-    q = quality_features(d).select("doc_id", "quality_score")
-    t = token_stats(d).select("doc_id", "n_ws_tokens")
-    lg = d.select(
-        "doc_id", F.col("lang").alias("labeled_lang"), predicted_lang().alias("pl")
+    # Single-pass: every per-row signal (tokens, score, language,
+    # content hash) computed in ONE projection of one scan — the
+    # join-per-signal formulation reads the corpus once per signal,
+    # which is 4 extra scans at 100 TB for zero benefit.
+    signals = d.select(
+        "doc_id",
+        F.expr(f"size({WORDS})").alias("n_ws_tokens"),
+        quality_score_col().alias("quality_score"),
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang().alias("pl"),
+        F.md5("text").alias("ch"),
     )
-    keepers = dedup.exact_duplicates(d).select(
-        F.col("content_hash").alias("ch"), F.col("keeper_id")
-    )
-    hashed = d.select("doc_id", F.md5("text").alias("ch"))
-    dup = hashed.join(keepers, "ch").select(
-        "doc_id", (F.col("doc_id") != F.col("keeper_id")).alias("is_dup_loser")
+    from pyspark.sql import Window as W
+
+    # Dup-keeper via a window on the content hash: one exchange on ch
+    # instead of a second corpus scan + groupBy + join.
+    with_keeper = signals.withColumn(
+        "keeper_id", F.min("doc_id").over(W.partitionBy("ch"))
     )
     verdict = (
-        F.when(F.col("is_dup_loser"), F.lit("duplicate"))
+        F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("duplicate"))
         .when(F.col("n_ws_tokens") < 25, F.lit("too_short"))
         .when(F.col("n_ws_tokens") > 90, F.lit("too_long"))
         .when(F.col("quality_score") < 0.55, F.lit("low_quality"))
         .when(F.col("pl") != F.col("labeled_lang"), F.lit("lang_mismatch"))
         .otherwise(F.lit("keep"))
     )
-    return (
-        q.join(t, "doc_id")
-        .join(lg, "doc_id")
-        .join(dup, "doc_id")
-        .select("doc_id", "quality_score", "n_ws_tokens", verdict.alias("verdict"))
+    return with_keeper.select(
+        "doc_id", "quality_score", "n_ws_tokens", verdict.alias("verdict")
     )
 
 
