@@ -186,7 +186,20 @@ class NumpyLSTM:
                 h = o * np.tanh(c)
                 outs[t] = h
             x = outs
-        return float(self.W_fc @ x[-1] + self.b_fc)
+        return (self.W_fc @ x[-1] + self.b_fc).item()
+
+
+_DEFAULT_LSTM: NumpyLSTM | None = None
+
+
+def _default_lstm() -> NumpyLSTM:
+    """Shared seeded stand-in weights — building a fresh model per
+    applyInPandas group would regenerate identical ~2.5 MB weights
+    once per group."""
+    global _DEFAULT_LSTM
+    if _DEFAULT_LSTM is None:
+        _DEFAULT_LSTM = NumpyLSTM()
+    return _DEFAULT_LSTM
 
 
 def _fit_predict_lstm(
@@ -198,7 +211,7 @@ def _fit_predict_lstm(
     each prediction, inverse-scale at the end. With torch absent the
     network runs the seeded stand-in weights; the loop, scaling and
     topology are the reference's."""
-    model = model or NumpyLSTM()
+    model = model or _default_lstm()
     lo, hi = float(np.min(y)), float(np.max(y))
     span = (hi - lo) or 1.0
     scaled = (np.asarray(y, dtype=np.float64) - lo) / span

@@ -351,40 +351,46 @@ def near_dup_clusters(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "cluster")
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "cluster")
+            )
+            # localCheckpoint truncates the logical plan each round:
+            # without it the union+join lineage nests per iteration
+            # and the plan grows exponentially (a 12-node chain alone
+            # blows past Spark's 2 GB plan-string cap around round
+            # 11). This is the standard iterative-algorithm pattern
+            # (GraphX does the same); on a cluster you'd use reliable
+            # checkpoints if executor loss matters mid-computation.
+            new_labels = (
+                labels.unionByName(neighbor_min)
+                .groupBy("node")
+                .agg(F.min("cluster").alias("cluster"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.cluster") != F.col("o.cluster"))
+                .count()
+            )
+            # The superseded round's checkpointed blocks are dead the
+            # moment the convergence check is done — release them, or
+            # a long run pins one full label set per round.
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"near_dup_clusters: no fixpoint after {max_iter} rounds "
+            "(pathological chain graph? raise max_iter)"
         )
-        # localCheckpoint truncates the logical plan each round:
-        # without it the union+join lineage nests per iteration and
-        # the plan grows exponentially (a 12-node chain alone blows
-        # past Spark's 2 GB plan-string cap around round 11). This is
-        # the standard iterative-algorithm pattern (GraphX does the
-        # same); on a cluster you'd use reliable checkpoints if
-        # executor loss matters mid-computation.
-        new_labels = (
-            labels.unionByName(neighbor_min)
-            .groupBy("node")
-            .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    raise RuntimeError(
-        f"near_dup_clusters: no fixpoint after {max_iter} rounds "
-        "(pathological chain graph? raise max_iter)"
-    )
+    finally:
+        edges.unpersist()
 
 
 def repeated_span_coverage(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

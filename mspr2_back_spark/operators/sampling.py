@@ -74,4 +74,7 @@ def mixture_sample(
     the per-domain sampling every corpus mixing recipe needs.
     Scan-side filter: no shuffle, no driver state."""
     bucket = portable_hash_bucket(F.col(key_col), salt)
-    return df.filter(bucket < (rate_col * 65536).cast("int"))
+    # floor() explicitly: a bare int cast truncates in Spark but
+    # ROUNDS in some engines' CAST (DuckDB), so non-dyadic rates
+    # (0.1 * 65536 = 6553.6) would disagree on boundary buckets.
+    return df.filter(bucket < F.floor(rate_col * 65536).cast("int"))

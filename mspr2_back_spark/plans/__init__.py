@@ -55,8 +55,10 @@ _SWEEP_FIRST = [
     "quality_filter",
     "user_event_sequences",
 ]
+_missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
+assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"
 QUERIES = {
-    **{n: QUERIES[n] for n in _SWEEP_FIRST if n in QUERIES},
+    **{n: QUERIES[n] for n in _SWEEP_FIRST},
     **QUERIES,
 }
 

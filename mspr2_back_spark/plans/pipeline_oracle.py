@@ -395,7 +395,7 @@ rated AS (
 ),
 kept AS (
   SELECT source, COUNT(*) AS n_kept FROM rated
-  WHERE bucket < CAST(rate * 65536 AS INT) GROUP BY source
+  WHERE bucket < CAST(FLOOR(rate * 65536) AS INT) GROUP BY source
 ),
 totals AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source)
 SELECT t.source, t.n_total,

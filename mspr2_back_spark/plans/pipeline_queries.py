@@ -240,14 +240,12 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_filter_frame(d: DataFrame) -> DataFrame:
     """End-to-end curation verdict per document, fusing the pipeline
     signals: exact-dup keeper status, token-count band, blended
     quality score, language agreement. First failing rule wins (fixed
     rule order — the filter ladder every corpus recipe runs)."""
     from mspr2_back_spark.functions.text import WORDS, quality_score_col
-
-    d = load_table(spark, sf_dir, "documents")
     # Single-pass: every per-row signal (tokens, score, language,
     # content hash) computed in ONE projection of one scan — the
     # join-per-signal formulation reads the corpus once per signal,
@@ -278,6 +276,11 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_keeper.select(
         "doc_id", "quality_score", "n_ws_tokens", verdict.alias("verdict")
     )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated wrapper over :func:`quality_filter_frame`."""
+    return quality_filter_frame(load_table(spark, sf_dir, "documents"))
 
 
 

@@ -324,25 +324,33 @@ def test_incremental_pairs_match_full_pairs_restriction(spark, sf_dir):
 
 
 def test_quality_filter_rule_order(spark):
-    """duplicate outranks too_short outranks low_quality; keep only
-    when every rule passes."""
-    from mspr2_back_spark.plans.pipeline_queries import quality_filter  # noqa: F401
-    # rule ladder tested via literal docs through the same operators
-    from mspr2_back_spark.functions.text import quality_features, token_stats
+    """The verdict ladder itself, on literal docs: duplicate outranks
+    too_short (doc 4 is BOTH a dup loser and short -> 'duplicate'),
+    the keeper of a dup pair is judged by the remaining rules, and a
+    doc passing everything is 'keep'."""
+    from mspr2_back_spark.plans.pipeline_queries import quality_filter_frame
 
     good = " ".join(["the quick brown fox jumps over a lazy dog and"] * 5)  # 50 words
     docs = spark.createDataFrame(
-        [(1, good, "en"), (2, good, "en"), (3, "tiny doc", "en")],
+        [
+            (1, good, "en"),        # keeper of the dup pair -> judged on merits
+            (2, good, "en"),        # dup loser -> 'duplicate'
+            (3, "tiny doc", "en"),  # short, unique -> 'too_short'
+            (4, "tiny doc", "en"),  # short AND dup loser -> 'duplicate' wins
+            (5, good, "fr"),        # mislabeled lang, same text? no — unique text:
+        ],
         "doc_id long, text string, lang string",
     )
-    from mspr2_back_spark.operators.dedup import exact_duplicates
-
-    k = {r.content_hash: r.keeper_id for r in exact_duplicates(docs).collect()}
-    assert len(k) == 2  # docs 1 and 2 collide
-    t = {r.doc_id: r.n_ws_tokens for r in token_stats(docs).collect()}
-    assert t[3] < 25  # too_short branch reachable
-    q = {r.doc_id: r.quality_score for r in quality_features(docs).collect()}
-    assert q[1] is not None
+    # make doc 5 unique text but lang-mismatched (predicted en, labeled fr)
+    docs = docs.replace(good, good + " extra", subset=["text"]).filter("doc_id = 5").union(
+        docs.filter("doc_id != 5")
+    )
+    out = {r.doc_id: r.verdict for r in quality_filter_frame(docs).collect()}
+    assert out[2] == "duplicate"
+    assert out[4] == "duplicate"  # dup rule outranks too_short
+    assert out[3] == "too_short"
+    assert out[5] == "lang_mismatch"
+    assert out[1] in ("keep", "low_quality")  # keeper judged on merits, not dup
 
 
 def _plan(df) -> str:
