@@ -234,3 +234,38 @@ def run_to_memory(stream_df: DataFrame, table_name: str, mode: str = "update") -
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_gate_against_corpus(
+    doc_stream: DataFrame, corpus_fingerprints: DataFrame
+) -> DataFrame:
+    """Stream-static ingest gate: each arriving document's SimHash is
+    checked against the STANDING corpus's fingerprint set — the
+    streaming half of incremental dedup (operators/dedup.py's
+    ``incremental_ngram_pairs`` is the batch half).
+
+    This is a stream-static join: the static side is re-read per
+    micro-batch (picking up corpus compactions), needs no watermark,
+    and keeps zero join state — the execution mode Structured
+    Streaming reserves for exactly this reference-data shape. At
+    scale the static side is a bucketed fingerprint table so the join
+    is hash-local.
+
+    Output: (doc_id, simhash, matches_corpus) — ``matches_corpus``
+    counts standing documents with the identical fingerprint (0 ⇒
+    novel content bucket).
+    """
+    from mspr2_back_spark.operators.dedup import simhash_fingerprints
+
+    stream_fp = simhash_fingerprints(doc_stream)
+    corpus_counts = corpus_fingerprints.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("matches_corpus")
+    )
+    return (
+        stream_fp.join(corpus_counts, "simhash", "left")
+        .select(
+            "doc_id",
+            "simhash",
+            F.coalesce("matches_corpus", F.lit(0)).alias("matches_corpus"),
+        )
+    )

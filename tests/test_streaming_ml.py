@@ -469,3 +469,52 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got == expected and len(got) > 0
     shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_stream_static_dedup_gate(spark, sf_dir, tmp_path):
+    """Stream-static join: streaming docs gated against the standing
+    corpus's SimHash set must match the batch computation of the same
+    gate, and corpus-matching docs must be flagged."""
+    from mspr2_back_spark.operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    stream_dir = str(tmp_path / "gate_stream")
+    batch.write.mode("overwrite").parquet(stream_dir)
+
+    corpus_fp = simhash_fingerprints(corpus)
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    gated = stream_events.dedup_gate_against_corpus(stream, corpus_fp)
+    stream_events.run_to_memory(gated, "gate_stream_out", mode="append")
+    got = {
+        r.doc_id: (r.simhash, r.matches_corpus)
+        for r in spark.table("gate_stream_out").collect()
+    }
+    expected = {
+        r.doc_id: (r.simhash, r.matches_corpus)
+        for r in stream_events.dedup_gate_against_corpus(batch, corpus_fp).collect()
+    }
+    assert got == expected and len(got) == batch.count()
+    assert any(v[1] > 0 for v in got.values())  # near-dups hit the corpus
+    shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_degenerate_inputs_do_not_crash(spark):
+    """ANSI-mode hardening: empty corpus and empty-text docs flow
+    through the curation operators without division or NPE errors."""
+    from mspr2_back_spark.functions.pii import scrub_documents
+    from mspr2_back_spark.functions.text import quality_features
+    from mspr2_back_spark.operators.dedup import repeated_span_coverage
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert scrub_documents(empty).count() == 0
+    assert repeated_span_coverage(empty).count() == 0
+
+    degenerate = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one")], "doc_id long, text string"
+    )
+    rows = quality_features(degenerate).collect()
+    assert len(rows) == 3  # empty/null text -> null ratios, no x/0 error
+    scrubbed = scrub_documents(degenerate.fillna({"text": ""})).collect()
+    assert len(scrubbed) == 3
