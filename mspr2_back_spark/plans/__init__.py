@@ -54,6 +54,7 @@ _SWEEP_FIRST = [
     "source_mixture_sample",
     "quality_filter",
     "user_event_sequences",
+    "dedup_gate",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

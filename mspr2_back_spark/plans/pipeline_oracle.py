@@ -420,3 +420,29 @@ PIPELINE_ORACLE_SQL["quality_filter"] = (
     "            ELSE 'keep' END AS verdict\n"
     "FROM q JOIN t USING (doc_id) JOIN l USING (doc_id) JOIN dup USING (doc_id)\n"
 )
+
+_SIMHASH_SQL = (
+    _WORDS_CTE
+    + """
+, dwords AS (SELECT doc_id, list_distinct(w) AS dw FROM words)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0, 15),
+            i -> CASE WHEN {bitsum} > 0 THEN 1 << i ELSE 0 END)) AS INT) AS simhash
+FROM dwords
+""".format(bitsum=_SIMHASH_BITSUM)
+)
+
+PIPELINE_ORACLE_SQL["dedup_gate"] = (
+    "WITH fp AS (SELECT * FROM ("
+    + _SIMHASH_SQL
+    + """))
+, corpus AS (
+  SELECT simhash, COUNT(*) AS matches_corpus FROM fp
+  WHERE doc_id % 2 = 0 GROUP BY simhash
+)
+SELECT b.doc_id, b.simhash,
+       COALESCE(c.matches_corpus, 0) AS matches_corpus
+FROM fp b LEFT JOIN corpus c USING (simhash)
+WHERE b.doc_id % 2 = 1
+"""
+)

@@ -284,6 +284,19 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming ingest gate
+    (streaming/events.py::dedup_gate_against_corpus): odd-id docs
+    (the "arriving batch") SimHash-checked against the even-id
+    standing corpus. Same function both modes — the stream-static
+    join's static side is this corpus fingerprint set."""
+    from mspr2_back_spark.streaming.events import dedup_gate_against_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_fp = dedup.simhash_fingerprints(d.filter(F.col("doc_id") % 2 == 0))
+    return dedup_gate_against_corpus(d.filter(F.col("doc_id") % 2 == 1), corpus_fp)
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -306,4 +319,5 @@ PIPELINE_QUERIES = {
     "dedup_incremental": dedup_incremental,
     "source_mixture_sample": source_mixture_sample,
     "quality_filter": quality_filter,
+    "dedup_gate": dedup_gate,
 }

@@ -47,6 +47,7 @@ DUCKDB_ONLY = {
     "source_mixture_sample",  # strpos nibble bucket (Spark side uses conv())
     "quality_filter",  # composes list-macro CTEs
     "user_event_sequences",  # list(x ORDER BY ...) aggregate
+    "dedup_gate",  # list macros in the simhash CTE
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
