@@ -446,3 +446,26 @@ FROM fp b LEFT JOIN corpus c USING (simhash)
 WHERE b.doc_id % 2 = 1
 """
 )
+
+
+# Frame sampling: byte-offset arithmetic mirrored in SQL. This build
+# of the oracle engine has no BLOB substring/md5, so the slice is
+# taken on the VARCHAR — byte-identical to the Spark side because the
+# corpus is pure ASCII (octet_length == length; asserted by the
+# parity run itself: any multibyte text would hash-diverge loudly).
+PIPELINE_ORACLE_SQL["multimodal_frames"] = """
+WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+idx AS (SELECT unnest(generate_series(0, 3)) AS frame_idx),
+framed AS (
+  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(LEAST(frame_idx * GREATEST(n // 4, 1),
+                    GREATEST(n - 1, 0)) AS INT) AS frame_offset,
+         CAST(GREATEST(n // 4, 1) AS INT) AS step
+  FROM f, idx
+)
+SELECT fr.doc_id, fr.frame_idx, fr.frame_offset,
+       md5(substring(f.text, fr.frame_offset + 1, fr.step)) AS frame_hash
+FROM framed fr JOIN f ON fr.doc_id = f.doc_id
+"""

@@ -108,8 +108,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (no SQL oracle: md5-of-blob-slice is
-    not expressible in the oracle dialect; driver checks rows-only)."""
+    """Frame-sampling plumbing. Oracle-checked as of round 2: the
+    byte-offset arithmetic and chunk hashes are mirrored in SQL
+    (ASCII corpus makes VARCHAR slicing byte-exact)."""
     return multimodal.sample_frames(load_table(spark, sf_dir, "documents"))
 
 

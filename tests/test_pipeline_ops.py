@@ -11,7 +11,7 @@ from mspr2_back_spark.sources.readers import load_table
 
 def test_no_oracle_queries_still_run(spark, sf_dir):
     missing = sorted(k for k in QUERIES if k not in ORACLE_SQL)
-    assert missing == ["approx_distinct_users", "ml_forecast_ar", "multimodal_frames"], missing
+    assert missing == ["approx_distinct_users", "ml_forecast_ar"], missing
     for name in missing:
         df = QUERIES[name](spark, sf_dir)
         assert df.count() > 0

@@ -48,6 +48,7 @@ DUCKDB_ONLY = {
     "quality_filter",  # composes list-macro CTEs
     "user_event_sequences",  # list(x ORDER BY ...) aggregate
     "dedup_gate",  # list macros in the simhash CTE
+    "multimodal_frames",  # unnest(generate_series) frame index table
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
