@@ -1,0 +1,96 @@
+"""Exact distributed quantiles via binned refinement.
+
+The straightforward exact form (rank window per group, see
+plans/extensions.py::percentile_prices) is correct but its shuffle
+key is the GROUP: with a handful of groups, a 100 TB input funnels
+through a handful of sort tasks. This module computes the SAME exact
+discrete quantile (k-th smallest, k = ceil(p·n)) in two distributed
+phases:
+
+1. **Bin pass** — rows are bucketed into fixed-width value bins;
+   (group, bin) counts + a running count over the (small) bin
+   relation locate, for each target rank k, the single bin holding
+   the k-th value and how many values precede that bin.
+2. **Refine pass** — only the rows of the located bins are ranked
+   (per (group, percentile) — each a bin-sized sort, thousands of
+   times smaller than the group), and the (k - preceding)-th smallest
+   within the bin is the exact answer.
+
+Shuffles carry (group, bin) counts and bin-sized row subsets — never
+a full per-group sort. Results are bit-identical to the rank-window
+form (same discrete definition), which is what lets the two share an
+oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def binned_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[float] = (0.25, 0.50, 0.75),
+    bin_width: float = 50_000.0,
+) -> DataFrame:
+    """Exact discrete quantiles per group, one output column per p
+    (``p25``/``p50``/``p75`` style), plus ``n_orders`` — matching the
+    rank-window formulation's output bit-for-bit."""
+    binned = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.floor(F.col(value_col) / bin_width).cast("long").alias("bin"),
+    )
+    counts = binned.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    bin_counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    cum_w = W.partitionBy("grp").orderBy("bin")
+    cum = bin_counts.select(
+        "grp",
+        "bin",
+        (F.sum("c").over(cum_w) - F.col("c")).alias("preceding"),
+        F.sum("c").over(cum_w).alias("cum"),
+    )
+
+    picks = None
+    for p in ps:
+        # k-th smallest lives in the first bin whose running count
+        # reaches k; min(struct) keeps the whole row of that bin.
+        k = F.ceil(F.lit(p) * F.col("n"))
+        target = (
+            cum.join(F.broadcast(counts), "grp")
+            .filter(F.col("cum") >= k)
+            .groupBy("grp")
+            .agg(F.min(F.struct("bin", "preceding")).alias("t"))
+            .select(
+                "grp",
+                F.lit(float(p)).alias("p"),
+                F.col("t.bin").alias("bin"),
+                F.col("t.preceding").alias("preceding"),
+            )
+        )
+        picks = target if picks is None else picks.unionByName(target)
+
+    # Refine: rank only the rows of located bins. The join fans each
+    # row out once per percentile that lands in its bin (≤ len(ps)).
+    in_bins = binned.join(picks, ["grp", "bin"])
+    rank_w = W.partitionBy("grp", "p").orderBy("v")
+    k_in_bin = (
+        F.ceil(F.col("p") * F.col("n")).cast("long") - F.col("preceding")
+    )
+    picked = (
+        in_bins.join(F.broadcast(counts), "grp")
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == k_in_bin)
+        .select("grp", "p", "v")
+    )
+    wide = picked.groupBy("grp").pivot("p", [float(p) for p in ps]).agg(F.first("v"))
+    renamed = wide.select(
+        F.col("grp"),
+        # backticks: the pivot names contain a dot ("0.25")
+        *[F.col(f"`{float(p)}`").alias(f"p{int(p * 100)}") for p in ps],
+    )
+    return renamed.join(counts.withColumnRenamed("n", "n_orders"), "grp")

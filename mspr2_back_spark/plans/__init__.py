@@ -55,6 +55,7 @@ _SWEEP_FIRST = [
     "quality_filter",
     "user_event_sequences",
     "dedup_gate",
+    "percentile_prices_refined",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

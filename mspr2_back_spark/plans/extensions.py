@@ -123,6 +123,21 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def percentile_prices_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact discrete quantiles as percentile_prices, via the
+    scale path: binned two-phase refinement
+    (operators/quantiles.py::binned_quantiles). The rank-window form
+    shuffles every row to one task per group (5 groups ⇒ 5 sort tasks
+    at any scale); this one shuffles (group, bin) counts and bin-sized
+    row subsets. Shares percentile_prices' oracle — bit-identical
+    output is the point."""
+    from mspr2_back_spark.operators.quantiles import binned_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    out = binned_quantiles(o, "o_orderpriority", "o_totalprice")
+    return out.withColumnRenamed("grp", "o_orderpriority")
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a >30-minute silence starts a new
     session. Classic lag-flag-cumsum formulation — one shuffle on
@@ -713,6 +728,7 @@ EXTENSION_QUERIES = {
     "sessionize_events": sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
     "user_event_sequences": user_event_sequences,
+    "percentile_prices_refined": percentile_prices_refined,
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
     "events_in_windows": events_in_windows,

@@ -506,3 +506,10 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+# Same oracle as percentile_prices: the refined (binned two-phase)
+# plan must produce the identical exact discrete quantiles.
+EXTENSION_ORACLE_SQL["percentile_prices_refined"] = EXTENSION_ORACLE_SQL[
+    "percentile_prices"
+]

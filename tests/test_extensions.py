@@ -302,3 +302,24 @@ def test_bucketed_range_join_non_hour_bucket(spark):
     for bucket in ("2 hours", "30 minutes", "1 day"):
         got = bucketed_range_join(events, windows, ts="ts", bucket=bucket)
         assert sorted(r.event_id for r in got.collect()) == [1, 2], bucket
+
+
+def test_refined_percentiles_equal_rank_window_form(spark, sf_dir):
+    """The binned two-phase quantile must be bit-identical to the
+    rank-window form on every group — same discrete definition,
+    different (scale-safe) plan."""
+    from mspr2_back_spark.plans.extensions import (
+        percentile_prices,
+        percentile_prices_refined,
+    )
+
+    a = sorted(map(tuple, percentile_prices(spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            percentile_prices_refined(spark, sf_dir)
+            .select("o_orderpriority", "p25", "p50", "p75", "n_orders")
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0
