@@ -129,3 +129,68 @@ def test_exact_dedup_partitions_corpus(spark, texts):
     groups = exact_duplicates(df).collect()
     assert sum(g.n_copies for g in groups) == len(texts)
     assert len(groups) == len(set(texts))
+
+
+# As-of join vs pandas merge_asof: independent reference semantics.
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # key
+        st.integers(min_value=0, max_value=500),      # minute offset
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(left_rows=_asof_rows, right_rows=_asof_rows, values=st.data())
+@_settings
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, values):
+    """asof_join (union + ordered-carry composition) must agree with
+    pandas merge_asof(direction='backward') under the tolerance shift
+    right.ts + tol <= left.ts, including NULL right values (carried,
+    not skipped) and the unique-(key, ts) precondition."""
+    import pandas as pd
+
+    from mspr2_back_spark.operators.asof import asof_join
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    left_pd = pd.DataFrame(
+        {
+            "k": [k for k, _ in left_rows],
+            "ts": [base + pd.Timedelta(minutes=m) for _, m in left_rows],
+        }
+    ).drop_duplicates(["k", "ts"])
+    right_unique = {(k, m) for k, m in right_rows}
+    right_pd = pd.DataFrame(
+        {
+            "k": [k for k, _ in sorted(right_unique)],
+            "ts": [base + pd.Timedelta(minutes=m) for _, m in sorted(right_unique)],
+            "v": [
+                values.draw(st.one_of(st.none(), st.floats(0, 100, allow_nan=False)))
+                for _ in right_unique
+            ],
+        }
+    )
+    tol = pd.Timedelta(minutes=10)
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd, "k long, ts timestamp, v double")
+    got = {
+        (r.k, pd.Timestamp(r.ts)): r.asof_value
+        for r in asof_join(left, right, "k", "ts", "v", "10 minutes").collect()
+    }
+
+    shifted = right_pd.assign(ts=right_pd["ts"] + tol).sort_values(["ts", "k"])
+    expected_df = pd.merge_asof(
+        left_pd.sort_values(["ts", "k"]),
+        shifted,
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    expected = {
+        (r.k, pd.Timestamp(r.ts)): (None if pd.isna(r.v) else r.v)
+        for r in expected_df.itertuples()
+    }
+    assert got == expected
