@@ -378,10 +378,11 @@ def near_dup_clusters(
                 .filter(F.col("n.cluster") != F.col("o.cluster"))
                 .count()
             )
-            # The superseded round's checkpointed blocks are dead the
-            # moment the convergence check is done — release them, or
-            # a long run pins one full label set per round.
-            labels.unpersist()
+            # Dropping the reference is the release: DataFrame
+            # .unpersist() is a no-op on localCheckpoint-backed frames
+            # (their blocks live outside the cache manager); the
+            # superseded RDD is collected by the ContextCleaner once
+            # unreferenced.
             labels = new_labels
             if changed == 0:
                 return labels

@@ -16,16 +16,24 @@ phases:
    times smaller than the group), and the (k - preceding)-th smallest
    within the bin is the exact answer.
 
-Shuffles carry (group, bin) counts and bin-sized row subsets — never
-a full per-group sort. Results are bit-identical to the rank-window
-form (same discrete definition), which is what lets the two share an
-oracle.
+The corpus is scanned exactly twice (bin pass + refine pass); the
+per-percentile work happens on the persisted (group, bin) count
+relation, which is bins-sized, not rows-sized. Shuffles carry those
+counts and bin-sized row subsets — never a full per-group sort.
+Results are bit-identical to the rank-window form (same discrete
+definition), which is what lets the two share an oracle.
+
+NULL values are excluded up front: the rank-window twin's NULL
+placement is engine-divergent anyway (Spark sorts NULLS FIRST, most
+SQL engines NULLS LAST), so the shared exact-quantile contract is
+defined over non-null values only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -39,14 +47,26 @@ def binned_quantiles(
 ) -> DataFrame:
     """Exact discrete quantiles per group, one output column per p
     (``p25``/``p50``/``p75`` style), plus ``n_orders`` — matching the
-    rank-window formulation's output bit-for-bit."""
+    rank-window formulation's output bit-for-bit on non-null data."""
+    names = [f"p{round(p * 100)}" for p in ps]
+    if len(set(names)) != len(ps):
+        raise ValueError(f"ps map to colliding column names: {names}")
+
     binned = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
         F.floor(F.col(value_col) / bin_width).cast("long").alias("bin"),
+    ).filter(F.col("v").isNotNull())
+    # The (group, bin) count relation is the whole bin pass — tiny
+    # (bins-sized) and consumed once per percentile plus once for the
+    # totals, so persist ONE materialization instead of re-scanning
+    # the corpus per consumer.
+    bin_counts = (
+        binned.groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = binned.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
-    bin_counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    counts = bin_counts.groupBy("grp").agg(F.sum("c").alias("n"))
     cum_w = W.partitionBy("grp").orderBy("bin")
     cum = bin_counts.select(
         "grp",
@@ -55,28 +75,30 @@ def binned_quantiles(
         F.sum("c").over(cum_w).alias("cum"),
     )
 
-    picks = None
-    for p in ps:
-        # k-th smallest lives in the first bin whose running count
-        # reaches k; min(struct) keeps the whole row of that bin.
-        k = F.ceil(F.lit(p) * F.col("n"))
-        target = (
-            cum.join(F.broadcast(counts), "grp")
-            .filter(F.col("cum") >= k)
-            .groupBy("grp")
-            .agg(F.min(F.struct("bin", "preceding")).alias("t"))
-            .select(
-                "grp",
-                F.lit(float(p)).alias("p"),
-                F.col("t.bin").alias("bin"),
-                F.col("t.preceding").alias("preceding"),
-            )
+    # All percentiles in one pass over the bin relation: cross the
+    # (tiny) cum relation with the ps literals; the k-th smallest
+    # lives in the first bin whose running count reaches k, and
+    # min(struct) keeps that bin's row.
+    spark = df.sparkSession
+    ps_df = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    k = F.ceil(F.col("p") * F.col("n"))
+    picks = (
+        cum.join(F.broadcast(counts), "grp")
+        .crossJoin(F.broadcast(ps_df))
+        .filter(F.col("cum") >= k)
+        .groupBy("grp", "p")
+        .agg(F.min(F.struct("bin", "preceding")).alias("t"))
+        .select(
+            "grp",
+            "p",
+            F.col("t.bin").alias("bin"),
+            F.col("t.preceding").alias("preceding"),
         )
-        picks = target if picks is None else picks.unionByName(target)
+    )
 
     # Refine: rank only the rows of located bins. The join fans each
     # row out once per percentile that lands in its bin (≤ len(ps)).
-    in_bins = binned.join(picks, ["grp", "bin"])
+    in_bins = binned.join(F.broadcast(picks), ["grp", "bin"])
     rank_w = W.partitionBy("grp", "p").orderBy("v")
     k_in_bin = (
         F.ceil(F.col("p") * F.col("n")).cast("long") - F.col("preceding")
@@ -91,6 +113,9 @@ def binned_quantiles(
     renamed = wide.select(
         F.col("grp"),
         # backticks: the pivot names contain a dot ("0.25")
-        *[F.col(f"`{float(p)}`").alias(f"p{int(p * 100)}") for p in ps],
+        *[
+            F.col(f"`{float(p)}`").alias(name)
+            for p, name in zip(ps, names)
+        ],
     )
     return renamed.join(counts.withColumnRenamed("n", "n_orders"), "grp")

@@ -408,8 +408,8 @@ PIPELINE_ORACLE_SQL["quality_filter"] = (
     "WITH q AS (SELECT * FROM (" + PIPELINE_ORACLE_SQL["text_quality"] + ")),\n"
     "t AS (SELECT * FROM (" + PIPELINE_ORACLE_SQL["text_token_stats"] + ")),\n"
     "l AS (SELECT * FROM (" + PIPELINE_ORACLE_SQL["text_lang_id"] + ")),\n"
-    "k AS (SELECT md5(text) AS ch, MIN(doc_id) AS keeper_id FROM documents GROUP BY 1),\n"
-    "h AS (SELECT doc_id, md5(text) AS ch FROM documents),\n"
+    "k AS (SELECT md5(COALESCE(text, '')) AS ch, MIN(doc_id) AS keeper_id FROM documents GROUP BY 1),\n"
+    "h AS (SELECT doc_id, md5(COALESCE(text, '')) AS ch FROM documents),\n"
     "dup AS (SELECT h.doc_id, (h.doc_id <> k.keeper_id) AS is_dup FROM h JOIN k USING (ch))\n"
     "SELECT q.doc_id, q.quality_score, t.n_ws_tokens,\n"
     "       CASE WHEN dup.is_dup THEN 'duplicate'\n"
@@ -421,16 +421,9 @@ PIPELINE_ORACLE_SQL["quality_filter"] = (
     "FROM q JOIN t USING (doc_id) JOIN l USING (doc_id) JOIN dup USING (doc_id)\n"
 )
 
-_SIMHASH_SQL = (
-    _WORDS_CTE
-    + """
-, dwords AS (SELECT doc_id, list_distinct(w) AS dw FROM words)
-SELECT doc_id,
-       CAST(list_sum(list_transform(generate_series(0, 15),
-            i -> CASE WHEN {bitsum} > 0 THEN 1 << i ELSE 0 END)) AS INT) AS simhash
-FROM dwords
-""".format(bitsum=_SIMHASH_BITSUM)
-)
+# Reuse the registered SimHash oracle verbatim: one definition, so
+# dedup_simhash and dedup_gate can never silently diverge.
+_SIMHASH_SQL = PIPELINE_ORACLE_SQL["dedup_simhash"]
 
 PIPELINE_ORACLE_SQL["dedup_gate"] = (
     "WITH fp AS (SELECT * FROM ("

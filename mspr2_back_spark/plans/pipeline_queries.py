@@ -257,7 +257,9 @@ def quality_filter_frame(d: DataFrame) -> DataFrame:
         quality_score_col().alias("quality_score"),
         F.col("lang").alias("labeled_lang"),
         predicted_lang().alias("pl"),
-        F.md5("text").alias("ch"),
+        # coalesce: NULL text hashes as the empty doc on BOTH
+        # engines (SQL md5(NULL)=NULL never equi-joins/groups)
+        F.md5(F.coalesce("text", F.lit(""))).alias("ch"),
     )
     from pyspark.sql import Window as W
 
