@@ -411,3 +411,30 @@ def test_cosine_pairs_block_size_invariant(spark, sf_dir):
     a = sorted(map(tuple, cosine_pairs(vecs, 0.45, block_size=64).collect()))
     b = sorted(map(tuple, cosine_pairs(vecs, 0.45, block_size=1024).collect()))
     assert a == b and len(a) > 0
+
+
+def test_whole_surface_plan_hygiene(spark, sf_dir):
+    """Global regression net over EVERY registered query's physical
+    plan: no CartesianProduct and no row-at-a-time Python UDFs
+    anywhere; BroadcastNestedLoopJoin only where the build side is
+    tiny by construction (1-row query vectors, block-id pair keys,
+    percentile literals)."""
+    from mspr2_back_spark.plans import QUERIES
+
+    bnlj_ok = {
+        "ann_topk",          # 1-row query vector broadcast
+        "ann_ivf_topk",      # 1-row query + 3-row probe set
+        "dedup_embedding_cosine",  # block-id pair keys (n_blocks²/2 rows)
+        "percentile_prices_refined",  # len(ps)-row literal relation
+    }
+    # the iterative/expensive constructors run real jobs at plan time;
+    # plan hygiene for them is covered by their dedicated tests
+    skip = {"dedup_clusters"}
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
