@@ -56,6 +56,8 @@ _SWEEP_FIRST = [
     "user_event_sequences",
     "dedup_gate",
     "percentile_prices_refined",
+    "chunk_documents",
+    "dedup_corpus_summary",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

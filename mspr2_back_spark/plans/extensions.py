@@ -250,6 +250,36 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document split into fixed-size
+    token windows (32 tokens, stride 24 — 8-token overlap), the
+    pretraining/RAG preprocessing twin of pack_documents (which packs
+    whole docs; this splits them). Pure per-row explode — no shuffle,
+    scan-parallel. Output: one row per (doc, chunk) with the chunk's
+    token count and content hash."""
+    size, stride = 32, 24
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("array_remove(split(text, ' '), '')").alias("w")
+    )
+    # number of windows: 1 + ceil(max(n - size, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size("w") - size, F.lit(0)) / stride
+    ).cast("int")
+    chunked = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk_words = F.expr(f"slice(w, chunk_idx * {stride} + 1, {size})")
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk_words).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk_words)).alias("chunk_hash"),
+    )
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type
     (``approx_count_distinct``, rsd 1%) next to the exact count.
@@ -729,6 +759,7 @@ EXTENSION_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "user_event_sequences": user_event_sequences,
     "percentile_prices_refined": percentile_prices_refined,
+    "chunk_documents": chunk_documents,
     "approx_distinct_users": approx_distinct_users,
     "asof_event_value": asof_event_value,
     "events_in_windows": events_in_windows,

@@ -462,3 +462,47 @@ SELECT fr.doc_id, fr.frame_idx, fr.frame_offset,
        md5(substring(f.text, fr.frame_offset + 1, fr.step)) AS frame_hash
 FROM framed fr JOIN f ON fr.doc_id = f.doc_id
 """
+
+
+# Corpus after dedup: reuse the cluster-closure oracle; losers are
+# cluster members that are not their cluster's min-id representative.
+PIPELINE_ORACLE_SQL["dedup_corpus_summary"] = (
+    "WITH clusters AS (SELECT * FROM ("
+    + PIPELINE_ORACLE_SQL["dedup_clusters"]
+    + """)),
+losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+kept AS (
+  SELECT d.source FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+totals AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+kc AS (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source)
+SELECT t.source, t.n_docs,
+       COALESCE(kc.n_kept, 0) AS n_kept,
+       ROUND(CAST(COALESCE(kc.n_kept, 0) AS DOUBLE) / t.n_docs, 6) AS kept_ratio
+FROM totals t LEFT JOIN kc USING (source)
+"""
+)
+
+PIPELINE_ORACLE_SQL["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, w,
+         1 + CAST(CEIL(GREATEST(len(w) - 32, 0) / 24.0) AS INT) AS n_chunks
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM nc
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS INT)
+           AS n_tokens,
+       md5(array_to_string(list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+           AS chunk_hash
+FROM ex
+"""

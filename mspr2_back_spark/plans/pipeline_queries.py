@@ -300,6 +300,31 @@ def dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_gate_against_corpus(d.filter(F.col("doc_id") % 2 == 1), corpus_fp)
 
 
+def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: per-source corpus size
+    before and after dropping near-duplicate cluster losers (cluster
+    members that are not the minimum-id representative). Pairs →
+    clusters → anti-join — what a user actually materializes after
+    running near-dup detection."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, MINHASH_THRESHOLD)
+    labels = dedup.near_dup_clusters(pairs)
+    losers = labels.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = d.join(F.broadcast(losers), "doc_id", "left_anti")
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(kept_counts, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 6).alias(
+            "kept_ratio"
+        ),
+    )
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -323,4 +348,5 @@ PIPELINE_QUERIES = {
     "source_mixture_sample": source_mixture_sample,
     "quality_filter": quality_filter,
     "dedup_gate": dedup_gate,
+    "dedup_corpus_summary": dedup_corpus_summary,
 }

@@ -49,6 +49,8 @@ DUCKDB_ONLY = {
     "user_event_sequences",  # list(x ORDER BY ...) aggregate
     "dedup_gate",  # list macros in the simhash CTE
     "multimodal_frames",  # unnest(generate_series) frame index table
+    "chunk_documents",  # list_slice / list_filter
+    "dedup_corpus_summary",  # recursive closure via the clusters oracle
     "rollup_revenue",  # 2-arg GROUPING()
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
