@@ -438,3 +438,84 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         if name not in bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_chunk_documents_window_math(spark, tmp_path):
+    """Chunk cardinality and boundaries: docs at/below one window get
+    one chunk; longer docs advance by the stride with overlap."""
+    import duckdb
+
+    from mspr2_back_spark.plans import ORACLE_SQL
+    from mspr2_back_spark.plans.extensions import chunk_documents
+
+    words80 = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, "short doc"), (1, " ".join(f"w{i}" for i in range(32))), (2, words80)],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "chunks_sf")
+    import os
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = chunk_documents(spark, sf).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    assert by_doc[0] == [(0, 2)]
+    assert by_doc[1] == [(0, 32)]  # exactly one window
+    # 80 words, size 32, stride 24 -> 1 + ceil(48/24) = 3 chunks,
+    # last chunk starts at 48 and holds 32 tokens
+    assert sorted(by_doc[2]) == [(0, 32), (1, 32), (2, 32)]
+    # oracle agreement on the same literal docs
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sf, 'documents.parquet')}/*.parquet'"
+    )
+    orows = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(ORACLE_SQL["chunk_documents"]).fetchall()
+    )
+    srows = sorted((r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_hash) for r in out)
+    assert srows == orows
+
+
+def test_pii_regex_portability_on_adversarial_strings(spark):
+    """The PII patterns must behave identically under Java regex
+    (Spark) and RE2 (DuckDB) on boundary-probing inputs — the
+    portable-subset guarantee functions/pii.py promises."""
+    import duckdb
+
+    from mspr2_back_spark.functions.pii import scrub_documents
+
+    cases = [
+        "a@b.co",                        # minimal email
+        "a@b.c",                         # TLD too short: no match
+        "x.y+z_9%@sub.domain-x.org!",    # charset edges + trailing punct
+        "+1 555-0000 and +12 123-4567",  # two phones
+        "+123 555-0000",                 # 3-digit country code: no match
+        "1.2.3.4.5",                     # 5 octets: first 4 match
+        "999.999.999.999",               # in-range per pattern (bounded rep)
+        "not an ip 1.2.3",               # 3 octets: no match
+        "mixed a@b.com 10.0.0.1 +1 555-1234",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_email, r.n_phone, r.n_ipv4, r.redacted_hash)
+        for r in scrub_documents(docs).collect()
+    }
+    from mspr2_back_spark.plans.pipeline_oracle import (
+        _PII_EMAIL, _PII_IPV4, _PII_PHONE, _PII_REDACTED,
+    )
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        row = con.execute(
+            f"""SELECT len(regexp_extract_all(text, '{_PII_EMAIL}')),
+                       len(regexp_extract_all(text, '{_PII_PHONE}')),
+                       len(regexp_extract_all(text, '{_PII_IPV4}')),
+                       md5({_PII_REDACTED})
+                FROM (SELECT ? AS text)""",
+            [t],
+        ).fetchone()
+        assert got[i] == row, (i, t, got[i], row)
