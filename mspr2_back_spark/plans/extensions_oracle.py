@@ -513,3 +513,27 @@ GROUP BY user_id
 EXTENSION_ORACLE_SQL["percentile_prices_refined"] = EXTENSION_ORACLE_SQL[
     "percentile_prices"
 ]
+
+
+EXTENSION_ORACLE_SQL["chunk_documents"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, w,
+         1 + CAST(CEIL(GREATEST(len(w) - 32, 0) / 24.0) AS INT) AS n_chunks
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM nc
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS INT)
+           AS n_tokens,
+       md5(array_to_string(list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+           AS chunk_hash
+FROM ex
+"""

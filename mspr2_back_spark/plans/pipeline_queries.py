@@ -312,7 +312,9 @@ def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = labels.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias("doc_id")
     )
-    kept = d.join(F.broadcast(losers), "doc_id", "left_anti")
+    # no broadcast hint: losers is unbounded (duplicate docs can be
+    # a large corpus fraction); AQE picks broadcast when it fits.
+    kept = d.join(losers, "doc_id", "left_anti")
     totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     kept_counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
     return totals.join(kept_counts, "source", "left").select(

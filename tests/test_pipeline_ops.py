@@ -429,7 +429,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests
-    skip = {"dedup_clusters"}
+    skip = {"dedup_clusters", "dedup_corpus_summary"}
     for name, fn in QUERIES.items():
         if name in skip:
             continue
