@@ -67,3 +67,47 @@ def register_views(
     for n, df in dfs.items():
         df.createOrReplaceTempView(n)
     return dfs
+
+
+# ---------------------------------------------------------------------------
+# Multi-format source/sink round-trips (S1/S5 beyond CSV+parquet)
+# ---------------------------------------------------------------------------
+
+_FORMAT_OPTIONS: dict[str, dict[str, str]] = {
+    "json": {},      # JSON-lines: one object per line, splittable
+    "orc": {},       # columnar alternative to parquet, stats-bearing
+    "csv": {"header": "true"},
+    "parquet": {},
+}
+
+
+def write_table_as(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """Write a DataFrame in any supported interchange format.
+
+    Format choice is a storage concern, not a plan concern — the same
+    logical plan feeds every sink. At 100 TB: parquet/ORC for
+    analytics (columnar pruning + predicate pushdown), JSON-lines for
+    interchange with non-columnar consumers, CSV only at the edge.
+    """
+    if fmt not in _FORMAT_OPTIONS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMAT_OPTIONS)}")
+    df.write.mode(mode).options(**_FORMAT_OPTIONS[fmt]).format(fmt).save(path)
+
+
+def read_table_as(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Read any supported interchange format with an EXPLICIT schema
+    (schema inference is a full extra pass over the data at scale and
+    type-drifts CSV/JSON; production reads always pin the schema)."""
+    if fmt not in _FORMAT_OPTIONS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMAT_OPTIONS)}")
+    reader = spark.read.options(**_FORMAT_OPTIONS[fmt]).format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_raw_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-text corpus ingestion: one row per line (`text` column) —
+    the first step of an ingest pipeline before parsing/curation.
+    Splittable by line; wholetext=false keeps memory per-row."""
+    return spark.read.text(path)
