@@ -54,3 +54,20 @@ def test_raw_text_ingest_feeds_curation(spark, sf_dir, tmp_path):
         .withColumnRenamed("value", "text")
     )
     assert scrubbed.count() == 50
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Long-lived tables gain columns over time: batches written with
+    different schemas must merge (new column NULL for old rows) under
+    mergeSchema, and a pinned schema read must project the union."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
