@@ -519,3 +519,14 @@ def test_pii_regex_portability_on_adversarial_strings(spark):
             [t],
         ).fetchone()
         assert got[i] == row, (i, t, got[i], row)
+
+
+def test_explain_tool_lists_and_collects_metrics(spark, sf_dir):
+    from mspr2_back_spark.plans import QUERIES
+    from mspr2_back_spark.tools.explain import collect_plan_metrics
+
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    df.collect()
+    metrics = collect_plan_metrics(df)
+    rows_out = [v for k, v in metrics.items() if k.endswith("numOutputRows")]
+    assert rows_out and max(rows_out) > 0
