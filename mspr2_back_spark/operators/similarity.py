@@ -308,31 +308,26 @@ def _sq_dist_col(vec: str, cent: str) -> Column:
     )
 
 
-def ivf_topk_deterministic(
-    vectors: DataFrame,
-    query_id: int,
-    k: int = 10,
-    n_cells: int = 8,
-    n_probe: int = 3,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF ANN with a fully deterministic, engine-portable index
-    build, so the whole query is oracle-checkable bit-for-bit.
+def _ivf_index(
+    vectors: DataFrame, n_cells: int, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, engine-portable IVF index build.
 
-    Index: cells seeded by hash-sharding (``vec_id % n_cells``), then
-    ONE Lloyd refinement. Centroid components are DECIMAL(27,12)
-    sums cast to DOUBLE divided by the member count — decimal
-    addition is order-invariant, so centroids are identical under any
-    partitioning (the determinism contract in plans/oracle.py).
-    Assignment is argmin of a left-fold squared distance with
-    (dist, cell) tie-breaks. Search probes the ``n_probe`` nearest
-    cells and cosine-scores only their members.
+    Cells are seeded by hash-sharding (``vec_id % n_cells``), then ONE
+    Lloyd refinement. Centroid components are DECIMAL(27,12) sums cast
+    to DOUBLE divided by the member count — decimal addition is
+    order-invariant, so centroids are identical under any partitioning
+    (the determinism contract in plans/oracle.py). Assignment is
+    argmin of a left-fold squared distance with (dist, cell)
+    tie-breaks.
+
+    Returns ``(assignments, centroids)``: assignments carries
+    (id_col, cell, dist) — final cell plus the squared distance to its
+    centroid — and centroids the refined (cell, cvec) table.
 
     Scale: the centroid pass is a (cell, dim)-keyed aggregate with
     map-side partials (n_cells × dim groups); assignment is a
     broadcast join against the centroid table; no driver-side math.
-    MLlib KMeans (``ivf_topk``) stays as the adaptive-index variant;
-    this one trades k-means convergence for reproducibility.
     """
     vecs = vectors.select(id_col, "embedding")
 
@@ -360,12 +355,45 @@ def ivf_topk_deterministic(
                 _sq_dist_col("embedding", "cvec").alias("dist"), F.col("cell")
             ).alias("dc"),
         )
-        return scored.groupBy(id_col).agg(F.min("dc").getField("cell").alias("cell"))
+        return scored.groupBy(id_col).agg(F.min("dc").alias("m")).select(
+            id_col,
+            F.col("m").getField("cell").alias("cell"),
+            F.col("m").getField("dist").alias("dist"),
+        )
 
     cent0 = centroids(vecs.withColumn("cell", F.col(id_col) % n_cells))
-    assign1 = assign(cent0)
+    assign1 = assign(cent0).select(id_col, "cell")
     cent1 = centroids(vecs.join(assign1, id_col))
-    final_cells = assign(cent1)
+    return assign(cent1), cent1
+
+
+def ivf_assignments(
+    vectors: DataFrame, n_cells: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Final (id, cell, dist²) assignment of the deterministic IVF
+    index — the audit surface for cluster-balance checks."""
+    assigned, _ = _ivf_index(vectors, n_cells, id_col)
+    return assigned
+
+
+def ivf_topk_deterministic(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a fully deterministic, engine-portable index
+    build (see :func:`_ivf_index`), so the whole query is
+    oracle-checkable bit-for-bit. Search probes the ``n_probe``
+    nearest cells and cosine-scores only their members.
+
+    MLlib KMeans (``ivf_topk``) stays as the adaptive-index variant;
+    this one trades k-means convergence for reproducibility.
+    """
+    final_with_dist, cent1 = _ivf_index(vectors, n_cells, id_col)
+    final_cells = final_with_dist.select(id_col, "cell")
 
     q_vec = vectors.filter(F.col(id_col) == query_id).select(
         F.col("embedding").alias("q_embedding"),

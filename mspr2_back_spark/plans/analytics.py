@@ -180,7 +180,7 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#45") & (F.col("p_size") <= 25)
+        (F.col("p_brand") != "Brand#15") & (F.col("p_size") <= 25)
     )
     flagged = (
         _t(spark, sf_dir, "supplier")
@@ -220,7 +220,7 @@ def or_of_ands_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(10, 20)
         )
         | (
-            (F.col("p_brand") == "Brand#34")
+            (F.col("p_brand") == "Brand#24")
             & F.col("p_size").between(1, 15)
             & F.col("l_quantity").between(20, 30)
         )

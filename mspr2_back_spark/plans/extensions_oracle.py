@@ -336,7 +336,7 @@ WHERE rn <= 3
 EXTENSION_ORACLE_SQL["props_variant_stats"] = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
        MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max
 FROM events
