@@ -41,9 +41,18 @@ def _bucket_micros(bucket: str) -> int:
 
 
 def _floor_to_bucket(col: Column, bucket_us: int) -> Column:
-    """Floor a timestamp to its bucket start (epoch-aligned)."""
+    """Floor a timestamp to its bucket start (epoch-aligned).
+
+    The input is cast to TIMESTAMP first: ``unix_micros`` rejects
+    TIMESTAMP_NTZ, and sources that bypass the reader-boundary
+    normalization (sources/readers.py::normalize_ntz) may still hand
+    us NTZ event times. The cast is value-identity under the UTC
+    session timezone and a no-op on TIMESTAMP input.
+    """
     return F.timestamp_micros(
-        (F.floor(F.unix_micros(col) / bucket_us) * bucket_us).cast("long")
+        (F.floor(F.unix_micros(col.cast("timestamp")) / bucket_us) * bucket_us).cast(
+            "long"
+        )
     )
 
 
@@ -67,6 +76,13 @@ def bucketed_range_join(
     """
     bucket_us = _bucket_micros(bucket)
     bucket_s = F.expr(f"INTERVAL {bucket}")
+    # Normalize all three time columns to TIMESTAMP so the containment
+    # filter never compares NTZ vs LTZ (a type error, not a coercion).
+    if dict(events.dtypes).get(ts) == "timestamp_ntz":
+        events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    for c in (start, end):
+        if dict(windows.dtypes).get(c) == "timestamp_ntz":
+            windows = windows.withColumn(c, F.col(c).cast("timestamp"))
     ev = events.withColumn("_b", _floor_to_bucket(F.col(ts), bucket_us))
     # Window → the (≤2) buckets it overlaps.
     win = windows.withColumn(

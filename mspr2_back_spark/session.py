@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Read un-adjusted parquet timestamps as session-TZ TIMESTAMP,
+        # not TIMESTAMP_NTZ: watermarks and unix_micros require
+        # TIMESTAMP, and the session TZ is pinned UTC so values are
+        # identical. load_table additionally normalizes NTZ for
+        # sessions built outside this factory (sources/readers.py).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

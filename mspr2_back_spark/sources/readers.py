@@ -31,6 +31,24 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-TZ TIMESTAMP.
+
+    Parquet files written without the isAdjustedToUTC annotation
+    (DuckDB/pyarrow defaults) read back as TIMESTAMP_NTZ under Spark
+    4.x's NTZ inference, but the event-time machinery — watermarks
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), ``unix_micros``, interval
+    comparisons against TIMESTAMP literals — requires TIMESTAMP.
+    The session timezone is pinned to UTC (session.py), so the cast
+    is value-identity; normalizing once at the reader boundary keeps
+    every downstream operator on a single timestamp type.
+    """
+    for col_name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Plain parquet scan: predicate pushdown,
     column pruning, and partition coalescing all apply.
@@ -39,7 +57,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark's reader rejects by default; we read it as a long
     (``nanosAsLong``) and truncate to microseconds with exact integer
     division — the same truncation DuckDB applies, so both engines see
-    identical timestamps.
+    identical timestamps. Any TIMESTAMP_NTZ column is normalized to
+    TIMESTAMP here (see ``normalize_ntz``).
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,7 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(

@@ -24,8 +24,16 @@ from mspr2_back_spark.functions.numeric import METRIC
 
 def read_event_stream(spark, path: str, schema) -> DataFrame:
     """File-source stream: new parquet files under `path` become
-    micro-batches."""
-    return spark.readStream.schema(schema).parquet(path)
+    micro-batches.
+
+    Any TIMESTAMP_NTZ column (parquet written without the UTC
+    adjustment annotation) is normalized to TIMESTAMP: watermarks
+    reject NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and
+    the session timezone is pinned UTC so the cast is value-identity.
+    """
+    from mspr2_back_spark.sources.readers import normalize_ntz
+
+    return normalize_ntz(spark.readStream.schema(schema).parquet(path))
 
 
 def windowed_event_counts(
