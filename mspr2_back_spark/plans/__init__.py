@@ -1,3 +1,5 @@
+from mspr2_back_spark.plans.analytics import ANALYTICS_QUERIES
+from mspr2_back_spark.plans.analytics_oracle import ANALYTICS_ORACLE_SQL
 from mspr2_back_spark.plans.extensions import EXTENSION_QUERIES
 from mspr2_back_spark.plans.extensions_oracle import EXTENSION_ORACLE_SQL
 from mspr2_back_spark.plans.oracle import ORACLE_SQL as _RELATIONAL_SQL
@@ -5,59 +7,87 @@ from mspr2_back_spark.plans.pipeline_oracle import PIPELINE_ORACLE_SQL
 from mspr2_back_spark.plans.pipeline_queries import PIPELINE_QUERIES
 from mspr2_back_spark.plans.queries import QUERIES as _RELATIONAL_QUERIES
 
-QUERIES = {**_RELATIONAL_QUERIES, **PIPELINE_QUERIES, **EXTENSION_QUERIES}
-ORACLE_SQL = {**_RELATIONAL_SQL, **PIPELINE_ORACLE_SQL, **EXTENSION_ORACLE_SQL}
+QUERIES = {
+    **_RELATIONAL_QUERIES,
+    **PIPELINE_QUERIES,
+    **EXTENSION_QUERIES,
+    **ANALYTICS_QUERIES,
+}
+ORACLE_SQL = {
+    **_RELATIONAL_SQL,
+    **PIPELINE_ORACLE_SQL,
+    **EXTENSION_ORACLE_SQL,
+    **ANALYTICS_ORACLE_SQL,
+}
 
 # The driver's correctness sweep covers the first 50 registered
-# queries in dict order.  Round 1 left 22 of the 72 without a
-# CORRECTNESS row, so round 2 front-loads exactly those, followed by
-# the queries whose oracle or physical plan changed this round; the
-# rotation (and the union of per-round verdicts) is documented in
-# COVERAGE.md.  Every key listed here must still exist in QUERIES.
+# queries in dict order; per-round verdicts union latest-wins
+# (rotation history in COVERAGE.md).  Round-4 priorities:
+# 1. the 11 newly-registered analytics queries (no verdict yet);
+# 2. everything whose only verdict is from round 1 — including
+#    multimodal_frames, which had never entered the window;
+# 3. events_in_windows (red in r3, fixed by the NTZ reader
+#    normalization) and dedup_ngram_jaccard (registered form now
+#    capped);
+# 4. the event-time queries the NTZ normalization touches
+#    (asof_event_value, sessionize_events, user_event_sequences,
+#    dedup_gate).
+# Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # unchecked in CORRECTNESS_r01
-    "approx_distinct_users",
-    "asof_event_value",
+    # new in round 4: plans/analytics.py registered
+    "customer_order_histogram",
+    "min_cost_supplier_per_part",
+    "revenue_share_by_nation",
+    "brand_supplier_counts",
+    "or_of_ands_revenue",
+    "waiting_orders_by_supplier",
+    "idle_customers_avg_bal",
+    "corpus_shuffle",
+    "ivf_cell_stats",
+    "bigram_pmi",
+    "embedding_norm_stats",
+    # never swept / red last round / changed this round
+    "multimodal_frames",
     "events_in_windows",
-    "top3_orders_per_segment",
-    "shipping_priority",
-    "local_supplier_volume",
-    "above_avg_orders",
-    "window_frame_metrics",
-    "order_rank_metrics",
-    "status_pivot",
-    "pack_documents",
-    "scaled_user_values",
-    "price_histogram",
-    "hot_shingles",
-    "props_variant_stats",
-    "profile_orders",
-    "set_ops_nations",
-    "customer_order_coverage",
-    "customers_no_jumbo_order",
-    "crud_upsert",
-    "crud_delete",
-    "crud_point_lookup",
-    # red in r01 (oracle SUM typing fixed this round)
-    "props_extract",
-    "pct_negative_acctbal",
+    "dedup_ngram_jaccard",
+    # last verdict is round 1
+    "latest_order_per_customer",
+    "value_lag_diff",
+    "yearly_orders_lag",
+    "region_yearly_lag",
+    "brand_surrogate_ids",
+    "rolling_sum3",
+    "top5_customers",
+    "orders_page",
+    "pagination_meta",
+    "table_preview",
+    "segment_decode",
+    "word_counts",
+    "date_spine",
+    "events_filtered",
+    "metric_projection",
+    "hourly_events",
+    "status_priority_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "ann_lsh_topk",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprints",
+    "multimodal_meta",
+    "ml_forecast_ar",
+    "rollup_revenue",
+    "cube_order_stats",
+    "grouping_sets_sales",
+    "percentile_prices",
+    # event-time queries re-verified after the NTZ normalization
+    "asof_event_value",
     "sessionize_events",
-    # plan or oracle changed this round
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    # new in round 2
-    "dedup_clusters",
-    "repeated_spans",
-    "contamination_screen",
-    "pii_scrub",
-    "dedup_incremental",
-    "source_mixture_sample",
-    "quality_filter",
     "user_event_sequences",
     "dedup_gate",
-    "percentile_prices_refined",
-    "chunk_documents",
-    "dedup_corpus_summary",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

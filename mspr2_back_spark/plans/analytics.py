@@ -47,16 +47,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _with_scalar(df: DataFrame, scalar: DataFrame) -> DataFrame:
     """Attach a 1-row aggregate to every row of ``df``.
 
-    Joining on a literal key plans as a BroadcastHashJoin with a
+    Joining on a constant key plans as a BroadcastHashJoin with a
     1-row build side — same cost as a broadcast nested loop, but it
     keeps BNLJ out of every plan so the hygiene net can flag real
-    accidents. The scalar side stays an aggregate (never collected):
-    on a cluster the driver only moves the single aggregated row.
+    accidents. A bare ``lit(1)`` key does NOT survive: Catalyst's
+    FoldablePropagation folds the equi-condition to ``1 = 1`` and the
+    join degenerates to BNLJ, so the key is built from a
+    non-foldable-but-constant expression (``spark_partition_id() * 0
+    + 1``). The scalar side stays an aggregate (never collected): on
+    a cluster the driver only moves the single aggregated row.
     """
-    k = F.lit(1).alias("_k")
+    k = F.spark_partition_id() * 0 + 1
     return (
         df.withColumn("_k", k)
-        .join(F.broadcast(scalar.select(k, "*")), "_k")
+        .join(F.broadcast(scalar.withColumn("_k", k)), "_k")
         .drop("_k")
     )
 
@@ -106,16 +110,19 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(p.select("p_partkey", "p_name")),
         li["l_partkey"] == p["p_partkey"],
     )
-    min_price = li_small.groupBy("l_partkey").agg(
-        F.min("l_extendedprice").alias("min_price")
-    )
+    # Aliased group key: joining the aggregate back to its own source
+    # on the raw column would resolve both sides to the SAME attribute
+    # (trivially-true predicate), so the re-join key gets a fresh name.
+    min_price = li_small.groupBy(
+        F.col("l_partkey").alias("mp_partkey")
+    ).agg(F.min("l_extendedprice").alias("min_price"))
     best = (
         li_small.join(
             min_price,
-            (li_small["l_partkey"] == min_price["l_partkey"])
-            & (li_small["l_extendedprice"] == min_price["min_price"]),
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
         )
-        .groupBy(li_small["l_partkey"].alias("p_partkey"), "p_name", "min_price")
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "p_name", "min_price")
         .agg(F.min("l_suppkey").alias("best_suppkey"))
     )
     return (
@@ -173,6 +180,10 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct suppliers per (brand, type) excluding flagged
     suppliers (TPC-H Q16 shape: COUNT(DISTINCT) + NOT-IN exclusion).
 
+    Constants are adapted to the driver testdata: its brand domain is
+    Brand#1..Brand#25, so Q16's canonical Brand#45 would make the
+    exclusion vacuous — Brand#15 keeps the predicate selective.
+
     The NOT IN is an anti join against the tiny flagged-supplier set
     (broadcast); the distinct count is Spark's two-phase expand —
     partials shrink map-side, the shuffle carries (group, suppkey)
@@ -203,6 +214,10 @@ def or_of_ands_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TPC-H Q19 shape). Catalyst extracts the common l_quantity bound
     and the p_size/p_brand conjuncts into pushed-down scan filters;
     the residual disjunction evaluates post-join. Single row out.
+
+    Constants are adapted to the driver testdata: its brand domain is
+    Brand#1..Brand#25, so Q19's canonical Brand#34 branch would never
+    match — Brand#24 keeps all three disjuncts live.
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")

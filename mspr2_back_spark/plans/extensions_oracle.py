@@ -333,6 +333,11 @@ WHERE rn <= 3
 """
 
 
+# DuckDB widens SUM(INTEGER) to HUGEINT, which hash-mismatches the
+# Spark query's LongType — every integer SUM in an oracle must CAST
+# AS BIGINT.  k_min/k_max stay INTEGER on both engines (MIN/MAX never
+# widen), so the bare INTEGER casts below are the aligned type, not an
+# oversight.  (Trap history: COVERAGE.md "oracle traps".)
 EXTENSION_ORACLE_SQL["props_variant_stats"] = """
 SELECT event_type,
        COUNT(*) AS n_events,

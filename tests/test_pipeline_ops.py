@@ -424,6 +424,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
     bnlj_ok = {
         "ann_topk",          # 1-row query vector broadcast
         "ann_ivf_topk",      # 1-row query + 3-row probe set
+        "ivf_cell_stats",    # n_cells-row centroid table broadcast
         "dedup_embedding_cosine",  # block-id pair keys (n_blocks²/2 rows)
         "percentile_prices_refined",  # len(ps)-row literal relation
     }
@@ -530,3 +531,51 @@ def test_explain_tool_lists_and_collects_metrics(spark, sf_dir):
     metrics = collect_plan_metrics(df)
     rows_out = [v for k, v in metrics.items() if k.endswith("numOutputRows")]
     assert rows_out and max(rows_out) > 0
+
+
+def test_ivf_assignments_contract(spark, sf_dir):
+    """Direct contract of the IVF audit surface (ADVICE r3): the
+    assignment PARTITIONS the id space (exactly one row per vec_id),
+    `dist` equals an independently recomputed squared L2 distance to
+    the assigned centroid, and the whole table is invariant to the
+    shuffle partition count."""
+    from mspr2_back_spark.operators.similarity import _ivf_index, ivf_assignments
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    n_input = vecs.count()
+    assigned = ivf_assignments(vecs, n_cells=8)
+    rows = assigned.collect()
+    # exactly one cell per vector — a partition of the id space
+    assert len(rows) == n_input
+    assert len({r.vec_id for r in rows}) == n_input
+    assert {r.cell for r in rows} <= set(range(8))
+
+    # dist == squared L2 to the ASSIGNED centroid, recomputed
+    # independently (python floats over the collected centroid table)
+    _, cents = _ivf_index(vecs, n_cells=8)
+    cvec = {r.cell: r.cvec for r in cents.collect()}
+    emb = {r.vec_id: r.embedding for r in vecs.select("vec_id", "embedding").collect()}
+    for r in rows[:50]:
+        acc = 0.0
+        for x, c in zip(emb[r.vec_id], cvec[r.cell]):
+            d = float(x) - c
+            acc += d * d
+        assert abs(acc - r.dist) <= 1e-9 * max(1.0, abs(acc)), r.vec_id
+        # and no OTHER centroid is strictly closer (argmin property)
+        for cell, cv in cvec.items():
+            other = 0.0
+            for x, c in zip(emb[r.vec_id], cv):
+                d = float(x) - c
+                other += d * d
+            assert other >= r.dist - 1e-9, (r.vec_id, cell)
+
+    # partition-count invariance (the determinism contract)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, ivf_assignments(vecs, n_cells=8).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, ivf_assignments(vecs, n_cells=8).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) == n_input

@@ -52,6 +52,10 @@ DUCKDB_ONLY = {
     "chunk_documents",  # list_slice / list_filter
     "dedup_corpus_summary",  # recursive closure via the clusters oracle
     "rollup_revenue",  # 2-arg GROUPING()
+    "corpus_shuffle",  # strpos nibble bucket (Spark side uses conv())
+    "ivf_cell_stats",  # list(c ORDER BY d) aggregate, list_reduce distances
+    "bigram_pmi",  # unnest / list_filter
+    "embedding_norm_stats",  # list_reduce
     "text_fingerprints",  # list_filter
     "text_lang_id",  # list_filter
     "text_quality",  # list_filter
