@@ -137,13 +137,18 @@ def ngram_jaccard_pairs(
     )
     ex.count()
     if max_doc_freq is not None:
-        rare = (
+        # The HOT set (df > cap) is tiny by construction: at cap =
+        # 1% of the corpus it holds at most avg_shingles_per_doc×100
+        # entries regardless of corpus size — so it broadcasts, and
+        # the index filter is a map-side anti join (no extra shuffle
+        # of the exploded corpus).
+        hot = (
             ex.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
+            .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
         )
-        index = ex.join(rare, "shingle")
+        index = ex.join(F.broadcast(hot), "shingle", "left_anti")
     else:
         index = ex
     a, b = index.alias("a"), index.alias("b")
@@ -163,16 +168,32 @@ def ngram_jaccard_pairs(
             pairs.select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    # Capped index: counts undercount shared hot shingles — verify the
-    # candidate pairs exactly against the full (uncapped) shingle sets.
-    full = ex.groupBy("doc").agg(F.collect_set("shingle").alias("sh"))
-    s1 = full.select(F.col("doc").alias("doc_id_1"), F.col("sh").alias("sh1"))
-    s2 = full.select(F.col("doc").alias("doc_id_2"), F.col("sh").alias("sh2"))
-    jac = F.size(F.array_intersect("sh1", "sh2")) / F.size(F.array_union("sh1", "sh2"))
+    # Capped index: `shared` undercounts by exactly the co-occurring
+    # HOT shingles, so recover |A∩B| = shared_rare + |A_hot ∩ B_hot|.
+    # Per-doc hot-shingle sets are bounded by the (broadcast-small)
+    # hot vocabulary, so the correction joins candidate-pair-sized and
+    # hot-doc-sized relations — never full shingle sets; n1/n2 are the
+    # full set sizes captured before filtering, so the Jaccard is
+    # identical to the uncapped computation for every emitted pair.
+    hot_per_doc = (
+        ex.join(F.broadcast(hot), "shingle")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("hot_sh"))
+    )
+    h1 = hot_per_doc.select(
+        F.col("doc").alias("doc_id_1"), F.col("hot_sh").alias("hot1")
+    )
+    h2 = hot_per_doc.select(
+        F.col("doc").alias("doc_id_2"), F.col("hot_sh").alias("hot2")
+    )
+    shared_hot = F.when(
+        F.col("hot1").isNull() | F.col("hot2").isNull(), F.lit(0)
+    ).otherwise(F.size(F.array_intersect("hot1", "hot2")))
+    shared = F.col("shared") + shared_hot
+    jac = shared / (F.col("n1") + F.col("n2") - shared)
     return (
-        pairs.select("doc_id_1", "doc_id_2")
-        .join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
+        pairs.join(h1, "doc_id_1", "left")
+        .join(h2, "doc_id_2", "left")
         .select("doc_id_1", "doc_id_2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

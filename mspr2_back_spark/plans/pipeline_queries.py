@@ -32,9 +32,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (inverted index)."""
+    """Exact word-3-gram Jaccard near-dup pairs (inverted index).
+
+    The registered form caps posting lists at 1% of the corpus (floor
+    20): the self-join costs Σ posting_len², so ONE boilerplate
+    shingle present in 10⁶ of 10⁸ docs would alone generate 10¹²
+    candidate pairs — the cap drops such stop-phrases from the index
+    while the exact-verify pass keeps emitted pairs identical to the
+    uncapped oracle (any near-dup pair still sharing ≥1 sub-cap
+    shingle is found; this corpus's max shingle df is well under the
+    cap at every SF, measured in SCALING.md). The count() feeding the
+    cap is parquet-metadata-only — no data scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cap = max(20, docs.count() // 100)
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), NGRAM_JACCARD_THRESHOLD
+        docs, NGRAM_JACCARD_THRESHOLD, max_doc_freq=cap
     )
 
 

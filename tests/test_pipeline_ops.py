@@ -579,3 +579,41 @@ def test_ivf_assignments_contract(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b and len(a) == n_input
+
+
+def test_ngram_jaccard_cap_preserves_pairs(spark):
+    """The df-capped index + hot-set correction must emit the exact
+    uncapped pair set and values, even when a boilerplate shingle is
+    hot enough to be dropped from the index (the 100 TB stop-phrase
+    scenario measured in SCALING.md)."""
+    import itertools
+
+    boiler = "standard legal disclaimer applies to this document text"
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three four five six seven eight nine ten",
+        "one two three four five six seven eight nine eleven",
+        "totally different words with no overlap whatsoever here now",
+    ]
+    rows = []
+    for i, body in enumerate(itertools.chain.from_iterable(
+        [bodies] * 4
+    )):
+        # every doc carries the boilerplate -> its shingles have
+        # df == n_docs, far above the cap
+        rows.append((i, body.replace("alpha", f"alpha{i % 7}") + " " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap sits between the max body-shingle df (<= 16) and the
+    # boilerplate df (20 = every doc): only boilerplate is dropped
+    # from the index, and every qualifying pair still shares at least
+    # one rare body shingle — the sizing rule the operator docstring
+    # prescribes.
+    uncapped = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, 0.3).collect())
+    )
+    capped = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(docs, 0.3, max_doc_freq=17).collect())
+    )
+    assert len(uncapped) > 0
+    assert capped == uncapped
