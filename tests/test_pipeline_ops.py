@@ -418,7 +418,9 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
     plan: no CartesianProduct and no row-at-a-time Python UDFs
     anywhere; BroadcastNestedLoopJoin only where the build side is
     tiny by construction (1-row query vectors, block-id pair keys,
-    percentile literals)."""
+    percentile literals); Exchange SinglePartition only up to each
+    query's documented budget — a new global window/sort over
+    unaggregated data shows up as an over-budget count and fails."""
     from mspr2_back_spark.plans import QUERIES
 
     bnlj_ok = {
@@ -427,6 +429,30 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "ivf_cell_stats",    # n_cells-row centroid table broadcast
         "dedup_embedding_cosine",  # block-id pair keys (n_blocks²/2 rows)
         "percentile_prices_refined",  # len(ps)-row literal relation
+    }
+    # Exchange SinglePartition budgets.  Every entry is one of two
+    # documented shapes: (a) the FINAL step of a global scalar
+    # aggregate — partial aggregation runs map-side, so the exchange
+    # carries one row per partition; (b) a global-frame window /
+    # global set-op over a relation that is tiny by construction
+    # (per-year rollup, 25-nation dim, partition-count offsets).
+    # Queries not listed get budget 0.
+    single_part_ok = {
+        "revenue_share_by_nation": 1,   # (a) corpus-total revenue
+        "or_of_ands_revenue": 1,        # (a) single-row result
+        "idle_customers_avg_bal": 1,    # (a) mean-balance scalar
+        "ivf_cell_stats": 1,            # (a) corpus-count scalar
+        "bigram_pmi": 2,                # (a) unigram+bigram totals
+        "global_totals": 1,             # (a)
+        "last_value_sum": 1,            # (a)
+        "pagination_meta": 1,           # (a) COUNT(*)
+        "max_year_orders": 2,           # (a) MAX-year scalar + final
+        "profile_orders": 1,            # (a) single-pass stats
+        "yearly_orders_lag": 1,         # (b) global LAG over per-year rows (W3)
+        "brand_surrogate_ids": 1,       # (b) tiny-dim row_number (W2)
+        "window_frame_metrics": 1,      # (b) explicit global frames, tiny input
+        "pack_documents": 1,            # (b) partition-count offsets window
+        "set_ops_nations": 3,           # (b) set ops over the 25-row nation dim
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests
@@ -439,6 +465,11 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         if name not in bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, name
+        n_single = plan.count("Exchange SinglePartition")
+        assert n_single <= single_part_ok.get(name, 0), (
+            f"{name}: {n_single} single-partition exchanges "
+            f"(budget {single_part_ok.get(name, 0)})"
+        )
 
 
 def test_chunk_documents_window_math(spark, tmp_path):
