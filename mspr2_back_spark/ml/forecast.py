@@ -165,28 +165,176 @@ class NumpyLSTM:
         """One scaled input window ``(T,)`` → one scalar prediction
         (the head reads the last timestep's top-layer hidden state,
         as the reference does)."""
+        x = np.asarray(seq, dtype=np.float64).reshape(1, -1, 1)
+        out, _ = self._forward_batch(x)
+        return out[0, 0].item()
+
+    # -- training (SURVEY M4: the reference's train loop,
+    #    ref app/train_lstm_multipays (1).py:80-117, re-derived as
+    #    numpy BPTT since torch is absent from this container) -------
+
+    def _forward_batch(self, X: np.ndarray):
+        """Batched forward with per-layer caches for BPTT.
+
+        ``X`` is ``(B, T, input_size)``; returns ``(pred (B, 1),
+        caches)`` where caches hold every gate activation the backward
+        pass needs. Identical math to :meth:`forward` (same gate
+        order, float64), so inference and training share one
+        definition of the network.
+        """
         H = self.hidden_size
-        x = np.asarray(seq, dtype=np.float64).reshape(-1, 1)
+        x = np.asarray(X, dtype=np.float64)
+        B, T, _ = x.shape
+        caches = []
         for layer in self.layers:
-            h = np.zeros(H)
-            c = np.zeros(H)
-            outs = np.empty((x.shape[0], H))
-            for t in range(x.shape[0]):
+            h = np.zeros((B, H))
+            c = np.zeros((B, H))
+            outs = np.empty((B, T, H))
+            steps = []
+            for t in range(T):
                 gates = (
-                    layer["W_ih"] @ x[t]
+                    x[:, t] @ layer["W_ih"].T
                     + layer["b_ih"]
-                    + layer["W_hh"] @ h
+                    + h @ layer["W_hh"].T
                     + layer["b_hh"]
                 )
-                i = _sigmoid(gates[0:H])
-                f = _sigmoid(gates[H : 2 * H])
-                g = np.tanh(gates[2 * H : 3 * H])
-                o = _sigmoid(gates[3 * H : 4 * H])
-                c = f * c + i * g
-                h = o * np.tanh(c)
-                outs[t] = h
+                i = _sigmoid(gates[:, 0:H])
+                f = _sigmoid(gates[:, H : 2 * H])
+                g = np.tanh(gates[:, 2 * H : 3 * H])
+                o = _sigmoid(gates[:, 3 * H : 4 * H])
+                c_new = f * c + i * g
+                h_new = o * np.tanh(c_new)
+                steps.append((x[:, t], h, c, i, f, g, o, c_new))
+                h, c = h_new, c_new
+                outs[:, t] = h
+            caches.append((steps, x))
             x = outs
-        return (self.W_fc @ x[-1] + self.b_fc).item()
+        pred = x[:, -1] @ self.W_fc.T + self.b_fc
+        return pred, (caches, x)
+
+    def _backward(self, pred, y, ctx):
+        """MSE loss gradients for every parameter via
+        backpropagation-through-time over the stacked layers.
+        Returns (loss, grads) with grads keyed like the parameter
+        attributes."""
+        caches, top_out = ctx
+        B = pred.shape[0]
+        err = pred - np.asarray(y, dtype=np.float64).reshape(B, 1)
+        loss = float(np.mean(err**2))
+        dpred = 2.0 * err / B  # d(mean sq err)/d pred
+        grads = {
+            "W_fc": dpred.T @ top_out[:, -1],
+            "b_fc": dpred.sum(axis=0),
+        }
+        H = self.hidden_size
+        # gradient wrt the top layer's output sequence: only the last
+        # timestep feeds the head
+        d_out = np.zeros((B, top_out.shape[1], H))
+        d_out[:, -1] = dpred @ self.W_fc
+        for n in range(len(self.layers) - 1, -1, -1):
+            layer = self.layers[n]
+            steps, layer_in = caches[n]
+            T = len(steps)
+            dW_ih = np.zeros_like(layer["W_ih"])
+            dW_hh = np.zeros_like(layer["W_hh"])
+            db = np.zeros(4 * H)
+            dX = np.empty_like(layer_in)
+            dh_next = np.zeros((B, H))
+            dc_next = np.zeros((B, H))
+            for t in range(T - 1, -1, -1):
+                x_t, h_prev, c_prev, i, f, g, o, c_new = steps[t]
+                dh = d_out[:, t] + dh_next
+                tc = np.tanh(c_new)
+                do = dh * tc
+                dc = dc_next + dh * o * (1.0 - tc**2)
+                di = dc * g
+                df = dc * c_prev
+                dg = dc * i
+                dc_next = dc * f
+                d_gates = np.concatenate(
+                    [
+                        di * i * (1.0 - i),
+                        df * f * (1.0 - f),
+                        dg * (1.0 - g**2),
+                        do * o * (1.0 - o),
+                    ],
+                    axis=1,
+                )
+                dW_ih += d_gates.T @ x_t
+                dW_hh += d_gates.T @ h_prev
+                db += d_gates.sum(axis=0)
+                dX[:, t] = d_gates @ layer["W_ih"]
+                dh_next = d_gates @ layer["W_hh"]
+            grads[f"W_ih_l{n}"] = dW_ih
+            grads[f"W_hh_l{n}"] = dW_hh
+            # torch carries two bias vectors that always move together
+            # (their gradients are identical); mirror that layout
+            grads[f"b_ih_l{n}"] = db
+            grads[f"b_hh_l{n}"] = db.copy()
+            d_out = dX
+        return loss, grads
+
+    def _params(self):
+        out = {"W_fc": self, "b_fc": self}
+        for n in range(len(self.layers)):
+            for p in ("W_ih", "W_hh", "b_ih", "b_hh"):
+                out[f"{p}_l{n}"] = self.layers[n]
+        return out
+
+    def _get(self, name):
+        if name in ("W_fc", "b_fc"):
+            return getattr(self, name)
+        p, _, l = name.rpartition("_l")
+        return self.layers[int(l)][p]
+
+    def _set(self, name, value):
+        if name in ("W_fc", "b_fc"):
+            setattr(self, name, value)
+        else:
+            p, _, l = name.rpartition("_l")
+            self.layers[int(l)][p] = value
+
+    def train(
+        self,
+        X: np.ndarray,
+        y: np.ndarray,
+        epochs: int = 100,
+        batch_size: int = 64,
+        lr: float = 1e-3,
+        seed: int = 0,
+    ) -> list[float]:
+        """Full-BPTT training with Adam + MSE — the reference's
+        recipe (MSELoss + Adam(1e-3), 100 epochs, batch 64; ref
+        app/train_lstm_multipays (1).py:96-117). ``X`` is
+        ``(N, T, input_size)`` scaled windows, ``y`` ``(N,)`` scaled
+        targets. Deterministic: seeded batch shuffling, float64
+        math. Returns the per-epoch mean training loss."""
+        X = np.asarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        m = {k: np.zeros_like(self._get(k)) for k in self._params()}
+        v = {k: np.zeros_like(self._get(k)) for k in self._params()}
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        step = 0
+        losses = []
+        for _ in range(epochs):
+            order = rng.permutation(len(X))
+            epoch_loss, n_batches = 0.0, 0
+            for s in range(0, len(X), batch_size):
+                idx = order[s : s + batch_size]
+                pred, ctx = self._forward_batch(X[idx])
+                loss, grads = self._backward(pred, y[idx], ctx)
+                step += 1
+                for k, g in grads.items():
+                    m[k] = b1 * m[k] + (1 - b1) * g
+                    v[k] = b2 * v[k] + (1 - b2) * g * g
+                    mh = m[k] / (1 - b1**step)
+                    vh = v[k] / (1 - b2**step)
+                    self._set(k, self._get(k) - lr * mh / (np.sqrt(vh) + eps))
+                epoch_loss += loss
+                n_batches += 1
+            losses.append(epoch_loss / max(n_batches, 1))
+        return losses
 
 
 _DEFAULT_LSTM: NumpyLSTM | None = None
@@ -327,6 +475,83 @@ def predict_weekly_statistics(
         )
 
     return weekly.groupBy("country_short_code").applyInPandas(run, schema=schema)
+
+
+def build_training_windows(
+    series: DataFrame,
+    group_col: str = "user_id",
+    time_col: str = "day",
+    value_col: str = "value",
+    lookback: int = 14,
+    max_windows_per_group: int = 1000,
+) -> DataFrame:
+    """Distributed LSTM training-set construction (SURVEY M3, ref
+    app/train_lstm_multipays (1).py:48-70): per-group min-max scaling
+    (the reference fits one scaler per country) and sliding
+    ``lookback``-step input windows with the next value as target —
+    all as window algebra, no pandas until the (bounded) final
+    collect. ``max_windows_per_group`` mirrors the reference's
+    ≤1000-sequences-per-country cap, taking the LATEST windows.
+
+    Output: (group, x array<double>[lookback], y double) — scaled.
+    """
+    from pyspark.sql import Window as W
+
+    g = W.partitionBy(group_col)
+    ordered = W.partitionBy(group_col).orderBy(time_col)
+    span = F.max(value_col).over(g) - F.min(value_col).over(g)
+    scaled = (F.col(value_col) - F.min(value_col).over(g)) / F.when(
+        span == 0, F.lit(1.0)
+    ).otherwise(span)
+    win = ordered.rowsBetween(-lookback, 0)
+    arr = F.collect_list("scaled_v").over(win)
+    recency = F.row_number().over(
+        W.partitionBy(group_col).orderBy(F.desc(time_col))
+    )
+    return (
+        series.withColumn("scaled_v", scaled)
+        .withColumn("arr", arr)
+        .withColumn("rn_desc", recency)
+        .filter(F.size("arr") == lookback + 1)
+        .filter(F.col("rn_desc") <= max_windows_per_group)
+        .select(
+            group_col,
+            F.slice("arr", 1, lookback).alias("x"),
+            F.element_at("arr", lookback + 1).alias("y"),
+        )
+    )
+
+
+def train_lstm_on_series(
+    series: DataFrame,
+    group_col: str = "user_id",
+    time_col: str = "day",
+    value_col: str = "value",
+    lookback: int = 14,
+    hidden_size: int = 16,
+    epochs: int = 20,
+    batch_size: int = 64,
+    seed: int = 7,
+) -> tuple["NumpyLSTM", list[float]]:
+    """End-to-end M4: distributed window building (Spark), then
+    numpy-BPTT training on the collected window set — the reference's
+    single-node train loop with Spark doing the data prep the
+    reference does in pandas. The collect is bounded by
+    ``max_windows_per_group`` × group count (the same bound the
+    reference's sequence cap imposes); at larger scale the same
+    windows feed TorchDistributor when torch exists.
+
+    Returns (trained model, per-epoch losses)."""
+    wins = build_training_windows(
+        series, group_col, time_col, value_col, lookback
+    ).collect()
+    X = np.array([r["x"] for r in wins], dtype=np.float64).reshape(
+        len(wins), lookback, 1
+    )
+    y = np.array([r["y"] for r in wins], dtype=np.float64)
+    model = NumpyLSTM(hidden_size=hidden_size, seed=seed)
+    losses = model.train(X, y, epochs=epochs, batch_size=batch_size, seed=seed)
+    return model, losses
 
 
 def daily_user_series(events: DataFrame) -> DataFrame:

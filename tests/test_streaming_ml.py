@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import shutil
 
+import numpy as np
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -518,3 +520,90 @@ def test_degenerate_inputs_do_not_crash(spark):
     assert len(rows) == 3  # empty/null text -> null ratios, no x/0 error
     scrubbed = scrub_documents(degenerate.fillna({"text": ""})).collect()
     assert len(scrubbed) == 3
+
+
+class TestNumpyLSTMTraining:
+    """M4 full: numpy BPTT must be a CORRECT gradient (checked
+    against central-difference numerical gradients) and must actually
+    learn (loss descent on a learnable series)."""
+
+    def test_bptt_gradients_match_numerical(self):
+        import numpy as np
+
+        m = forecast.NumpyLSTM(hidden_size=3, num_layers=2, seed=11)
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(4, 5, 1))
+        y = rng.normal(size=4)
+        pred, ctx = m._forward_batch(X)
+        _, grads = m._backward(pred, y, ctx)
+
+        def loss_at():
+            p, _ = m._forward_batch(X)
+            return float(np.mean((p.reshape(-1) - y) ** 2))
+
+        eps = 1e-6
+        for name in grads:
+            analytic = np.asarray(grads[name])
+            param = m._get(name)
+            flat = param.reshape(-1)
+            # spot-check a handful of coordinates per tensor
+            idxs = rng.choice(flat.size, size=min(6, flat.size), replace=False)
+            for j in idxs:
+                orig = flat[j]
+                flat[j] = orig + eps
+                lp = loss_at()
+                flat[j] = orig - eps
+                lm = loss_at()
+                flat[j] = orig
+                num = (lp - lm) / (2 * eps)
+                ana = analytic.reshape(-1)[j]
+                assert abs(num - ana) <= 1e-5 * max(1.0, abs(num), abs(ana)), (
+                    name, j, num, ana,
+                )
+
+    def test_forward_batch_matches_forward(self):
+        import numpy as np
+
+        m = forecast.NumpyLSTM(hidden_size=8, num_layers=2, seed=5)
+        seqs = np.random.default_rng(1).uniform(size=(3, 9))
+        batch_pred, _ = m._forward_batch(seqs.reshape(3, 9, 1))
+        for b in range(3):
+            assert abs(m.forward(seqs[b]) - batch_pred[b, 0]) < 1e-12
+
+    def test_training_reduces_loss_and_is_deterministic(self):
+        import numpy as np
+
+        # learnable target: next value of a noiseless sine
+        t = np.arange(300)
+        y_series = (np.sin(t / 7.0) + 1.0) / 2.0
+        L = 10
+        X = np.stack([y_series[i : i + L] for i in range(len(t) - L)])
+        y = y_series[L:]
+        X = X.reshape(-1, L, 1)
+
+        m1 = forecast.NumpyLSTM(hidden_size=8, num_layers=2, seed=2)
+        losses1 = m1.train(X, y, epochs=12, batch_size=32, lr=3e-3, seed=0)
+        assert losses1[-1] < 0.25 * losses1[0], losses1
+        m2 = forecast.NumpyLSTM(hidden_size=8, num_layers=2, seed=2)
+        losses2 = m2.train(X, y, epochs=12, batch_size=32, lr=3e-3, seed=0)
+        assert losses1 == losses2  # bit-deterministic training
+
+    def test_train_on_spark_series(self, spark, sf_dir):
+        """End-to-end: Spark-side window building over the events
+        series feeds the numpy trainer; windows are scaled per group
+        and capped; training runs and descends."""
+        from mspr2_back_spark.ml.forecast import daily_user_series
+
+        events = load_table(spark, sf_dir, "events")
+        series = daily_user_series(events).filter(F.col("user_id") < 10)
+        model, losses = forecast.train_lstm_on_series(
+            series, lookback=6, hidden_size=4, epochs=8, batch_size=64
+        )
+        assert len(losses) == 8
+        assert losses[-1] < losses[0]
+        # the trained model slots into the serving loop
+        out = forecast._fit_predict_lstm(
+            np.linspace(1.0, 50.0, 40), lookback=6, horizon=3, model=model
+        )
+        assert out.shape == (3,) and np.isfinite(out).all()
+
