@@ -78,3 +78,59 @@ def mixture_sample(
     # ROUNDS in some engines' CAST (DuckDB), so non-dyadic rates
     # (0.1 * 65536 = 6553.6) would disagree on boundary buckets.
     return df.filter(bucket < F.floor(rate_col * 65536).cast("int"))
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_per_source: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-source token-budget curation: keep a deterministic random
+    subset of each source whose total token count stays within
+    ``budget_per_source`` — the capping step of a training-mix recipe
+    ("at most N tokens from each domain").
+
+    Selection is by whole md5 hash buckets, granted in bucket order
+    while the source's cumulative token count stays within budget —
+    NOT by a per-source sorted prefix scan. That choice is the 100 TB
+    design: the only shuffle aggregates (source, bucket) token sums —
+    at most ``sources × n_buckets`` rows regardless of corpus size —
+    the prefix sum runs over that tiny relation, and the per-source
+    cutoff joins back by broadcast so the final keep/drop is a
+    scan-side filter. Budget adherence is exact to bucket granularity
+    (expected overshoot ≤ one bucket ≈ corpus_tokens / n_buckets per
+    source); membership is content-keyed (md5 of the id), so reruns,
+    backfills, and engine swaps keep the identical subset.
+
+    Returns the kept docs with their token counts:
+    (source, doc_id, n_tokens, bucket).
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(F.expr(f"array_remove(split({text_col}, ' '), '')")).alias(
+            "n_tokens"
+        ),
+        portable_hash_bucket(F.col(id_col), salt, n_buckets).alias("bucket"),
+    )
+    hist = toks.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    cum = F.sum("bucket_tokens").over(
+        W.partitionBy("source").orderBy("bucket")
+    )
+    cutoffs = (
+        hist.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget_per_source)
+        .groupBy("source")
+        .agg(F.max("bucket").alias("cutoff_bucket"))
+    )
+    return toks.join(F.broadcast(cutoffs), "source").filter(
+        F.col("bucket") <= F.col("cutoff_bucket")
+    ).select("source", "doc_id", "n_tokens", "bucket")

@@ -484,3 +484,39 @@ FROM totals t LEFT JOIN kc USING (source)
 """
 )
 
+
+
+# Per-source token-budget curation: whole-md5-bucket selection in
+# bucket order while the cumulative token count fits the budget —
+# bucket expression character-identical to portable_hash_bucket
+# (n_buckets = 65536, so the full 4-nibble value IS the bucket).
+PIPELINE_ORACLE_SQL["token_budget_sample"] = """
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS INT) AS n_tokens,
+         CAST({bucket} AS INT) AS bucket
+  FROM (
+    SELECT source, doc_id, text,
+           md5(CAST(doc_id AS VARCHAR) || '|budget') AS h
+    FROM documents
+  )
+),
+hist AS (
+  SELECT source, bucket, CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+  FROM toks GROUP BY source, bucket
+),
+cum AS (
+  SELECT source, bucket,
+         SUM(bucket_tokens) OVER (PARTITION BY source ORDER BY bucket)
+           AS cum_tokens
+  FROM hist
+),
+cutoffs AS (
+  SELECT source, MAX(bucket) AS cutoff_bucket
+  FROM cum WHERE cum_tokens <= 800 GROUP BY source
+)
+SELECT t.source, t.doc_id, t.n_tokens, t.bucket
+FROM toks t JOIN cutoffs c ON t.source = c.source
+WHERE t.bucket <= c.cutoff_bucket
+""".format(bucket=_MD5_BUCKET)

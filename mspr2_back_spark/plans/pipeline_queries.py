@@ -340,6 +340,18 @@ def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation (800 tokens/source): the
+    training-mix capping step, selected by whole md5 hash buckets so
+    the only corpus-sized work is one (source, bucket) aggregation
+    and the keep/drop is a scan-side broadcast-joined filter (see
+    operators/sampling.py::token_budget_sample for the 100 TB
+    rationale)."""
+    from mspr2_back_spark.operators.sampling import token_budget_sample as tbs
+
+    return tbs(load_table(spark, sf_dir, "documents"), budget_per_source=800)
+
+
 PIPELINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -364,4 +376,5 @@ PIPELINE_QUERIES = {
     "quality_filter": quality_filter,
     "dedup_gate": dedup_gate,
     "dedup_corpus_summary": dedup_corpus_summary,
+    "token_budget_sample": token_budget_sample,
 }

@@ -648,3 +648,45 @@ def test_ngram_jaccard_cap_preserves_pairs(spark):
     )
     assert len(uncapped) > 0
     assert capped == uncapped
+
+
+def test_token_budget_sample_adherence(spark, sf_dir):
+    """Budget is respected per source to bucket granularity: kept
+    tokens <= budget, and adding the NEXT bucket would exceed it
+    (maximality); membership is partition-count invariant."""
+    from mspr2_back_spark.operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 800
+    kept = token_budget_sample(docs, budget).collect()
+    assert kept
+    per_source = {}
+    for r in kept:
+        per_source.setdefault(r.source, []).append(r)
+    # token totals per (source, bucket) over the FULL corpus
+    full = (
+        token_budget_sample(docs, 10**9)  # budget never binds
+        .groupBy("source", "bucket")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .collect()
+    )
+    buckets = {}
+    for r in full:
+        buckets.setdefault(r.source, {})[r.bucket] = r.bt
+    for source, rows in per_source.items():
+        total = sum(r.n_tokens for r in rows)
+        assert total <= budget, (source, total)
+        cutoff = max(r.bucket for r in rows)
+        nxt = [b for b in buckets[source] if b > cutoff]
+        if nxt:  # maximal: the next occupied bucket would overflow
+            assert total + buckets[source][min(nxt)] > budget, source
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, token_budget_sample(docs, budget).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, token_budget_sample(docs, budget).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b == sorted(map(tuple, kept))

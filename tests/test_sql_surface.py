@@ -45,6 +45,7 @@ DUCKDB_ONLY = {
     "pii_scrub",  # regexp_replace 'g' flag, len(regexp_extract_all)
     "dedup_incremental",  # list macros in the shingle CTE
     "source_mixture_sample",  # strpos nibble bucket (Spark side uses conv())
+    "token_budget_sample",  # strpos nibble bucket + list_filter
     "quality_filter",  # composes list-macro CTEs
     "user_event_sequences",  # list(x ORDER BY ...) aggregate
     "dedup_gate",  # list macros in the simhash CTE
