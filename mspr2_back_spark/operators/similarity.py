@@ -237,6 +237,79 @@ def hyperplane_buckets(
     return vectors.select(F.col(id_col), F.expr(bucket).cast("int").alias("bucket"))
 
 
+def lsh_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 18,
+    bands: int = 3,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs: the 100 TB escape from
+    ``cosine_pairs``' all-pairs quadratic, structured exactly like
+    the MinHash pipeline (operators/dedup.py::minhash_lsh_pairs).
+
+    ``n_planes`` sign-projection bits are split into ``bands`` bands
+    of r = n_planes/bands bits; vectors sharing ANY band's bucket
+    become candidates (one shuffle to the banded buckets, in-place
+    sorted pair expansion — never a self-join); candidates are then
+    verified by the exact fold-order cosine, so every emitted pair is
+    true. Recall per pair at angle θ is 1 − (1 − (1 − θ/π)^r)^b —
+    approximate BY CONSTRUCTION (tune bands/r to the threshold);
+    the oracle mirrors the identical md5-derived planes, so the
+    bucketed semantics are still bit-checkable.
+
+    At scale: bucket cardinality is bands × 2^r; per-bucket expansion
+    is quadratic only within a bucket, and wide embedding arrays
+    never enter the band shuffle — the verify joins fetch them by id
+    for the (few) candidates only.
+    """
+    rows = n_planes // bands
+    band_exprs = [
+        " + ".join(
+            f"({_hyperplane_sign('embedding', b * rows + r, dim)} * {1 << r})"
+            for r in range(rows)
+        )
+        for b in range(bands)
+    ]
+    banded = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.array(*[F.expr(e).cast("int") for e in band_exprs])
+        ).alias("band_idx", "bucket"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "bucket")
+        .agg(F.array_sort(F.collect_list("vid")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expansion = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> named_struct('vec_id_1', x, 'vec_id_2', y))))"
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(pair_expansion)).alias("p"))
+        .select("p.vec_id_1", "p.vec_id_2")
+        .dropDuplicates(["vec_id_1", "vec_id_2"])
+    )
+    e1 = vectors.select(
+        F.col(id_col).alias("vec_id_1"), F.col("embedding").alias("emb1")
+    )
+    e2 = vectors.select(
+        F.col(id_col).alias("vec_id_2"), F.col("embedding").alias("emb2")
+    )
+    cos = F.round(
+        dot_col("emb1", "emb2") / (norm_col("emb1") * norm_col("emb2")), 6
+    )
+    return (
+        cand.join(e1, "vec_id_1")
+        .join(e2, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_id: int,

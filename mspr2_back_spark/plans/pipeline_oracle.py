@@ -520,3 +520,52 @@ SELECT t.source, t.doc_id, t.n_tokens, t.bucket
 FROM toks t JOIN cutoffs c ON t.source = c.source
 WHERE t.bucket <= c.cutoff_bucket
 """.format(bucket=_MD5_BUCKET)
+
+
+# Bucketed embedding near-dup: banded sign-LSH candidates (bands of
+# 6 of 18 md5-derived planes — same sign rule as ann_lsh_topk's
+# _BUCKET) + exact fold-order cosine verify.
+def _band_bucket_sql(band: int, rows: int = 6, vec: str = "embedding") -> str:
+    return " + ".join(
+        f"({_hyperplane_sign_sql(band * rows + r, vec)} * {1 << r})"
+        for r in range(rows)
+    )
+
+
+PIPELINE_ORACLE_SQL["dedup_embedding_lsh"] = """
+WITH sb AS (
+  SELECT vec_id,
+         CAST({b0} AS INT) AS b0,
+         CAST({b1} AS INT) AS b1,
+         CAST({b2} AS INT) AS b2
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+  FROM sb a JOIN sb b
+    ON a.vec_id < b.vec_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+),
+nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (x, y) -> x + y)) AS nrm
+  FROM embeddings
+)
+SELECT c.vec_id_1, c.vec_id_2,
+       ROUND({dot} / (v1.nrm * v2.nrm), 6) AS cosine_sim
+FROM cand c
+JOIN nv v1 ON c.vec_id_1 = v1.vec_id
+JOIN nv v2 ON c.vec_id_2 = v2.vec_id
+WHERE ROUND({dot} / (v1.nrm * v2.nrm), 6) >= 0.45
+""".format(
+    b0=_band_bucket_sql(0),
+    b1=_band_bucket_sql(1),
+    b2=_band_bucket_sql(2),
+    dot=(
+        "list_reduce(list_transform(generate_series(1, 64), i -> "
+        "CAST(v1.embedding[i] AS DOUBLE) * CAST(v2.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    ),
+)

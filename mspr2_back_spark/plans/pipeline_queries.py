@@ -80,6 +80,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs (banded sign-LSH candidates
+    + exact cosine verify) — the scale path next to the exact
+    all-pairs dedup_embedding_cosine. Same 0.45 threshold, so the
+    output is the recall-limited subset of the exact pair set; the
+    oracle mirrors the identical md5-derived planes, making the
+    bucketed semantics bit-checkable."""
+    return similarity.lsh_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
+    )
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for a stored query vector."""
     return similarity.brute_force_topk(
@@ -358,6 +370,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "text_lang_id": text_lang_id,

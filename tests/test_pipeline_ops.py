@@ -690,3 +690,23 @@ def test_token_budget_sample_adherence(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b == sorted(map(tuple, kept))
+
+
+def test_lsh_cosine_pairs_subset_of_exact(spark, sf_dir):
+    """Bucketed embedding dedup: every emitted pair must appear in
+    the exact all-pairs result with the identical rounded cosine
+    (verify-exactness); recall is bucket-limited by design but must
+    be non-trivial at the registered parameters."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_id_1, r.vec_id_2): r.cosine_sim
+        for r in similarity.cosine_pairs(vecs, 0.45, block_size=256).collect()
+    }
+    lsh = {
+        (r.vec_id_1, r.vec_id_2): r.cosine_sim
+        for r in similarity.lsh_cosine_pairs(vecs, 0.45).collect()
+    }
+    assert lsh, "LSH found no pairs at the registered parameters"
+    for pair, sim in lsh.items():
+        assert pair in exact, pair
+        assert abs(sim - exact[pair]) < 1e-9, pair

@@ -25,6 +25,7 @@ DUCKDB_ONLY = {
     "events_in_windows",  # range(n) table function
     "date_spine",  # unnest(range(...))
     "dedup_embedding_cosine",  # list_reduce
+    "dedup_embedding_lsh",  # list_reduce plane projections
     "dedup_minhash_lsh",  # list macros in the jaccard CTE
     "dedup_ngram_jaccard",  # list macros in the jaccard CTE
     "dedup_simhash",  # list_filter
