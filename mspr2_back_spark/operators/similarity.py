@@ -80,6 +80,44 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def _block_pair_scorer(slack: float):
+    """mapInPandas scorer over packed block pairs: normalize both
+    blocks, one BLAS matmul, keep (a < b, sim >= slack). Shared by
+    the unbucketed (`cosine_pairs`) and per-cell
+    (`cell_cosine_pairs`) verifiers."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for a_ids_c, a_mat_c, b_ids_c, b_mat_c in zip(
+                pdf["a_ids"], pdf["a_mat"], pdf["b_ids"], pdf["b_mat"]
+            ):
+                a_ids = np.asarray(a_ids_c, dtype=np.int64)
+                a_mat = np.array(list(a_mat_c), dtype=np.float64)
+                a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+                b_ids = np.asarray(b_ids_c, dtype=np.int64)
+                b_mat = np.array(list(b_mat_c), dtype=np.float64)
+                b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+                sims = a_mat @ b_mat.T
+                keep = (sims >= slack) & (a_ids[:, None] < b_ids[None, :])
+                ai, bj = np.nonzero(keep)
+                out_a.append(a_ids[ai])
+                out_b.append(b_ids[bj])
+                out_s.append(sims[ai, bj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_id_1": np.concatenate(out_a),
+                        "vec_id_2": np.concatenate(out_b),
+                        "raw_sim": np.concatenate(out_s),
+                    }
+                )
+
+    return score
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -111,9 +149,6 @@ def cosine_pairs(
     is applied Spark-side — output is bit-identical to the
     broadcast-index formulation this replaces.
     """
-    import numpy as np
-    import pandas as pd
-
     blk = F.floor(F.col(id_col) / block_size).cast("bigint")
     packed = (
         vectors.select(blk.alias("blk"), id_col, "embedding")
@@ -161,37 +196,105 @@ def cosine_pairs(
         .join(b_side, "bb")
         .select("a_ids", "a_mat", "b_ids", "b_mat")
     )
-    slack = threshold - 1e-6  # numpy prune; exact round+filter is Spark-side
-
-    def score(batches):
-        for pdf in batches:
-            out_a, out_b, out_s = [], [], []
-            for a_ids_c, a_mat_c, b_ids_c, b_mat_c in zip(
-                pdf["a_ids"], pdf["a_mat"], pdf["b_ids"], pdf["b_mat"]
-            ):
-                a_ids = np.asarray(a_ids_c, dtype=np.int64)
-                a_mat = np.array(list(a_mat_c), dtype=np.float64)
-                a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-                b_ids = np.asarray(b_ids_c, dtype=np.int64)
-                b_mat = np.array(list(b_mat_c), dtype=np.float64)
-                b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-                sims = a_mat @ b_mat.T
-                keep = (sims >= slack) & (a_ids[:, None] < b_ids[None, :])
-                ai, bj = np.nonzero(keep)
-                out_a.append(a_ids[ai])
-                out_b.append(b_ids[bj])
-                out_s.append(sims[ai, bj])
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "vec_id_1": np.concatenate(out_a),
-                        "vec_id_2": np.concatenate(out_b),
-                        "raw_sim": np.concatenate(out_s),
-                    }
-                )
-
     scored = paired.mapInPandas(
-        score, schema="vec_id_1 BIGINT, vec_id_2 BIGINT, raw_sim DOUBLE"
+        _block_pair_scorer(threshold - 1e-6),  # numpy prune; exact round+filter Spark-side
+        schema="vec_id_1 BIGINT, vec_id_2 BIGINT, raw_sim DOUBLE",
+    )
+    return (
+        scored.select(
+            "vec_id_1", "vec_id_2", F.round("raw_sim", 6).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cell_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    block_size: int = 4096,
+    dim: int = DIM,
+) -> DataFrame:
+    """Cell-bucketed exact near-dup pairs — the 100 TB composition
+    SCALING.md's LSH measurement points to: partition the corpus into
+    2^n_planes hyperplane cells, then run the BLAS block-pair
+    verifier WITHIN each cell only.
+
+    Cost drops from all-pairs N²·d to Σ_cell |cell|²·d (≈ N²·d /
+    2^n_planes under balance) while every stage keeps
+    `cosine_pairs`' properties: packed id-sorted blocks, tiny
+    (cell, block)-pair key relation broadcast onto the packed blocks,
+    one numpy matmul per surviving block pair, per-task memory of two
+    blocks. Recall is cell-limited (a qualifying pair split across
+    cells is missed — single-probe semantics); cells are md5-derived
+    hyperplane buckets, so the oracle reproduces membership exactly
+    and the output is bit-checkable.
+
+    Size cells to ~10⁴–10⁵ vectors (n_planes ≈ log2(N/cell_target)).
+    Recall per pair is (1 − θ/π)^n_planes — at equal bits this is
+    comparable to one band of sign-LSH, NOT better; what the cell
+    composition buys is VERIFICATION THROUGHPUT: candidates are
+    scored by block matmul (~183M pairs/s measured) instead of
+    per-row array folds (~0.3M/s), so at 16x scale it runs 40x
+    faster than banded LSH at similar recall, and 4x faster than
+    unbucketed exact while touching 1/2^n_planes of the pair space
+    (SCALING.md). When moderate-θ recall matters, refine with
+    data-adapted IVF cells or multi-probe over these cells — the
+    verifier is shared either way.
+    """
+    cells = hyperplane_buckets(vectors, n_planes, dim, id_col).select(
+        id_col, F.col("bucket").alias("cell")
+    )
+    vc = vectors.join(cells, id_col)
+    blk = F.floor(F.col(id_col) / block_size).cast("bigint")
+    packed = (
+        vc.select("cell", blk.alias("blk"), id_col, "embedding")
+        .groupBy("cell", "blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("vid"), F.col("embedding").alias("emb"))
+                )
+            ).alias("vecs")
+        )
+        .select(
+            "cell",
+            "blk",
+            F.expr("transform(vecs, v -> v.vid)").alias("ids"),
+            F.expr("transform(vecs, v -> v.emb)").alias("mat"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    packed = packed.persist(StorageLevel.MEMORY_AND_DISK)
+    blk_ids = packed.select("cell", "blk")
+    pair_keys = (
+        blk_ids.withColumnRenamed("blk", "ba")
+        .join(F.broadcast(blk_ids.withColumnRenamed("blk", "bb")), "cell")
+        .filter(F.col("ba") <= F.col("bb"))
+    )
+    a_side = packed.select(
+        F.col("cell"),
+        F.col("blk").alias("ba"),
+        F.col("ids").alias("a_ids"),
+        F.col("mat").alias("a_mat"),
+    )
+    b_side = packed.select(
+        F.col("cell"),
+        F.col("blk").alias("bb"),
+        F.col("ids").alias("b_ids"),
+        F.col("mat").alias("b_mat"),
+    )
+    paired = (
+        F.broadcast(pair_keys)
+        .join(a_side, ["cell", "ba"])
+        .join(b_side, ["cell", "bb"])
+        .select("a_ids", "a_mat", "b_ids", "b_mat")
+    )
+    scored = paired.mapInPandas(
+        _block_pair_scorer(threshold - 1e-6),
+        schema="vec_id_1 BIGINT, vec_id_2 BIGINT, raw_sim DOUBLE",
     )
     return (
         scored.select(
@@ -255,14 +358,24 @@ def lsh_cosine_pairs(
     sorted pair expansion — never a self-join); candidates are then
     verified by the exact fold-order cosine, so every emitted pair is
     true. Recall per pair at angle θ is 1 − (1 − (1 − θ/π)^r)^b —
-    approximate BY CONSTRUCTION (tune bands/r to the threshold);
-    the oracle mirrors the identical md5-derived planes, so the
-    bucketed semantics are still bit-checkable.
+    approximate BY CONSTRUCTION; the oracle mirrors the identical
+    md5-derived planes, so the bucketed semantics are bit-checkable.
 
-    At scale: bucket cardinality is bands × 2^r; per-bucket expansion
-    is quadratic only within a bucket, and wide embedding arrays
-    never enter the band shuffle — the verify joins fetch them by id
-    for the (few) candidates only.
+    SIZING RULE (measured in SCALING.md): r must grow with the
+    corpus — r ≈ log2(N / b̄) for a target mean bucket size b̄
+    (~8–16), else the in-bucket expansion is quadratic in N/2^r and
+    the all-pairs BLAS verifier (``cosine_pairs``) is simply faster.
+    The r=6 default fits ~500–2000 vectors (the registered sf0.01
+    query); and because per-bit collision is (1 − θ/π), deep r only
+    retains recall at HIGH thresholds (θ small) — sign-LSH at
+    moderate thresholds (0.45) is candidate-starved at scale, which
+    is why the scale story for moderate-threshold dedup is IVF cells
+    or ``hyperplane_buckets`` + per-cell ``cosine_pairs``, not
+    deeper banding.
+
+    At scale: bucket cardinality is bands × 2^r; wide embedding
+    arrays never enter the band shuffle — the verify joins fetch
+    them by id for the candidates only.
     """
     rows = n_planes // bands
     band_exprs = [

@@ -569,3 +569,21 @@ WHERE ROUND({dot} / (v1.nrm * v2.nrm), 6) >= 0.45
         "(x, y) -> x + y)"
     ),
 )
+
+
+# Cell-bucketed exact pairs: 4-plane hyperplane cells (same sign rule
+# as _BUCKET), exact cosine within cells only.
+_CELL4 = " + ".join(
+    f"({_hyperplane_sign_sql(p)} * {1 << p})" for p in range(4)
+)
+PIPELINE_ORACLE_SQL["dedup_embedding_cells"] = (
+    _NORM_CTE
+    + """
+, vc AS (SELECT vec_id, embedding, nrm, CAST({cell} AS INT) AS cell FROM v)
+SELECT vec_id_1, vec_id_2, cosine_sim FROM (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+) WHERE cosine_sim >= 0.45
+""".format(cell=_CELL4, dot=_PAIR_DOT)
+)

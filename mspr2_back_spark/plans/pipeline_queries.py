@@ -92,6 +92,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed exact embedding near-dup pairs: hyperplane cells
+    (16 at sf0.01) + the BLAS block-pair verifier run within each
+    cell — the moderate-threshold 100 TB dedup composition (see
+    operators/similarity.py::cell_cosine_pairs and the SCALING.md
+    LSH-vs-cells analysis)."""
+    return similarity.cell_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        COSINE_PAIR_THRESHOLD,
+        n_planes=4,
+        block_size=256,
+    )
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for a stored query vector."""
     return similarity.brute_force_topk(
@@ -371,6 +385,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_cells": dedup_embedding_cells,
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "text_lang_id": text_lang_id,

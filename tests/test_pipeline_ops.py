@@ -710,3 +710,35 @@ def test_lsh_cosine_pairs_subset_of_exact(spark, sf_dir):
     for pair, sim in lsh.items():
         assert pair in exact, pair
         assert abs(sim - exact[pair]) < 1e-9, pair
+
+
+def test_cell_cosine_pairs_subset_and_better_recall_than_lsh(spark, sf_dir):
+    """Cell-bucketed exact verify: every emitted pair is in the exact
+    all-pairs set with the identical cosine, block decomposition is
+    an execution detail, and at the moderate 0.45 threshold the cell
+    composition retains at least as many pairs as the banded
+    sign-LSH (the SCALING.md regime analysis)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_id_1, r.vec_id_2): r.cosine_sim
+        for r in similarity.cosine_pairs(vecs, 0.45, block_size=256).collect()
+    }
+    cells = {
+        (r.vec_id_1, r.vec_id_2): r.cosine_sim
+        for r in similarity.cell_cosine_pairs(
+            vecs, 0.45, n_planes=4, block_size=256
+        ).collect()
+    }
+    assert cells, "cell verifier found no pairs"
+    for pair, sim in cells.items():
+        assert pair in exact and abs(sim - exact[pair]) < 1e-9, pair
+    # block size must not change membership
+    cells_b64 = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in similarity.cell_cosine_pairs(
+            vecs, 0.45, n_planes=4, block_size=64
+        ).collect()
+    }
+    assert cells_b64 == set(cells)
+    lsh = similarity.lsh_cosine_pairs(vecs, 0.45).count()
+    assert len(cells) >= lsh

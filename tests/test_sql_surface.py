@@ -26,6 +26,7 @@ DUCKDB_ONLY = {
     "date_spine",  # unnest(range(...))
     "dedup_embedding_cosine",  # list_reduce
     "dedup_embedding_lsh",  # list_reduce plane projections
+    "dedup_embedding_cells",  # list_reduce plane projections
     "dedup_minhash_lsh",  # list macros in the jaccard CTE
     "dedup_ngram_jaccard",  # list macros in the jaccard CTE
     "dedup_simhash",  # list_filter
