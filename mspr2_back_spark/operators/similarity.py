@@ -215,6 +215,7 @@ def cell_cosine_pairs(
     id_col: str = "vec_id",
     block_size: int = 4096,
     dim: int = DIM,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Cell-bucketed exact near-dup pairs — the 100 TB composition
     SCALING.md's LSH measurement points to: partition the corpus into
@@ -239,13 +240,34 @@ def cell_cosine_pairs(
     per-row array folds (~0.3M/s), so at 16x scale it runs 40x
     faster than banded LSH at similar recall, and 4x faster than
     unbucketed exact while touching 1/2^n_planes of the pair space
-    (SCALING.md). When moderate-θ recall matters, refine with
-    data-adapted IVF cells or multi-probe over these cells — the
-    verifier is shared either way.
+    (SCALING.md).
+
+    ``multi_probe=True`` is the moderate-θ recall fix: every vector
+    is additionally replicated into its n_planes Hamming-1 neighbor
+    cells, which makes the candidate set exactly the pairs whose
+    sign vectors differ in ≤ 2 bits — recall jumps from
+    (1 − θ/π)^p to P[Binom(p, θ/π) ≤ 2] (0.18 → 0.87 at θ≈63°,
+    p=4) for a (p+1)× replication of the packed blocks. Duplicate
+    scores from shared probe cells are dropped before the exact
+    round+threshold, so output values are identical to the exact
+    verifier's on every emitted pair.
     """
     cells = hyperplane_buckets(vectors, n_planes, dim, id_col).select(
         id_col, F.col("bucket").alias("cell")
     )
+    if multi_probe:
+        # home cell + every Hamming-1 flip: two vectors then share
+        # ≥1 cell iff their sign vectors differ in ≤ 2 bits.
+        probes = F.array(
+            F.col("cell"),
+            *[
+                F.col("cell").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+        cells = cells.select(
+            id_col, F.explode(probes).alias("cell")
+        )
     vc = vectors.join(cells, id_col)
     blk = F.floor(F.col(id_col) / block_size).cast("bigint")
     packed = (
@@ -296,6 +318,10 @@ def cell_cosine_pairs(
         _block_pair_scorer(threshold - 1e-6),
         schema="vec_id_1 BIGINT, vec_id_2 BIGINT, raw_sim DOUBLE",
     )
+    if multi_probe:
+        # the same pair can surface from several shared probe cells
+        # (identical raw_sim each time — same normalized inputs)
+        scored = scored.dropDuplicates(["vec_id_1", "vec_id_2"])
     return (
         scored.select(
             "vec_id_1", "vec_id_2", F.round("raw_sim", 6).alias("cosine_sim")

@@ -742,3 +742,31 @@ def test_cell_cosine_pairs_subset_and_better_recall_than_lsh(spark, sf_dir):
     assert cells_b64 == set(cells)
     lsh = similarity.lsh_cosine_pairs(vecs, 0.45).count()
     assert len(cells) >= lsh
+
+
+def test_cell_cosine_pairs_multi_probe_recall(spark, sf_dir):
+    """Hamming-1 multi-probe: candidates become exactly the pairs
+    whose sign vectors differ in <= 2 bits, so recall strictly
+    dominates single-probe; every emitted value still matches the
+    exact verifier bit-for-bit."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_id_1, r.vec_id_2): r.cosine_sim
+        for r in similarity.cosine_pairs(vecs, 0.45, block_size=256).collect()
+    }
+    single = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in similarity.cell_cosine_pairs(
+            vecs, 0.45, n_planes=4, block_size=256
+        ).collect()
+    }
+    multi = {
+        (r.vec_id_1, r.vec_id_2): r.cosine_sim
+        for r in similarity.cell_cosine_pairs(
+            vecs, 0.45, n_planes=4, block_size=256, multi_probe=True
+        ).collect()
+    }
+    assert single <= set(multi)  # probing only adds candidates
+    assert len(multi) > len(single)
+    for pair, sim in multi.items():
+        assert pair in exact and abs(sim - exact[pair]) < 1e-9, pair
