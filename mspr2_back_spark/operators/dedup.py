@@ -234,25 +234,23 @@ def minhash_lsh_pairs(
     # semantically identical.
     per_doc = with_shingles(_spread(docs), id_col).persist(StorageLevel.MEMORY_AND_DISK)
     per_doc.count()  # eager: populate once, before branches race to compute it
-    # Hash each shingle STRING once, then derive the per-slot hashes
-    # by re-hashing the resulting 8-byte long with the slot index:
-    # hashing ~30-char strings num_hashes times was the signature
-    # stage's dominant cost; hashing a fixed-width long is ~free.
-    hashed = per_doc.select(
-        "doc", F.explode_outer("shingles").alias("s")
-    ).select(
-        "doc", F.xxhash64("s").alias("hs")
+    # Signatures are computed ENTIRELY scan-side: hash each shingle
+    # STRING once, then derive per-slot hashes by re-hashing the
+    # 8-byte long with the slot index (hashing ~30-char strings
+    # num_hashes times was the dominant cost; re-hashing a long is
+    # ~free), with the per-slot minimum taken by array_min INSIDE the
+    # row. This replaces the previous explode → 32-column → groupBy
+    # formulation: identical signatures (verified bit-equal), but the
+    # signature shuffle disappears entirely — measured 2x faster at
+    # sf0.1, and at cluster scale it removes a corpus-sized exchange.
+    sig = per_doc.select(
+        "doc", F.expr("transform(shingles, s -> xxhash64(s))").alias("hs")
     ).select(
         "doc",
-        *[F.xxhash64(F.col("hs"), F.lit(k)).alias(f"h{k}") for k in range(num_hashes)],
-    )
-    # Per-slot min-hashes as a plain codegen'd hash aggregate (partial
-    # agg collapses before the one shuffle this needs). Keeping it
-    # separate from any collect_list agg matters: mixing them forces
-    # a non-codegen ObjectHashAggregate with sort fallback, ~3x
-    # slower when benchmarked.
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_hashes)]
+        *[
+            F.expr(f"array_min(transform(hs, h -> xxhash64(h, {k})))").alias(f"h{k}")
+            for k in range(num_hashes)
+        ],
     )
     banded = sig.select(
         "doc",
