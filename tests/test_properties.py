@@ -194,3 +194,83 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows, value
         for r in expected_df.itertuples()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # source id
+            st.lists(
+                st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    budget=st.integers(min_value=1, max_value=60),
+)
+@_settings
+def test_token_budget_sample_properties(spark, docs, budget):
+    """token_budget_sample (r4): kept tokens per source never exceed
+    the budget; membership is deterministic and a subset of the
+    corpus; empty-text docs cost 0 tokens and never break adherence."""
+    from mspr2_back_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        (i, f"src{s}", " ".join(words)) for i, (s, words) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = token_budget_sample(df, budget).collect()
+    per_source: dict[str, int] = {}
+    ids = set()
+    for r in kept:
+        per_source[r.source] = per_source.get(r.source, 0) + r.n_tokens
+        ids.add(r.doc_id)
+    assert ids <= {r[0] for r in rows}
+    for source, total in per_source.items():
+        assert total <= budget, (source, total)
+    again = {r.doc_id for r in token_budget_sample(df, budget).collect()}
+    assert again == ids
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("w1 w2 w3 w4 w5 w6".split()),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    cap=st.integers(min_value=1, max_value=20),
+)
+@_settings
+def test_ngram_jaccard_cap_subset_property(spark, texts, cap):
+    """ngram_jaccard_pairs (r4 rework): for ANY cap, every emitted
+    pair carries the exact uncapped Jaccard value (the hot-set
+    correction), and a cap >= n_docs (no shingle can exceed it) is a
+    strict no-op — including the empty-hot-set broadcast edge."""
+    from mspr2_back_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in ngram_jaccard_pairs(df, 0.3).collect()
+    }
+    capped = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in ngram_jaccard_pairs(df, 0.3, max_doc_freq=cap).collect()
+    }
+    for pair, j in capped.items():
+        assert pair in exact and abs(j - exact[pair]) < 1e-12, pair
+    generous = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, 0.3, max_doc_freq=len(rows)
+        ).collect()
+    }
+    assert generous == exact
