@@ -587,3 +587,14 @@ SELECT vec_id_1, vec_id_2, cosine_sim FROM (
 ) WHERE cosine_sim >= 0.45
 """.format(cell=_CELL4, dot=_PAIR_DOT)
 )
+
+
+# Exact-fingerprint dup buckets over the simhash table.
+PIPELINE_ORACLE_SQL["simhash_bucket_stats"] = (
+    "WITH fp AS (SELECT * FROM ("
+    + _SIMHASH_SQL
+    + """))
+SELECT simhash, COUNT(*) AS bucket_size, MIN(doc_id) AS min_doc_id
+FROM fp GROUP BY simhash
+"""
+)

@@ -68,6 +68,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fingerprint dup buckets over the SimHash table: bucket
+    size + representative (min) doc per fingerprint — the grouping
+    step between fingerprinting and Hamming-ball candidate probing."""
+    return dedup.simhash_buckets(load_table(spark, sf_dir, "documents"))
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs verifier).
 
@@ -383,6 +390,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "simhash_bucket_stats": simhash_bucket_stats,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_cells": dedup_embedding_cells,
