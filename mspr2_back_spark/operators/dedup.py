@@ -334,6 +334,80 @@ def simhash_buckets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    bits: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-match pair generation over SimHash fingerprints: all
+    pairs within ``max_hamming`` bit flips, found by pigeonhole
+    banding + exact Hamming verification.
+
+    The fingerprint's ``bits`` are split into ``bands`` equal bands;
+    if two fingerprints differ in ≤ max_hamming bits then at most
+    max_hamming bands are touched, so with bands > max_hamming the
+    pair MUST agree exactly on ≥ 1 band — single-band buckets are a
+    complete candidate generator (recall 1.0, unlike the similarity
+    LSH families). Candidates expand in-bucket (sorted list, never a
+    self-join), then exact ``bit_count(xor)`` keeps true pairs.
+
+    Scale note: bucket count per band is 2^(bits/bands) — at the
+    portable 16-bit fingerprint that is 16 per band, fine for test
+    corpora but quadratic-in-bucket at corpus scale; production runs
+    widen the fingerprint (64-bit, 4 bands of 16) so buckets stay
+    small. The plan shape (band shuffle + in-bucket expansion +
+    verify) is band-width-invariant.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    width = bits // bands
+    fp = simhash_fingerprints(docs, id_col)
+    banded = fp.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias(f"b{b}")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc"), F.col("simhash")))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pair_expansion = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> named_struct('doc_id_1', x.doc, 'sh1', x.simhash, "
+        "'doc_id_2', y.doc, 'sh2', y.simhash))))"
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(pair_expansion)).alias("p"))
+        .select("p.doc_id_1", "p.doc_id_2", "p.sh1", "p.sh2")
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        cand.select("doc_id_1", "doc_id_2", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_id_1",

@@ -598,3 +598,19 @@ SELECT simhash, COUNT(*) AS bucket_size, MIN(doc_id) AS min_doc_id
 FROM fp GROUP BY simhash
 """
 )
+
+
+# SimHash Hamming-ball pairs: the oracle takes the O(N^2) inequality
+# join (cheap at oracle scale) over the same fingerprint CTE; the
+# Spark side's banded candidates are COMPLETE for hamming <= 2 by
+# pigeonhole, so both sides emit the identical pair set.
+PIPELINE_ORACLE_SQL["simhash_near_pairs"] = (
+    "WITH fp AS (SELECT * FROM ("
+    + _SIMHASH_SQL
+    + """))
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+)

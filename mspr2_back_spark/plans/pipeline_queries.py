@@ -75,6 +75,13 @@ def simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_buckets(load_table(spark, sf_dir, "documents"))
 
 
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Hamming distance 2 of each other's
+    SimHash — pigeonhole-banded candidates (complete, recall 1.0)
+    + exact bit_count verify (operators/dedup.py)."""
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs verifier).
 
@@ -391,6 +398,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "simhash_bucket_stats": simhash_bucket_stats,
+    "simhash_near_pairs": simhash_near_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_cells": dedup_embedding_cells,

@@ -770,3 +770,28 @@ def test_cell_cosine_pairs_multi_probe_recall(spark, sf_dir):
     assert len(multi) > len(single)
     for pair, sim in multi.items():
         assert pair in exact and abs(sim - exact[pair]) < 1e-9, pair
+
+
+def test_simhash_near_pairs_complete(spark, sf_dir):
+    """Pigeonhole banding is a COMPLETE candidate generator for
+    hamming <= 2 (bands > max_hamming forces an exact band match):
+    the banded result must equal brute force over the fingerprints,
+    and bands <= max_hamming must be rejected."""
+    import itertools
+
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    brute = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a, b in itertools.combinations(sorted(fp), 2)
+        if bin(fp[a] ^ fp[b]).count("1") <= 2
+    }
+    banded = {
+        (r.doc_id_1, r.doc_id_2): r.hamming
+        for r in dedup.simhash_near_pairs(docs).collect()
+    }
+    assert banded == brute and len(brute) > 0
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs, max_hamming=4, bands=4)
