@@ -600,17 +600,27 @@ FROM fp GROUP BY simhash
 )
 
 
-# SimHash Hamming-ball pairs: the oracle takes the O(N^2) inequality
-# join (cheap at oracle scale) over the same fingerprint CTE; the
-# Spark side's banded candidates are COMPLETE for hamming <= 2 by
-# pigeonhole, so both sides emit the identical pair set.
-PIPELINE_ORACLE_SQL["simhash_near_pairs"] = (
+# SimHash Hamming-ball degree: the oracle takes the O(N^2)
+# inequality join (cheap at oracle scale) over the same fingerprint
+# CTE; the Spark side's banded candidates are COMPLETE for
+# hamming <= 2 by pigeonhole, so both sides aggregate the identical
+# pair set.
+PIPELINE_ORACLE_SQL["simhash_near_degree"] = (
     "WITH fp AS (SELECT * FROM ("
     + _SIMHASH_SQL
-    + """))
-SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    + """)),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+sym AS (
+  SELECT d1 AS doc_id, hamming FROM pairs
+  UNION ALL
+  SELECT d2 AS doc_id, hamming FROM pairs
+)
+SELECT doc_id, COUNT(*) AS n_near, CAST(MIN(hamming) AS INT) AS min_hamming
+FROM sym GROUP BY doc_id
 """
 )

@@ -75,11 +75,15 @@ def simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_buckets(load_table(spark, sf_dir, "documents"))
 
 
-def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs within Hamming distance 2 of each other's
-    SimHash — pigeonhole-banded candidates (complete, recall 1.0)
-    + exact bit_count verify (operators/dedup.py)."""
-    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+def simhash_near_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-duplicate degree under SimHash Hamming<=2
+    via the Hamming-ball probe join (operators/dedup.py::
+    simhash_near_degree) — corpus-linear even where the fingerprint
+    distribution is concentrated (this corpus yields 4.9M raw pairs
+    at sf0.1, which pair materialization would have to shuffle;
+    the probe join touches only corpus x 137 probe rows against the
+    broadcast fingerprint-count table)."""
+    return dedup.simhash_near_degree(load_table(spark, sf_dir, "documents"))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,7 +402,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "simhash_bucket_stats": simhash_bucket_stats,
-    "simhash_near_pairs": simhash_near_pairs,
+    "simhash_near_degree": simhash_near_degree,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_cells": dedup_embedding_cells,

@@ -795,3 +795,28 @@ def test_simhash_near_pairs_complete(spark, sf_dir):
     assert banded == brute and len(brute) > 0
     with _pytest.raises(ValueError):
         dedup.simhash_near_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_simhash_degree_matches_pair_aggregation(spark, sf_dir):
+    """The Hamming-ball probe join must equal degree aggregation over
+    the (complete) banded pair set — two independent formulations of
+    the same quantity."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs(docs)
+    sym = pairs.select(
+        F.col("doc_id_1").alias("doc_id"), "hamming"
+    ).unionAll(pairs.select(F.col("doc_id_2").alias("doc_id"), "hamming"))
+    from_pairs = {
+        (r.doc_id): (r.n_near, r.min_hamming)
+        for r in sym.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+        .collect()
+    }
+    from_probe = {
+        r.doc_id: (r.n_near, r.min_hamming)
+        for r in dedup.simhash_near_degree(docs).collect()
+    }
+    assert from_probe == from_pairs and len(from_probe) > 0
