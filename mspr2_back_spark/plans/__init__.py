@@ -22,76 +22,76 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-4 priorities:
-# 1. the 11 newly-registered analytics queries (no verdict yet);
-# 2. everything whose only verdict is from round 1 — including
-#    multimodal_frames, which had never entered the window;
-# 3. events_in_windows (red in r3, fixed by the NTZ reader
-#    normalization) and dedup_ngram_jaccard (registered form now
-#    capped);
-# 4. the event-time queries the NTZ normalization touches
-#    (asof_event_value, sessionize_events, user_event_sequences,
-#    dedup_gate).
+# (rotation history in COVERAGE.md).  Round-5 priorities:
+# 1. simhash_bucket_stats / simhash_near_degree — the only two
+#    registered queries that have NEVER carried a driver verdict
+#    (registered after the round-4 window was set);
+# 2. queries whose body changed this round (listed right after the
+#    never-swept block; any query registered mid-round is inserted
+#    here in the SAME commit that registers it — registration and
+#    rotation are one atomic edit);
+# 3. the remaining slots refresh the 48 queries whose latest verdict
+#    is round 3 (everything swept in round 4 keeps its r4 green).
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # new in round 4: plans/analytics.py registered
-    "customer_order_histogram",
-    "min_cost_supplier_per_part",
-    "revenue_share_by_nation",
-    "brand_supplier_counts",
-    "or_of_ands_revenue",
-    "waiting_orders_by_supplier",
+    # never swept — first-ever driver verdicts
+    "simhash_bucket_stats",
+    "simhash_near_degree",
+    # new / changed in round 5 (kept adjacent so mid-round inserts
+    # stay inside the 50-slot window; tail entries below rotate out
+    # one-for-one as these grow)
     "idle_customers_avg_bal",
-    "corpus_shuffle",
-    "ivf_cell_stats",
-    "bigram_pmi",
-    "embedding_norm_stats",
-    # never swept / red last round / changed this round
-    "multimodal_frames",
-    "events_in_windows",
-    "dedup_ngram_jaccard",
-    # last verdict is round 1
-    "latest_order_per_customer",
-    "value_lag_diff",
-    "yearly_orders_lag",
-    "region_yearly_lag",
-    "brand_surrogate_ids",
-    "rolling_sum3",
-    "top5_customers",
-    "orders_page",
-    "pagination_meta",
-    "table_preview",
-    "segment_decode",
-    "word_counts",
-    "date_spine",
-    "events_filtered",
-    "metric_projection",
-    "hourly_events",
-    "status_priority_rollup",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk",
-    "ann_lsh_topk",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "text_fingerprints",
-    "multimodal_meta",
-    "ml_forecast_ar",
-    "rollup_revenue",
-    "cube_order_stats",
-    "grouping_sets_sales",
-    "percentile_prices",
-    # most-timestamp-sensitive event-time query, re-verified after
-    # the NTZ normalization (the other event-time queries keep their
-    # r1–r3 green verdicts; the cast is value-identity and the
-    # in-repo simulator re-verifies all of them anyway)
-    "asof_event_value",
-    # new operators registered later in round 4
-    "token_budget_sample",
-    "dedup_embedding_lsh",
-    "dedup_embedding_cells",
+    # latest verdict is round 3 — refresh
+    "pricing_summary",
+    "global_totals",
+    "weekly_rollup",
+    "daily_timeseries",
+    "avg_by_segment",
+    "distinct_counts",
+    "max_year_orders",
+    "last_value_sum",
+    "revenue_by_nation",
+    "year_week_rollup_join",
+    "urgent_semijoin",
+    "props_extract",
+    "pct_negative_acctbal",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "repeated_spans",
+    "contamination_screen",
+    "pii_scrub",
+    "dedup_incremental",
+    "source_mixture_sample",
+    "quality_filter",
+    "dedup_gate",
+    "dedup_corpus_summary",
+    "sessionize_events",
+    "ann_ivf_topk",
+    "user_event_sequences",
+    "percentile_prices_refined",
+    "chunk_documents",
+    "approx_distinct_users",
+    "top3_orders_per_segment",
+    "shipping_priority",
+    "local_supplier_volume",
+    "above_avg_orders",
+    "window_frame_metrics",
+    "order_rank_metrics",
+    "status_pivot",
+    "pack_documents",
+    "scaled_user_values",
+    "price_histogram",
+    "hot_shingles",
+    "props_variant_stats",
+    "profile_orders",
+    "set_ops_nations",
+    "customer_order_coverage",
+    "customers_no_jumbo_order",
+    "crud_upsert",
+    "crud_delete",
+    # tail — rotates out first when round-5 registrations grow the
+    # "new / changed" block above
+    "crud_point_lookup",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"
