@@ -16,10 +16,15 @@ Scale notes (100 TB corpus):
   length per shingle — at scale you add prefix filtering / df-cap
   on hot shingles (documented on the function);
 - SimHash is a per-row expression (embarrassingly parallel) whose
-  16-bit fingerprints bucket near-dups for pair generation.
+  fingerprints bucket near-dups for pair generation; the portable
+  16-bit width saturates on real corpora, so production runs use
+  the 64-bit form (bits=64) — measured concentration collapse in
+  SCALING.md.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -300,27 +305,63 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash fingerprint per document, built from the md5
-    nibbles of each distinct word (portable: no engine-specific hash).
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """``bits``-wide SimHash fingerprint per document, built from md5
+    of each distinct word (portable: no engine-specific hash).
 
-    bit i votes +1/−1 per word according to md5 nibble i's high bit;
-    fingerprint bit i is set iff the vote sum is positive. Near-dup
-    documents (high word overlap) land on identical or
-    Hamming-adjacent fingerprints, so the fingerprint is a blocking
-    key: pair generation within fingerprint buckets replaces N².
+    16-bit (default, the portable test form): bit i votes +1/−1 per
+    word according to md5 nibble i's high bit; fingerprint bit i is
+    set iff the vote sum is positive. Near-dup documents (high word
+    overlap) land on identical or Hamming-adjacent fingerprints, so
+    the fingerprint is a blocking key: pair generation within
+    fingerprint buckets replaces N².
+
+    64-bit (the production width): bit i votes by bit (i % 4) of md5
+    nibble (i div 4) — 64 independent bits from the md5's first 16
+    nibbles. The per-word nibble array is hoisted once (16
+    md5-substring evaluations per word, same count as the 16-bit
+    form), then all 64 vote counters update from it via
+    zip_with — the expression stays scan-side whole-stage codegen
+    with zero shuffle. Bit 63 is the sign bit of the BIGINT
+    fingerprint (two's complement, ``shiftleft(1L, 63)``), which both
+    Spark and the DuckDB oracle represent identically. 16-bit
+    concentrates at corpus scale (65,536 buckets — a 3,786-doc band
+    bucket and 4.9M Hamming≤2 pairs from 5k docs were measured at
+    sf0.1); 64-bit is what keeps Hamming-ball blocking usable at
+    100 TB (measured collapse in SCALING.md).
     """
     words = "array_distinct(array_remove(split(text, ' '), ''))"
-    bit_sum = (
-        "aggregate({words}, 0, (acc, w) -> acc + "
-        "IF(instr('0123456789abcdef', substring(md5(w), i + 1, 1)) - 1 >= 8, 1, -1))"
+    if bits == 16:
+        bit_sum = (
+            "aggregate({words}, 0, (acc, w) -> acc + "
+            "IF(instr('0123456789abcdef', substring(md5(w), i + 1, 1)) - 1 >= 8, 1, -1))"
+        ).format(words=words)
+        fp = (
+            "aggregate(transform(sequence(0, 15), i -> IF({bs} > 0, shiftleft(1, i), 0)),"
+            " 0, (acc, v) -> acc + v)"
+        ).format(bs=bit_sum)
+        return docs.select(
+            F.col(id_col), F.expr(fp).cast("int").alias("simhash")
+        )
+    if bits != 64:
+        raise ValueError(f"supported fingerprint widths: 16, 64 (got {bits})")
+    nibs = (
+        "transform({words}, w -> transform(sequence(0, 15), "
+        "n -> instr('0123456789abcdef', substring(md5(w), n + 1, 1)) - 1))"
     ).format(words=words)
+    votes = (
+        "aggregate({nibs}, transform(sequence(0, 63), z -> 0L), "
+        "(acc, a) -> zip_with(acc, sequence(0, 63), "
+        "(x, i) -> x + IF(shiftright(element_at(a, int(i div 4) + 1), int(i % 4)) % 2 = 1, 1, -1)))"
+    ).format(nibs=nibs)
     fp = (
-        "aggregate(transform(sequence(0, 15), i -> IF({bs} > 0, shiftleft(1, i), 0)),"
-        " 0, (acc, v) -> acc + v)"
-    ).format(bs=bit_sum)
+        "aggregate(zip_with({votes}, sequence(0, 63), "
+        "(v, i) -> IF(v > 0, shiftleft(1L, int(i)), 0L)), 0L, (acc, x) -> acc + x)"
+    ).format(votes=votes)
     return docs.select(
-        F.col(id_col), F.expr(fp).cast("int").alias("simhash")
+        F.col(id_col), F.expr(fp).cast("bigint").alias("simhash")
     )
 
 
@@ -368,7 +409,9 @@ def simhash_near_pairs(
     width = bits // bands
     # Persisted: the candidate self-join reads the fingerprint
     # relation twice (one int per doc — tiny either way).
-    fp = simhash_fingerprints(docs, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = simhash_fingerprints(docs, id_col, bits=bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     fp.count()
     banded = fp.select(
         F.col(id_col).alias("doc"),
@@ -415,11 +458,34 @@ def simhash_near_pairs(
     )
 
 
+def _signed64(m: int) -> int:
+    """Two's-complement signed view of an unsigned 64-bit mask (bit 63
+    set ⇒ negative BIGINT literal, matching Spark/Java semantics)."""
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+def hamming_ball_masks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """All XOR masks within ``max_hamming`` bit flips of ``bits``-wide
+    fingerprints, as (signed mask, distance) pairs: Σ_{d≤r} C(bits, d)
+    masks (137 for 16/≤2; 2,081 for 64/≤2; 43,745 for 64/≤3)."""
+    import itertools
+
+    masks: list[tuple[int, int]] = [(0, 0)]
+    for d in range(1, max_hamming + 1):
+        masks += [
+            (_signed64(sum(1 << i for i in combo)), d)
+            for combo in itertools.combinations(range(bits), d)
+        ]
+    return masks
+
+
 def simhash_near_degree(
     docs: DataFrame,
     max_hamming: int = 2,
     bits: int = 16,
     id_col: str = "doc_id",
+    probe_mask_limit: int = 4096,
+    bands: int = 4,
 ) -> DataFrame:
     """Per-document near-duplicate degree under SimHash Hamming ≤
     ``max_hamming``, via a Hamming-ball PROBE JOIN — no pair
@@ -428,41 +494,59 @@ def simhash_near_degree(
     Each fingerprint explodes into its Σ C(bits, d) patterns within
     distance ``max_hamming`` (137 for 16 bits / d ≤ 2; 2,081 for 64
     bits) and joins against the aggregated fingerprint-COUNT table —
-    at most 2^bits rows, broadcast. Degree = Σ matched counts (self
-    excluded); min_hamming = nearest non-empty shell. This is how
-    production simhash dedup scales: the probe explode is scan-side
-    and corpus-linear, the join side is vocabulary-sized, and the
-    concentrated-fingerprint case that makes pair materialization
-    quadratic (`simhash_near_pairs` built 4.9M pairs from 5k docs at
-    sf0.1) costs nothing extra here. Exactly equal to aggregating
-    the pair relation.
-    """
-    import itertools
+    at most min(2^bits, N_distinct) rows, broadcast. Degree = Σ
+    matched counts (self excluded); min_hamming = nearest non-empty
+    shell. This is how production simhash dedup scales: the probe
+    explode is scan-side and corpus-linear, the join side is
+    vocabulary-sized, and the concentrated-fingerprint case that
+    makes pair materialization quadratic (`simhash_near_pairs` built
+    4.9M pairs from 5k docs at sf0.1 on 16-bit prints) costs nothing
+    extra here. Exactly equal to aggregating the pair relation.
 
-    masks: list[tuple[int, int]] = [(0, 0)]
-    if max_hamming >= 1:
-        masks += [(1 << i, 1) for i in range(bits)]
-    if max_hamming >= 2:
-        masks += [
-            ((1 << i) | (1 << j), 2)
-            for i, j in itertools.combinations(range(bits), 2)
-        ]
-    if max_hamming >= 3:
-        raise NotImplementedError("probe sets generated for hamming <= 2")
-    fp = simhash_fingerprints(docs, id_col)
-    fpc = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("n"))
-    mask_arr = F.array(
-        *[
-            F.struct(F.lit(m).alias("mask"), F.lit(d).alias("dist"))
-            for m, d in masks
-        ]
+    Above ``probe_mask_limit`` masks (e.g. 64-bit / Hamming ≤ 3 =
+    43,745) the probe explode itself becomes the bottleneck — a 43,745×
+    row amplification is worse than banding — so the operator switches
+    to the pigeonhole-banded pair generator (`simhash_near_pairs`,
+    complete for bands > max_hamming) and aggregates the symmetric
+    pair relation into the identical degree table. Both paths are
+    equivalence-tested against each other.
+    """
+    n_masks = 1 + sum(
+        math.comb(bits, d) for d in range(1, max_hamming + 1)
     )
+    if n_masks > probe_mask_limit:
+        pairs = simhash_near_pairs(
+            docs, max_hamming=max_hamming, bands=bands, bits=bits,
+            id_col=id_col,
+        )
+        sym = pairs.select(
+            F.col("doc_id_1").alias("doc_id"), "hamming"
+        ).unionByName(
+            pairs.select(F.col("doc_id_2").alias("doc_id"), "hamming")
+        )
+        return sym.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min("hamming").cast("int").alias("min_hamming"),
+        )
+    masks = hamming_ball_masks(bits, max_hamming)
+    fp = simhash_fingerprints(docs, id_col, bits=bits)
+    fpc = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("n"))
+    # The mask set MUST be a true array Literal (F.lit of a Python
+    # list). The previous form — F.array of 2,081 F.struct(...) — is
+    # a CreateArray expression tree that Spark re-evaluates per input
+    # row: measured 14.6 s vs 2.4 s for the same 1M-row explode at
+    # sf0.01. Two parallel primitive literals + posexplode keep the
+    # probe stage a constant-reference explode.
+    mask_lit = F.lit([m for m, _ in masks])
+    if bits == 64:
+        mask_lit = mask_lit.cast("array<bigint>")
+    dist_lit = F.lit([d for _, d in masks])
     probes = fp.select(
-        id_col, "simhash", F.explode(mask_arr).alias("md")
+        id_col, "simhash", F.posexplode(mask_lit).alias("pos", "mask")
     ).select(
         id_col,
-        F.col("simhash").bitwiseXOR(F.col("md.mask")).alias("probe"),
-        F.col("md.dist").alias("dist"),
+        F.col("simhash").bitwiseXOR(F.col("mask")).alias("probe"),
+        F.element_at(dist_lit, F.col("pos") + 1).alias("dist"),
     )
     joined = probes.join(
         F.broadcast(fpc.withColumnRenamed("simhash", "probe")), "probe"

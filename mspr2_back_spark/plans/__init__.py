@@ -40,6 +40,7 @@ _SWEEP_FIRST = [
     # new / changed in round 5 (kept adjacent so mid-round inserts
     # stay inside the 50-slot window; tail entries below rotate out
     # one-for-one as these grow)
+    "simhash64_near_degree",
     "idle_customers_avg_bal",
     # latest verdict is round 3 — refresh
     "pricing_summary",

@@ -624,3 +624,49 @@ SELECT doc_id, COUNT(*) AS n_near, CAST(MIN(hamming) AS INT) AS min_hamming
 FROM sym GROUP BY doc_id
 """
 )
+
+# 64-bit fingerprint CTE: bit i votes by bit (i % 4) of md5 nibble
+# (i // 4); bit 63 is the BIGINT sign bit, which DuckDB's << refuses
+# to produce (overflow error) — the CASE substitutes the min-BIGINT
+# literal, identical to Spark's shiftleft(1L, 63) two's-complement
+# value. COALESCE(..., 0) matches Spark's aggregate-with-0-init on
+# empty word lists (DuckDB list_sum([]) is NULL).
+_SIMHASH64_SQL = (
+    _WORDS_CTE
+    + """
+, dwords AS (SELECT doc_id, list_distinct(w) AS dw FROM words),
+nibs AS (SELECT doc_id, list_transform(dw, t -> list_transform(generate_series(0, 15),
+         n -> strpos('0123456789abcdef', substring(md5(t), n + 1, 1)) - 1)) AS na FROM dwords)
+SELECT doc_id,
+  CAST(list_sum(list_transform(generate_series(0, 63), i ->
+    CASE WHEN COALESCE(list_sum(list_transform(na, a ->
+         CASE WHEN ((a[(i // 4) + 1] >> (i % 4)) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+    THEN (CASE WHEN i = 63 THEN (-9223372036854775807 - 1) ELSE (1::BIGINT << CAST(i AS INT)) END)
+    ELSE 0 END)) AS BIGINT) AS simhash
+FROM nibs
+"""
+)
+
+# Production-width near-dup degree: same O(N^2) oracle shape as the
+# 16-bit query, over the 64-bit fingerprint CTE (xor/bit_count are
+# two's-complement on both engines — verified including the sign
+# bit).
+PIPELINE_ORACLE_SQL["simhash64_near_degree"] = (
+    "WITH fp AS (SELECT * FROM ("
+    + _SIMHASH64_SQL
+    + """)),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+),
+sym AS (
+  SELECT d1 AS doc_id, hamming FROM pairs
+  UNION ALL
+  SELECT d2 AS doc_id, hamming FROM pairs
+)
+SELECT doc_id, COUNT(*) AS n_near, CAST(MIN(hamming) AS INT) AS min_hamming
+FROM sym GROUP BY doc_id
+"""
+)

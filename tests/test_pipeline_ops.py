@@ -820,3 +820,74 @@ def test_simhash_degree_matches_pair_aggregation(spark, sf_dir):
         for r in dedup.simhash_near_degree(docs).collect()
     }
     assert from_probe == from_pairs and len(from_probe) > 0
+
+
+def test_simhash64_fingerprint_python_parity(spark, sf_dir):
+    """The 64-bit fingerprint's bit layout re-derived in pure Python
+    (hashlib md5) — pins the construction independently of BOTH
+    engines: bit i votes by bit (i % 4) of md5 hex nibble (i div 4),
+    set iff the distinct-word vote sum is positive, bit 63 in two's
+    complement."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_fingerprints(docs, bits=64).collect()
+    }
+    sample = docs.select("doc_id", "text").limit(50).collect()
+    assert len(sample) > 0
+    for row in sample:
+        words = [w for w in dict.fromkeys(row.text.split(" ")) if w != ""]
+        votes = [0] * 64
+        for w in words:
+            hx = hashlib.md5(w.encode()).hexdigest()
+            for i in range(64):
+                nib = int(hx[i // 4], 16)
+                votes[i] += 1 if (nib >> (i % 4)) & 1 else -1
+        fp = sum(1 << i for i in range(64) if votes[i] > 0)
+        fp = fp - (1 << 64) if fp >= (1 << 63) else fp
+        assert got[row.doc_id] == fp, row.doc_id
+
+
+def test_simhash64_degree_matches_brute(spark, sf_dir):
+    """64-bit probe-join degree == brute-force N^2 over the collected
+    fingerprints (negative/sign-bit fingerprints included)."""
+    import itertools
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = {
+        r.doc_id: r.simhash & ((1 << 64) - 1)
+        for r in dedup.simhash_fingerprints(docs, bits=64).collect()
+    }
+    brute: dict[int, list[int]] = {}
+    for a, b in itertools.combinations(sorted(fp), 2):
+        h = bin(fp[a] ^ fp[b]).count("1")
+        if h <= 2:
+            brute.setdefault(a, []).append(h)
+            brute.setdefault(b, []).append(h)
+    expect = {d: (len(hs), min(hs)) for d, hs in brute.items()}
+    got = {
+        r.doc_id: (r.n_near, r.min_hamming)
+        for r in dedup.simhash_near_degree(docs, max_hamming=2, bits=64).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_simhash_degree_hamming3_banded_fallback(spark, sf_dir):
+    """max_hamming=3 works on both degree paths and they agree: the
+    probe join (697 masks at 16 bits, under the default limit) and
+    the pigeonhole-banded pair aggregation (forced via
+    probe_mask_limit=0). bands=4 > 3 keeps the banding complete."""
+    docs = load_table(spark, sf_dir, "documents")
+    via_probe = {
+        r.doc_id: (r.n_near, r.min_hamming)
+        for r in dedup.simhash_near_degree(docs, max_hamming=3).collect()
+    }
+    via_bands = {
+        r.doc_id: (r.n_near, r.min_hamming)
+        for r in dedup.simhash_near_degree(
+            docs, max_hamming=3, probe_mask_limit=0, bands=4
+        ).collect()
+    }
+    assert via_probe == via_bands and len(via_probe) > 0
