@@ -490,8 +490,21 @@ def build_training_windows(
     (the reference fits one scaler per country) and sliding
     ``lookback``-step input windows with the next value as target —
     all as window algebra, no pandas until the (bounded) final
-    collect. ``max_windows_per_group`` mirrors the reference's
-    ≤1000-sequences-per-country cap, taking the LATEST windows.
+    collect.
+
+    Deliberate divergences from the reference recipe (ADVICE r4 —
+    documented, not hidden behind a "mirrors" claim):
+    - ``max_windows_per_group`` keeps the reference's ≤1000 cap but
+      takes the LATEST windows per group where the reference's
+      SEQUENCES_PER_COUNTRY loop takes the EARLIEST — recency-biased
+      training data is the deliberate choice for forecasting; flip
+      the ``rn_desc`` ordering to match the reference exactly.
+    - the numpy training loop (``NumpyLSTM.train``) omits the
+      reference's inter-layer dropout(0.2): plain numpy BPTT has no
+      train-mode RNG contract to mirror bit-for-bit, and the
+      gradient-check/determinism tests require a dropout-free
+      forward. With torch present, load the state dict and train
+      with dropout as the reference does.
 
     Output: (group, x array<double>[lookback], y double) — scaled.
     """

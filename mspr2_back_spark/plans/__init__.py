@@ -42,6 +42,7 @@ _SWEEP_FIRST = [
     # one-for-one as these grow)
     "simhash64_near_degree",
     "idle_customers_avg_bal",
+    "dedup_embedding_cells",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",

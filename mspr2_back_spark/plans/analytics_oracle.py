@@ -15,6 +15,8 @@ Dialect discipline (COVERAGE.md "oracle traps"):
 
 from __future__ import annotations
 
+from mspr2_back_spark.plans.analytics import IDLE_CUTOFF_DATE
+
 ANALYTICS_ORACLE_SQL: dict[str, str] = {}
 
 
@@ -149,10 +151,11 @@ SELECT c.c_nationkey,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer c, t
 WHERE c.c_acctbal > t.avg_pos_bal
-  AND c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c.c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '{cutoff}')
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
-"""
+""".format(cutoff=IDLE_CUTOFF_DATE)
 
 
 # Engine-portable md5 shard, character-identical to

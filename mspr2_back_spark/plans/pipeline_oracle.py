@@ -10,8 +10,12 @@ from __future__ import annotations
 
 from mspr2_back_spark.plans.pipeline_queries import (
     COSINE_PAIR_THRESHOLD,
+    EMB_CELL_PLANES,
+    EMB_LSH_BANDS,
+    EMB_LSH_PLANES,
     MINHASH_THRESHOLD,
     NGRAM_JACCARD_THRESHOLD,
+    TOKEN_BUDGET_PER_SOURCE,
 )
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {}
@@ -514,18 +518,23 @@ cum AS (
 ),
 cutoffs AS (
   SELECT source, MAX(bucket) AS cutoff_bucket
-  FROM cum WHERE cum_tokens <= 800 GROUP BY source
+  FROM cum WHERE cum_tokens <= {budget} GROUP BY source
 )
 SELECT t.source, t.doc_id, t.n_tokens, t.bucket
 FROM toks t JOIN cutoffs c ON t.source = c.source
 WHERE t.bucket <= c.cutoff_bucket
-""".format(bucket=_MD5_BUCKET)
+""".format(bucket=_MD5_BUCKET, budget=TOKEN_BUDGET_PER_SOURCE)
 
 
 # Bucketed embedding near-dup: banded sign-LSH candidates (bands of
-# 6 of 18 md5-derived planes — same sign rule as ann_lsh_topk's
-# _BUCKET) + exact fold-order cosine verify.
-def _band_bucket_sql(band: int, rows: int = 6, vec: str = "embedding") -> str:
+# EMB_LSH_PLANES // EMB_LSH_BANDS md5-derived planes — same sign
+# rule as ann_lsh_topk's _BUCKET) + exact fold-order cosine verify.
+# Band geometry and threshold are formatted from the SAME constants
+# the registered query passes to similarity.lsh_cosine_pairs.
+_LSH_ROWS = EMB_LSH_PLANES // EMB_LSH_BANDS
+
+
+def _band_bucket_sql(band: int, rows: int = _LSH_ROWS, vec: str = "embedding") -> str:
     return " + ".join(
         f"({_hyperplane_sign_sql(band * rows + r, vec)} * {1 << r})"
         for r in range(rows)
@@ -535,16 +544,14 @@ def _band_bucket_sql(band: int, rows: int = 6, vec: str = "embedding") -> str:
 PIPELINE_ORACLE_SQL["dedup_embedding_lsh"] = """
 WITH sb AS (
   SELECT vec_id,
-         CAST({b0} AS INT) AS b0,
-         CAST({b1} AS INT) AS b1,
-         CAST({b2} AS INT) AS b2
+         {band_cols}
   FROM embeddings
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
   FROM sb a JOIN sb b
     ON a.vec_id < b.vec_id
-   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+   AND ({band_match})
 ),
 nv AS (
   SELECT vec_id, embedding,
@@ -558,11 +565,14 @@ SELECT c.vec_id_1, c.vec_id_2,
 FROM cand c
 JOIN nv v1 ON c.vec_id_1 = v1.vec_id
 JOIN nv v2 ON c.vec_id_2 = v2.vec_id
-WHERE ROUND({dot} / (v1.nrm * v2.nrm), 6) >= 0.45
+WHERE ROUND({dot} / (v1.nrm * v2.nrm), 6) >= {threshold}
 """.format(
-    b0=_band_bucket_sql(0),
-    b1=_band_bucket_sql(1),
-    b2=_band_bucket_sql(2),
+    band_cols=",\n         ".join(
+        f"CAST({_band_bucket_sql(b)} AS INT) AS b{b}"
+        for b in range(EMB_LSH_BANDS)
+    ),
+    band_match=" OR ".join(f"a.b{b} = b.b{b}" for b in range(EMB_LSH_BANDS)),
+    threshold=COSINE_PAIR_THRESHOLD,
     dot=(
         "list_reduce(list_transform(generate_series(1, 64), i -> "
         "CAST(v1.embedding[i] AS DOUBLE) * CAST(v2.embedding[i] AS DOUBLE)), "
@@ -571,10 +581,15 @@ WHERE ROUND({dot} / (v1.nrm * v2.nrm), 6) >= 0.45
 )
 
 
-# Cell-bucketed exact pairs: 4-plane hyperplane cells (same sign rule
-# as _BUCKET), exact cosine within cells only.
+# Cell-bucketed exact pairs: EMB_CELL_PLANES-plane hyperplane cells
+# (same sign rule as _BUCKET), exact cosine over the Hamming-1
+# multi-probe candidate set — a pair is a candidate iff its cells'
+# sign distance is ≤ 2 (each side replicates to its cell plus all
+# Hamming-1 probes; the balls intersect exactly when
+# bit_count(xor) ≤ 2). Plane count and threshold from the same
+# constants as the registered query.
 _CELL4 = " + ".join(
-    f"({_hyperplane_sign_sql(p)} * {1 << p})" for p in range(4)
+    f"({_hyperplane_sign_sql(p)} * {1 << p})" for p in range(EMB_CELL_PLANES)
 )
 PIPELINE_ORACLE_SQL["dedup_embedding_cells"] = (
     _NORM_CTE
@@ -583,9 +598,10 @@ PIPELINE_ORACLE_SQL["dedup_embedding_cells"] = (
 SELECT vec_id_1, vec_id_2, cosine_sim FROM (
   SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
          ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine_sim
-  FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
-) WHERE cosine_sim >= 0.45
-""".format(cell=_CELL4, dot=_PAIR_DOT)
+  FROM vc a JOIN vc b
+    ON bit_count(xor(a.cell, b.cell)) <= 2 AND a.vec_id < b.vec_id
+) WHERE cosine_sim >= {threshold}
+""".format(cell=_CELL4, dot=_PAIR_DOT, threshold=COSINE_PAIR_THRESHOLD)
 )
 
 

@@ -24,6 +24,13 @@ NGRAM_JACCARD_THRESHOLD = 0.5
 MINHASH_THRESHOLD = 0.8
 COSINE_PAIR_THRESHOLD = 0.45
 ANN_QUERY_ID = 0
+# Single source of truth for parameters the DuckDB oracles must
+# mirror (pipeline_oracle.py imports and formats these — hard-coding
+# them on both sides invited silent drift, ADVICE r4):
+TOKEN_BUDGET_PER_SOURCE = 800
+EMB_LSH_PLANES = 18
+EMB_LSH_BANDS = 3
+EMB_CELL_PLANES = 4
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,21 +126,29 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the identical md5-derived planes, making the
     bucketed semantics bit-checkable."""
     return similarity.lsh_cosine_pairs(
-        load_table(spark, sf_dir, "embeddings"), COSINE_PAIR_THRESHOLD
+        load_table(spark, sf_dir, "embeddings"),
+        COSINE_PAIR_THRESHOLD,
+        n_planes=EMB_LSH_PLANES,
+        bands=EMB_LSH_BANDS,
     )
 
 
 def dedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-bucketed exact embedding near-dup pairs: hyperplane cells
-    (16 at sf0.01) + the BLAS block-pair verifier run within each
-    cell — the moderate-threshold 100 TB dedup composition (see
+    (16 at sf0.01) + the BLAS block-pair verifier run per probe-cell
+    overlap — the moderate-threshold 100 TB dedup composition (see
     operators/similarity.py::cell_cosine_pairs and the SCALING.md
-    LSH-vs-cells analysis)."""
+    LSH-vs-cells analysis). Registered with Hamming-1 multi-probe
+    (candidates = cell sign-distance ≤ 2): without it the single-cell
+    form finds 0 pairs at sf0.01 and its oracle verdict was vacuously
+    green (r5 fix, same class as idle_customers_avg_bal); with it the
+    sf0.01 result is 12 pairs — a real comparison."""
     return similarity.cell_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"),
         COSINE_PAIR_THRESHOLD,
-        n_planes=4,
+        n_planes=EMB_CELL_PLANES,
         block_size=256,
+        multi_probe=True,
     )
 
 
@@ -398,15 +413,18 @@ def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token-budget curation (800 tokens/source): the
-    training-mix capping step, selected by whole md5 hash buckets so
-    the only corpus-sized work is one (source, bucket) aggregation
-    and the keep/drop is a scan-side broadcast-joined filter (see
-    operators/sampling.py::token_budget_sample for the 100 TB
-    rationale)."""
+    """Per-source token-budget curation (TOKEN_BUDGET_PER_SOURCE
+    tokens/source): the training-mix capping step, selected by whole
+    md5 hash buckets so the only corpus-sized work is one
+    (source, bucket) aggregation and the keep/drop is a scan-side
+    broadcast-joined filter (see operators/sampling.py::
+    token_budget_sample for the 100 TB rationale)."""
     from mspr2_back_spark.operators.sampling import token_budget_sample as tbs
 
-    return tbs(load_table(spark, sf_dir, "documents"), budget_per_source=800)
+    return tbs(
+        load_table(spark, sf_dir, "documents"),
+        budget_per_source=TOKEN_BUDGET_PER_SOURCE,
+    )
 
 
 PIPELINE_QUERIES = {

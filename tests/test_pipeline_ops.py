@@ -384,6 +384,29 @@ def test_new_query_plan_shapes(spark, sf_dir):
     assert pack.count("Exchange SinglePartition") <= 1  # offsets only
 
 
+def test_with_scalar_stays_broadcast_hash_join(spark, sf_dir):
+    """_with_scalar's scalar attach must plan as a BroadcastHashJoin,
+    never BroadcastNestedLoopJoin. Its non-foldable constant key
+    (spark_partition_id() * 0 + 1) relies on Catalyst NOT folding
+    x * 0 — if an optimizer upgrade ever adds that rule, the join
+    silently degenerates to BNLJ in every scalar-attach query; this
+    test turns that silent degradation into an immediate failure
+    (ADVICE r4)."""
+    from mspr2_back_spark.plans.analytics import _with_scalar
+
+    df = load_table(spark, sf_dir, "customer")
+    scalar = df.agg(F.count(F.lit(1)).alias("n_total"))
+    plan = _plan(_with_scalar(df, scalar))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the real registered consumers keep the property end-to-end
+    from mspr2_back_spark.plans import QUERIES
+
+    for name in ("revenue_share_by_nation", "idle_customers_avg_bal"):
+        qplan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in qplan, name
+
+
 def test_pack_documents_partition_count_invariant(spark, sf_dir):
     """The two-phase prefix sum must be bit-identical under different
     shuffle partitioning — the property the round-1 global window got

@@ -32,6 +32,7 @@ DUCKDB_ONLY = {
     "dedup_simhash",  # list_filter
     "simhash_bucket_stats",  # composes the simhash list-macro CTE
     "simhash_near_degree",  # composes the simhash list-macro CTE
+    "simhash64_near_degree",  # composes the 64-bit simhash list-macro CTE
     "grouping_sets_sales",  # 2-arg GROUPING()
     "cube_order_stats",  # 2-arg GROUPING()
     "ann_topk",  # list_reduce in the oracle's dot product
