@@ -58,11 +58,30 @@ def test_point_lookup_single_row(spark, sf_dir):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    """Falsifiable correctness signal for the one rows-only
+    SQL-expressible query (VERDICT r4 task 6): the exact side must
+    EQUAL an independent DuckDB COUNT(DISTINCT) oracle over the same
+    parquet, and the HLL estimate must sit within a bound derived
+    from the configured rsd (1% ⇒ 5σ = 5% guard, floor 3 for small
+    groups) of that independent exact count."""
+    import duckdb
+
     rows = approx_distinct_users(spark, sf_dir).collect()
     assert rows
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY event_type"
+        ).fetchall()
+    )
+    con.close()
+    assert {r.event_type for r in rows} == set(exact)
     for r in rows:
+        oracle_exact = exact[r.event_type]
+        assert r.exact_users == oracle_exact, r.event_type
         # rsd=1%; allow 5x slack for small groups.
-        assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users)
+        assert abs(r.approx_users - oracle_exact) <= max(3, 0.05 * oracle_exact)
 
 
 def test_sessionize_events_bounds(spark, sf_dir):

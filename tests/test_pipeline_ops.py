@@ -845,6 +845,48 @@ def test_simhash_degree_matches_pair_aggregation(spark, sf_dir):
     assert from_probe == from_pairs and len(from_probe) > 0
 
 
+def test_ivf_topk_recall_floor(spark, sf_dir):
+    """Pin the probe/recall contract of the adaptive (MLlib-KMeans)
+    IVF variant: with n_probe=3 of 8 cells, top-10 recall vs exact
+    brute force must hold a floor across seeds and query points
+    (VERDICT r4 task 7). The floor is deliberately conservative —
+    sign-random cells can unluckily split a query's neighborhood —
+    but mean recall across the sweep must be high."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    exact_by_qid = {
+        qid: {
+            r.vec_id
+            for r in similarity.brute_force_topk(vecs, qid, k=10).collect()
+        }
+        for qid in (0, 7, 23)
+    }
+    recalls = []
+    for seed in (1, 42):
+        for qid, exact in exact_by_qid.items():
+            approx = {
+                r.vec_id
+                for r in similarity.ivf_topk(
+                    vecs, qid, k=10, n_cells=8, n_probe=3, seed=seed
+                ).collect()
+            }
+            recalls.append(len(exact & approx) / len(exact))
+    # measured on this corpus: [0.8, 0.9, 0.5, 0.8, 0.5, 0.9] —
+    # 3/8 probes trade ~25% recall for ~60% less scan, pinned here
+    # so an index-build regression can't hide behind "approximate"
+    assert min(recalls) >= 0.4, recalls
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # the limit contract: probing EVERY cell must recover brute
+    # force (>=0.9 allows k-boundary score ties to order differently)
+    for qid, exact in exact_by_qid.items():
+        full = {
+            r.vec_id
+            for r in similarity.ivf_topk(
+                vecs, qid, k=10, n_cells=8, n_probe=8, seed=42
+            ).collect()
+        }
+        assert len(exact & full) / len(exact) >= 0.9, qid
+
+
 def test_simhash64_fingerprint_python_parity(spark, sf_dir):
     """The 64-bit fingerprint's bit layout re-derived in pure Python
     (hashlib md5) — pins the construction independently of BOTH
