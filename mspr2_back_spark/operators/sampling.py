@@ -55,14 +55,37 @@ def stratified_sample(
 
 
 def portable_hash_bucket(key, salt: str = "", buckets: int = 65536):
-    """Deterministic ENGINE-PORTABLE bucket in [0, buckets): the first
-    4 hex nibbles of md5(key || '|' || salt) — md5 is md5 everywhere,
+    """Deterministic ENGINE-PORTABLE bucket in [0, buckets): leading
+    hex nibbles of md5(key || '|' || salt) — md5 is md5 everywhere,
     so an external engine (or a SQL oracle) reproduces the exact
     bucket with string functions alone. Use where reproducibility
     must survive an engine swap; ``hash_sample``'s xxhash64 is faster
-    when it only has to survive reruns."""
-    hexes = F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + salt))), 1, 4)
-    return F.pmod(F.conv(hexes, 16, 10).cast("int"), F.lit(buckets))
+    when it only has to survive reruns.
+
+    The nibble count adapts to ``buckets``: enough hex digits that
+    the value space covers the bucket count (4 nibbles for the
+    default 65,536; up to 15 ⇒ 2^60 buckets). Asking for more than
+    65,536 buckets WORKS (r5 — previously the 4-nibble space silently
+    aliased) and matters when one bucket is too coarse a grain:
+    ``token_budget_sample``'s expected budget overshoot is one bucket
+    ≈ corpus_tokens/buckets per source, ~1.5 GB of tokens at 100 TB
+    with the default — at buckets=2^24 it drops to ~6 MB, while the
+    (source × buckets) histogram stays far below data scale. Buckets
+    that are a power of two divide the 16^nibbles value space evenly
+    (zero modulo bias); other counts carry bias ≤ buckets/16^nibbles.
+    """
+    nibbles = 4
+    while (1 << (4 * nibbles)) < buckets and nibbles < 15:
+        nibbles += 1
+    if buckets > (1 << (4 * nibbles)):
+        raise ValueError(f"buckets={buckets} exceeds the 15-nibble md5 space")
+    hexes = F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit("|" + salt))), 1, nibbles
+    )
+    out_type = "int" if buckets <= (1 << 31) else "bigint"
+    return F.pmod(F.conv(hexes, 16, 10).cast("bigint"), F.lit(buckets)).cast(
+        out_type
+    )
 
 
 def mixture_sample(

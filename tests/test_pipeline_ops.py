@@ -715,6 +715,58 @@ def test_token_budget_sample_adherence(spark, sf_dir):
     assert a == b == sorted(map(tuple, kept))
 
 
+def test_portable_hash_bucket_wide_widths(spark, sf_dir):
+    """The adaptive-nibble bucket (r5): wider bucket counts must (a)
+    match a pure-Python md5 recomputation exactly — the engine-swap
+    portability contract at every width, (b) stay in range, (c) keep
+    the legacy 4-nibble values bit-identical at the default width,
+    and (d) tighten token_budget_sample's overshoot granularity while
+    keeping adherence."""
+    import hashlib
+
+    from mspr2_back_spark.operators.sampling import (
+        portable_hash_bucket,
+        token_budget_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    for buckets, nibbles in ((65536, 4), (1 << 20, 5), ((1 << 24) - 17, 6)):
+        got = {
+            r.doc_id: r.b
+            for r in docs.select(
+                "doc_id",
+                portable_hash_bucket(F.col("doc_id"), "w", buckets).alias("b"),
+            ).collect()
+        }
+        for doc_id, b in got.items():
+            hx = hashlib.md5(f"{doc_id}|w".encode()).hexdigest()
+            assert b == int(hx[:nibbles], 16) % buckets, (buckets, doc_id)
+            assert 0 <= b < buckets
+    # legacy width unchanged: same values as the 4-nibble formula
+    legacy = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id",
+            portable_hash_bucket(F.col("doc_id"), "budget").alias("b"),
+        ).collect()
+    }
+    for doc_id, b in legacy.items():
+        hx = hashlib.md5(f"{doc_id}|budget".encode()).hexdigest()
+        assert b == int(hx[:4], 16) % 65536
+    # finer buckets: adherence holds and granularity strictly refines
+    # (>= as many kept rows for the same budget, since smaller
+    # buckets waste less of the budget on the last partial grant)
+    full_docs = load_table(spark, sf_dir, "documents")
+    coarse = token_budget_sample(full_docs, 800, n_buckets=256).collect()
+    fine = token_budget_sample(full_docs, 800, n_buckets=1 << 20).collect()
+    for rows in (coarse, fine):
+        per = {}
+        for r in rows:
+            per[r.source] = per.get(r.source, 0) + r.n_tokens
+        assert per and all(t <= 800 for t in per.values())
+    assert len(fine) >= len(coarse)
+
+
 def test_lsh_cosine_pairs_subset_of_exact(spark, sf_dir):
     """Bucketed embedding dedup: every emitted pair must appear in
     the exact all-pairs result with the identical rounded cosine
