@@ -671,3 +671,68 @@ def hyperplane_lsh_topk(
         )
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def batch_topk(
+    vectors: DataFrame, n_queries: int = 8, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of stored query vectors.
+
+    `brute_force_topk`'s TakeOrderedAndProject doesn't apply when
+    top-k is per GROUP, so this is the two-phase shape a retrieval
+    service runs at scale:
+
+    1. the Q query rows (ids < n_queries) fan over the corpus via a
+       constant-key BroadcastHashJoin (Q build rows — never a
+       CartesianProduct) and scoring stays a scan-side codegen
+       expression;
+    2. per-PARTITION top-k first: row_number over (q_id,
+       spark_partition_id) cuts the relation to Q x P x k rows
+       BEFORE the per-QUERY ranking, so the q_id window never sees
+       a corpus-sized input. The first window's exchange hashes on
+       (q_id, pid) — Q x P balanced reducers instead of Q hot ones —
+       and the only corpus-sized shuffle carries three narrow
+       columns (q_id, id, rounded sim).
+
+    Output rank is a total order (rounded-sim desc, id asc).
+    """
+    from pyspark.sql import Window
+
+    q = vectors.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+        norm_col("embedding").alias("q_norm"),
+    )
+    key = F.spark_partition_id() * 0 + 1
+    scored = (
+        vectors.filter(F.col(id_col) >= n_queries)
+        .withColumn("_k", key)
+        .join(F.broadcast(q.withColumn("_k", key)), "_k")
+        .select(
+            "q_id",
+            id_col,
+            F.round(
+                dot_col("embedding", "q_embedding")
+                / (norm_col("embedding") * F.col("q_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w_local = Window.partitionBy("q_id", "_pid").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_pid")
+    )
+    w_global = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", id_col, "cosine_sim")
+        .orderBy("q_id", "rank")
+    )

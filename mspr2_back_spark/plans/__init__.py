@@ -6,18 +6,22 @@ from mspr2_back_spark.plans.oracle import ORACLE_SQL as _RELATIONAL_SQL
 from mspr2_back_spark.plans.pipeline_oracle import PIPELINE_ORACLE_SQL
 from mspr2_back_spark.plans.pipeline_queries import PIPELINE_QUERIES
 from mspr2_back_spark.plans.queries import QUERIES as _RELATIONAL_QUERIES
+from mspr2_back_spark.plans.workloads import WORKLOAD_QUERIES
+from mspr2_back_spark.plans.workloads_oracle import WORKLOAD_ORACLE_SQL
 
 QUERIES = {
     **_RELATIONAL_QUERIES,
     **PIPELINE_QUERIES,
     **EXTENSION_QUERIES,
     **ANALYTICS_QUERIES,
+    **WORKLOAD_QUERIES,
 }
 ORACLE_SQL = {
     **_RELATIONAL_SQL,
     **PIPELINE_ORACLE_SQL,
     **EXTENSION_ORACLE_SQL,
     **ANALYTICS_ORACLE_SQL,
+    **WORKLOAD_ORACLE_SQL,
 }
 
 # The driver's correctness sweep covers the first 50 registered
@@ -43,6 +47,10 @@ _SWEEP_FIRST = [
     "simhash64_near_degree",
     "idle_customers_avg_bal",
     "dedup_embedding_cells",
+    "bm25_topk",
+    "ann_batch_topk",
+    "retention_cohorts",
+    "event_funnel",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -85,15 +93,11 @@ _SWEEP_FIRST = [
     "price_histogram",
     "hot_shingles",
     "props_variant_stats",
-    "profile_orders",
-    "set_ops_nations",
-    "customer_order_coverage",
-    "customers_no_jumbo_order",
-    "crud_upsert",
-    "crud_delete",
-    # tail — rotates out first when round-5 registrations grow the
-    # "new / changed" block above
-    "crud_point_lookup",
+    # rotated out (r3-green, refresh deferred to round 6) when the
+    # round-5 "new / changed" block grew: profile_orders,
+    # set_ops_nations, customer_order_coverage,
+    # customers_no_jumbo_order, crud_upsert, crud_delete,
+    # crud_point_lookup
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

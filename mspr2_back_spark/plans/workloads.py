@@ -1,0 +1,162 @@
+"""Round-5 workload batch: retrieval + behavioral analytics.
+
+Four shapes the earlier surface didn't exercise:
+
+- bm25_topk       — keyword relevance ranking (Okapi BM25): one
+                    corpus scan, one-row global-stats broadcast,
+                    TakeOrderedAndProject heap.
+- ann_batch_topk  — per-GROUP top-k over a query batch: the
+                    two-phase (partition-local then per-query)
+                    ranking that replaces TakeOrderedAndProject
+                    when k is per key.
+- retention_cohorts — cohort matrix: users keyed by first-activity
+                    week × activity-week offset (the classic
+                    retention triangle).
+- event_funnel    — ordered sequential funnel (signup → view →
+                    click → purchase), each stage's timestamp
+                    strictly after the previous stage's.
+
+Same contract as plans/queries.py: ``(spark, sf_dir) -> DataFrame``,
+every computed column aliased identically to the oracle
+(plans/workloads_oracle.py); shared constants live here and the
+oracle imports them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mspr2_back_spark.operators import retrieval, similarity
+from mspr2_back_spark.sources.readers import load_table
+
+# BM25: one rare term ('dup' ~5% df in the synthetic corpus) and two
+# common ones — idf separates them by ~2 nats. The oracle formats
+# the SAME tuple into its SQL.
+BM25_TERMS = ("dup", "spark", "merge")
+BM25_K = 15
+ANN_BATCH_QUERIES = 8
+ANN_BATCH_K = 5
+# Funnel stage order (events.event_type): entry → engagement → intent
+# → conversion. The oracle mirrors this tuple.
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+# Conversion window: stage events must land within signup-day + N
+# calendar days. N=2 discriminates at every SF (sf0.01 ladder
+# 150/150/99/49/15); unbounded saturates (~everyone converts over a
+# month) and same-day zeroes the last stage — both vacuous-verdict
+# shapes (ADVICE r4).
+FUNNEL_WINDOW_DAYS = 2
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 docs by BM25 for the fixed query-term bag.
+
+    Plan: scan-side tf/dl array expressions (no token explode), one
+    global stats row broadcast back on a constant key, codegen'd
+    closed-form score, TakeOrderedAndProject. The single
+    Exchange SinglePartition is the final step of the stats
+    aggregate (partial map-side — one row per partition crosses).
+    """
+    return retrieval.bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K
+    )
+
+
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for each of 8 stored query vectors.
+
+    The per-query ranking is two-phase (see
+    operators/similarity.batch_topk): partition-local row_number
+    prunes to Q × P × k rows before the per-q_id window, so no
+    reducer ever receives a corpus-sized group.
+    """
+    return similarity.batch_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=ANN_BATCH_QUERIES,
+        k=ANN_BATCH_K,
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: distinct active users per
+    (first-activity week, weeks-since-first).
+
+    Two key-partitioned shuffles (user_id for the cohort assignment,
+    then (cohort_week, week_offset) for the matrix) — both scale-free
+    in group count. The cohort relation is user-sized; at 100 TB the
+    events⋈cohorts join shuffles on user_id (AQE handles power-user
+    skew), never broadcast — the user dimension grows with the
+    corpus. week_offset is exact: both weeks are Monday-truncated so
+    the day delta is always a multiple of 7.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("event_week"),
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("event_week").alias("cohort_week"))
+    return (
+        ev.join(cohorts, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff("event_week", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ordered conversion funnel over event sequences.
+
+    Stage k counts users whose FIRST qualifying stage-k event
+    happened STRICTLY AFTER their stage-(k-1) event and within
+    FUNNEL_WINDOW_DAYS calendar days of their first signup —
+    set-membership funnels overcount (order matters), and the window
+    keeps the funnel a conversion measure instead of saturating over
+    a long history. One shuffle by user_id builds per-user sorted per-stage
+    timestamp lists (bounded by per-user event count — same state
+    bound as sessionization; a pathological power user is an
+    AQE-skew case, not a plan change), then the stage chain is pure
+    array logic and the final count is a one-row aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s0 = FUNNEL_STAGES[0]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s0, F.col("ts"))).alias("t_0"),
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+            ).alias(f"ts_{s}")
+            for s in FUNNEL_STAGES[1:]
+        ],
+    )
+    stepped = per_user
+    for i, s in enumerate(FUNNEL_STAGES[1:], start=1):
+        stepped = stepped.withColumn(
+            f"t_{i}",
+            # get() (not [0]) — ANSI mode throws on indexing an
+            # empty array; get returns NULL, matching the oracle's
+            # out-of-range list index semantics. date + int is
+            # date_add on both engines.
+            F.expr(
+                f"get(filter(ts_{s}, x -> x > t_{i - 1}"
+                f" AND CAST(x AS DATE) <= CAST(t_0 AS DATE)"
+                f" + {FUNNEL_WINDOW_DAYS}), 0)"
+            ),
+        )
+    return stepped.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.count(f"t_{i}").alias(f"reached_{s}")
+            for i, s in enumerate(FUNNEL_STAGES)
+        ],
+    )
+
+
+WORKLOAD_QUERIES = {
+    "bm25_topk": bm25_topk,
+    "ann_batch_topk": ann_batch_topk,
+    "retention_cohorts": retention_cohorts,
+    "event_funnel": event_funnel,
+}

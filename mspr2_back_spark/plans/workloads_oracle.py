@@ -1,0 +1,122 @@
+"""DuckDB oracles for the round-5 workload queries.
+
+The BM25 scoring expression and every tunable constant are imported
+from the query side (one source of truth — ADVICE r4); the funnel
+stage chain is generated from the same FUNNEL_STAGES tuple the Spark
+plan iterates.
+"""
+
+from __future__ import annotations
+
+from mspr2_back_spark.operators.retrieval import bm25_score_sql
+from mspr2_back_spark.plans.workloads import (
+    ANN_BATCH_K,
+    ANN_BATCH_QUERIES,
+    BM25_K,
+    BM25_TERMS,
+    FUNNEL_STAGES,
+    FUNNEL_WINDOW_DAYS,
+)
+
+WORKLOAD_ORACLE_SQL: dict[str, str] = {}
+
+_TF_COLS = ",\n         ".join(
+    f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS tf_{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_DF_COLS = ",\n         ".join(
+    f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(BM25_TERMS))
+)
+_SCORE = " + ".join(bm25_score_sql(i) for i in range(len(BM25_TERMS)))
+
+WORKLOAD_ORACLE_SQL["bm25_topk"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS dl,
+         {_TF_COLS}
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+         {_DF_COLS}
+  FROM base
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, ROUND({_SCORE}, 6) AS score FROM base, stats
+) WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+_BATCH_DOT = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+WORKLOAD_ORACLE_SQL["ann_batch_topk"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding, nrm FROM v WHERE vec_id < {ANN_BATCH_QUERIES}),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         ROUND({_BATCH_DOT} / (v.nrm * q.nrm), 6) AS cosine_sim
+  FROM v, q WHERE v.vec_id >= {ANN_BATCH_QUERIES}
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cosine_sim FROM (
+  SELECT q_id, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_BATCH_K}
+ORDER BY q_id, rank
+"""
+
+WORKLOAD_ORACLE_SQL["retention_cohorts"] = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS event_week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(event_week) AS cohort_week FROM ev GROUP BY 1
+)
+SELECT cohort_week,
+       CAST(FLOOR(date_diff('day', cohort_week, event_week) / 7) AS INT)
+         AS week_offset,
+       COUNT(DISTINCT ev.user_id) AS active_users
+FROM ev JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+_LIST_COLS = ",\n         ".join(
+    f"list(ts ORDER BY ts) FILTER (WHERE event_type = '{s}') AS ts_{s}"
+    for s in FUNNEL_STAGES[1:]
+)
+_STEP_CTES = ",\n".join(
+    f"s{i} AS (SELECT *, list_filter(ts_{s}, x -> x > t_{i - 1}"
+    f" AND CAST(x AS DATE) <= CAST(t_0 AS DATE) + {FUNNEL_WINDOW_DAYS})[1]"
+    f" AS t_{i} FROM s{i - 1})"
+    for i, s in enumerate(FUNNEL_STAGES[1:], start=1)
+)
+_REACHED = ",\n       ".join(
+    f"COUNT(t_{i}) AS reached_{s}" for i, s in enumerate(FUNNEL_STAGES)
+)
+
+WORKLOAD_ORACLE_SQL["event_funnel"] = f"""
+WITH s0 AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = '{FUNNEL_STAGES[0]}') AS t_0,
+         {_LIST_COLS}
+  FROM events GROUP BY 1
+),
+{_STEP_CTES}
+SELECT COUNT(*) AS n_users,
+       {_REACHED}
+FROM s{len(FUNNEL_STAGES) - 1}
+"""

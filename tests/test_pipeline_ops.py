@@ -476,6 +476,8 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "window_frame_metrics": 1,      # (b) explicit global frames, tiny input
         "pack_documents": 1,            # (b) partition-count offsets window
         "set_ops_nations": 3,           # (b) set ops over the 25-row nation dim
+        "bm25_topk": 1,                 # (a) corpus-stats row (N/avgdl/df)
+        "event_funnel": 1,              # (a) final funnel-count row
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

@@ -67,6 +67,10 @@ DUCKDB_ONLY = {
     "text_quality",  # list_filter
     "text_token_stats",  # list_filter
     "word_counts",  # unnest
+    "bm25_topk",  # list_filter tf/dl counters
+    "ann_batch_topk",  # list_reduce dot product
+    "event_funnel",  # list(ts ORDER BY ts) FILTER + list_filter chain
+    "retention_cohorts",  # date_diff('day', ...) quoted-unit form
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)

@@ -1,0 +1,135 @@
+"""Targeted properties for the round-5 workload batch (bm25_topk,
+ann_batch_topk, retention_cohorts, event_funnel).
+
+Exact-value correctness is pinned by tests/test_oracle_parity.py
+(each query has a DuckDB oracle); these tests pin the INVARIANTS
+that an oracle diff can't express: partition-count invariance,
+agreement between the batch and single-query ANN paths, funnel
+monotonicity, and the retention triangle's marginal sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mspr2_back_spark.operators.similarity import batch_topk, brute_force_topk
+from mspr2_back_spark.plans.workloads import (
+    ANN_BATCH_K,
+    ANN_BATCH_QUERIES,
+    BM25_TERMS,
+    FUNNEL_STAGES,
+    ann_batch_topk,
+    bm25_topk,
+    event_funnel,
+    retention_cohorts,
+)
+from mspr2_back_spark.sources.readers import load_table
+
+
+def test_batch_topk_matches_brute_force_per_query(spark, sf_dir):
+    """For every query id, the batch path must return exactly what
+    the single-query TakeOrderedAndProject path returns over the
+    same corpus (ids >= n_queries)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    batch = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["cosine_sim"])
+        for r in batch_topk(vecs, ANN_BATCH_QUERIES, ANN_BATCH_K).collect()
+    }
+    for qid in range(ANN_BATCH_QUERIES):
+        solo_corpus = vecs.filter(
+            (F.col("vec_id") >= ANN_BATCH_QUERIES) | (F.col("vec_id") == qid)
+        )
+        solo = brute_force_topk(solo_corpus, qid, k=ANN_BATCH_K).collect()
+        for rank, row in enumerate(solo, start=1):
+            assert batch[(qid, rank)] == (row["vec_id"], row["cosine_sim"]), (
+                qid,
+                rank,
+            )
+
+
+def test_batch_topk_partition_invariant(spark, sf_dir):
+    """The partition-local pre-ranking is an execution detail: any
+    input partitioning must produce the identical result."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, batch_topk(vecs, 4, 3).collect()))
+    b = sorted(map(tuple, batch_topk(vecs.repartition(13), 4, 3).collect()))
+    assert a == b and len(a) == 4 * 3
+
+
+def test_bm25_scores_ranked_and_term_bearing(spark, sf_dir):
+    """Every returned doc contains >= 1 query term (score > 0), the
+    ranking is non-increasing, and ties broke on doc_id."""
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    prev = None
+    for r in rows:
+        assert r["score"] > 0
+        assert any(t in docs[r["doc_id"]].split(" ") for t in BM25_TERMS)
+        if prev is not None:
+            assert r["score"] < prev[0] or (
+                r["score"] == prev[0] and r["doc_id"] > prev[1]
+            )
+        prev = (r["score"], r["doc_id"])
+
+
+def test_bm25_rare_term_outranks_common(spark, sf_dir):
+    """idf must dominate: a doc containing the rare term scores above
+    every doc that matches only common terms (their idf is near
+    zero). The top hit therefore contains the rare term."""
+    rows = bm25_topk(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rare = BM25_TERMS[0]
+    assert any(rare in docs[r["doc_id"]] for r in rows), (
+        "no rare-term doc in top-k — idf weighting is broken"
+    )
+    top_with_rare = max(r["score"] for r in rows if rare in docs[r["doc_id"]])
+    best_without = [
+        r["score"] for r in rows if rare not in docs[r["doc_id"]]
+    ]
+    if best_without:
+        assert top_with_rare > max(best_without)
+
+
+def test_event_funnel_monotone(spark, sf_dir):
+    """Each funnel stage is a strict refinement of the previous:
+    counts must be non-increasing along the stage chain, and stage 0
+    is bounded by the user population."""
+    row = event_funnel(spark, sf_dir).collect()[0]
+    counts = [row[f"reached_{s}"] for s in FUNNEL_STAGES]
+    assert row["n_users"] >= counts[0] > 0
+    for a, b in zip(counts, counts[1:]):
+        assert a >= b
+
+
+def test_retention_cohort_marginals(spark, sf_dir):
+    """Offset-0 actives equal the cohort's size (every user is
+    active in their own first week by construction), and summing
+    offset-0 over cohorts recovers the distinct-user population."""
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    rows = retention_cohorts(spark, sf_dir).collect()
+    offset0 = {r["cohort_week"]: r["active_users"] for r in rows if r["week_offset"] == 0}
+    assert sum(offset0.values()) == n_users
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["active_users"] <= offset0[r["cohort_week"]]
+
+
+def test_ann_batch_registered_shape(spark, sf_dir):
+    """Registered query returns (q_id, rank, vec_id, cosine_sim) with
+    contiguous ranks 1..k per query and sims in [-1, 1]."""
+    rows = ann_batch_topk(spark, sf_dir).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+        assert -1.0 <= r["cosine_sim"] <= 1.0
+    assert set(per_q) == set(range(ANN_BATCH_QUERIES))
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, ANN_BATCH_K + 1))
