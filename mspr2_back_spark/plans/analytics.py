@@ -258,10 +258,20 @@ def waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the columns this fact table carries).
 
     Q21's EXISTS(other supplier) / NOT EXISTS(later ship) pair is an
-    order-local property, so it collapses to one groupBy(l_orderkey)
-    producing (max shipdate, distinct suppliers) re-joined to the
-    fact — two exchanges on the same key instead of two correlated
-    self-joins. Ties (several suppliers at the max shipdate) are
+    order-local property — and every per-order fact it needs reduces
+    in ONE groupBy(l_orderkey) pass (round-5 rework; the first form
+    aggregated then re-joined the fact to find max-date rows, paying
+    a second corpus shuffle + join):
+
+    - max(struct(shipdate, suppkey))   → the HIGHEST suppkey that
+      shipped on the last date (struct ordering is lexicographic);
+    - max(struct(shipdate, -suppkey))  → the LOWEST such suppkey
+      (negation flips the tiebreak while keeping shipdate primary);
+    - min/max(suppkey)                 → "≥ 2 distinct suppliers"
+      as smin != smax (exact, no countDistinct expansion).
+
+    "Uniquely shipped last" is then hi.k == -(lo.nk) — ties
+    (several suppliers at the max shipdate) disagree and are
     excluded exactly like Q21's NOT EXISTS excludes them. Top 20 is
     TakeOrderedAndProject.
     """
@@ -272,22 +282,19 @@ def waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey")
     fli = li.join(F.broadcast(finished), li["l_orderkey"] == F.col("o_orderkey"),
                   "left_semi")
-    ostats = fli.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
+    per_order = fli.groupBy("l_orderkey").agg(
+        F.max(
+            F.struct(F.col("l_shipdate").alias("d"), F.col("l_suppkey").alias("k"))
+        ).alias("hi"),
+        F.max(
+            F.struct(F.col("l_shipdate").alias("d"), (-F.col("l_suppkey")).alias("nk"))
+        ).alias("lo"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
     )
-    last_rows = fli.join(ostats, "l_orderkey").filter(
-        (F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship"))
-    )
-    unique_last = (
-        last_rows.groupBy("l_orderkey")
-        .agg(
-            F.min("l_suppkey").alias("lo"),
-            F.max("l_suppkey").alias("hi"),
-        )
-        .filter(F.col("lo") == F.col("hi"))
-        .select("l_orderkey", F.col("lo").alias("s_suppkey"))
-    )
+    unique_last = per_order.filter(
+        (F.col("smin") != F.col("smax")) & (F.col("hi.k") == -F.col("lo.nk"))
+    ).select(F.col("hi.k").alias("s_suppkey"))
     return (
         unique_last.groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
