@@ -52,6 +52,8 @@ _SWEEP_FIRST = [
     "retention_cohorts",
     "event_funnel",
     "waiting_orders_by_supplier",  # r5 one-pass argmax rework
+    "quality_weighted_sample",
+    "equidepth_price_bands",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -91,11 +93,10 @@ _SWEEP_FIRST = [
     "status_pivot",
     "pack_documents",
     "scaled_user_values",
-    "price_histogram",
-    "hot_shingles",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: props_variant_stats,
-    # profile_orders, set_ops_nations, customer_order_coverage,
+    # round-5 "new / changed" block grew: price_histogram,
+    # hot_shingles, props_variant_stats, profile_orders,
+    # set_ops_nations, customer_order_coverage,
     # customers_no_jumbo_order, crud_upsert, crud_delete,
     # crud_point_lookup
 ]

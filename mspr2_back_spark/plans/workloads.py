@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mspr2_back_spark.functions.numeric import dsum
 from mspr2_back_spark.operators import retrieval, similarity
 from mspr2_back_spark.sources.readers import load_table
 
@@ -154,9 +155,73 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: keep each document with
+    probability equal to its blended quality score.
+
+    The continuous-per-row-rate counterpart of
+    `source_mixture_sample`'s constant-per-source rates — the
+    recipe that upweights high-quality text without hard filtering
+    (soft quality curation). Decision = engine-portable md5 bucket <
+    floor(score × 65536), so the kept set is deterministic under any
+    partitioning and reproducible by the oracle character-for-
+    character. Pure scan-side filter: no shuffle, no driver state,
+    the 100 TB shape.
+    """
+    from mspr2_back_spark.functions.text import quality_score_col
+    from mspr2_back_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score_col().alias("quality_score")
+    )
+    return mixture_sample(scored, F.col("quality_score"), "doc_id", salt="qw")
+
+
+def equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram of order price per priority.
+
+    Composes the scale-path quantile machinery: exact discrete
+    p25/p50/p75 cutpoints per group via the binned two-phase
+    refinement (operators/quantiles.py — no per-group full sort),
+    broadcast back, band assignment scan-side, then one
+    (group, band) aggregation. The NTILE way needs a global
+    row_number per group (every row through one reducer per group);
+    this shape's only corpus-sized exchanges hash on
+    (group, bin) / (group, band). Money sums go through DECIMAL so
+    the result is partition-count-invariant.
+    """
+    from mspr2_back_spark.operators.quantiles import binned_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    cuts = binned_quantiles(o, "o_orderpriority", "o_totalprice").select(
+        F.col("grp").alias("o_orderpriority"), "p25", "p50", "p75"
+    )
+    band = (
+        F.when(F.col("o_totalprice") <= F.col("p25"), 0)
+        .when(F.col("o_totalprice") <= F.col("p50"), 1)
+        .when(F.col("o_totalprice") <= F.col("p75"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.join(F.broadcast(cuts), "o_orderpriority")
+        .withColumn("band", band)
+        .groupBy("o_orderpriority", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_band"),
+            F.min("o_totalprice").alias("band_min"),
+            F.max("o_totalprice").alias("band_max"),
+            dsum("o_totalprice").alias("band_total"),
+        )
+        .orderBy("o_orderpriority", "band")
+    )
+
+
 WORKLOAD_QUERIES = {
     "bm25_topk": bm25_topk,
     "ann_batch_topk": ann_batch_topk,
     "retention_cohorts": retention_cohorts,
     "event_funnel": event_funnel,
+    "quality_weighted_sample": quality_weighted_sample,
+    "equidepth_price_bands": equidepth_price_bands,
 }

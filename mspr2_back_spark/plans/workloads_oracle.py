@@ -9,6 +9,7 @@ plan iterates.
 from __future__ import annotations
 
 from mspr2_back_spark.operators.retrieval import bm25_score_sql
+from mspr2_back_spark.plans.pipeline_oracle import PIPELINE_ORACLE_SQL
 from mspr2_back_spark.plans.workloads import (
     ANN_BATCH_K,
     ANN_BATCH_QUERIES,
@@ -119,4 +120,54 @@ WITH s0 AS (
 SELECT COUNT(*) AS n_users,
        {_REACHED}
 FROM s{len(FUNNEL_STAGES) - 1}
+"""
+
+# Engine-portable md5 bucket over doc_id with the 'qw' salt —
+# character-identical to operators/sampling.portable_hash_bucket
+# (same construction as pipeline_oracle._MD5_BUCKET).
+_QW_NIB = "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)"
+_QW_BUCKET = (
+    _QW_NIB.format(i=1) + " * 4096 + " + _QW_NIB.format(i=2) + " * 256 + "
+    + _QW_NIB.format(i=3) + " * 16 + " + _QW_NIB.format(i=4)
+)
+
+WORKLOAD_ORACLE_SQL["quality_weighted_sample"] = f"""
+WITH tq AS (SELECT * FROM ({PIPELINE_ORACLE_SQL["text_quality"]})),
+hashed AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || '|qw') AS h
+  FROM documents
+)
+SELECT hashed.doc_id, hashed.source, tq.quality_score
+FROM hashed JOIN tq USING (doc_id)
+WHERE {_QW_BUCKET} < CAST(FLOOR(tq.quality_score * 65536) AS INT)
+"""
+
+WORKLOAD_ORACLE_SQL["equidepth_price_bands"] = """
+WITH ranked AS (
+    SELECT o_orderpriority,
+           o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+),
+cuts AS (
+    SELECT o_orderpriority,
+           MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN o_totalprice END) AS p25,
+           MIN(CASE WHEN rn >= CEIL(0.50 * n) THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN rn >= CEIL(0.75 * n) THEN o_totalprice END) AS p75
+    FROM ranked
+    GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CASE WHEN o_totalprice <= p25 THEN 0
+            WHEN o_totalprice <= p50 THEN 1
+            WHEN o_totalprice <= p75 THEN 2
+            ELSE 3 END AS band,
+       COUNT(*) AS n_in_band,
+       MIN(o_totalprice) AS band_min,
+       MAX(o_totalprice) AS band_max,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
+FROM orders o JOIN cuts USING (o_orderpriority)
+GROUP BY 1, 2
+ORDER BY 1, 2
 """

@@ -452,6 +452,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "ivf_cell_stats",    # n_cells-row centroid table broadcast
         "dedup_embedding_cosine",  # block-id pair keys (n_blocks²/2 rows)
         "percentile_prices_refined",  # len(ps)-row literal relation
+        "equidepth_price_bands",  # same binned_quantiles ps-literal relation
     }
     # Exchange SinglePartition budgets.  Every entry is one of two
     # documented shapes: (a) the FINAL step of a global scalar

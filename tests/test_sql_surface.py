@@ -71,6 +71,7 @@ DUCKDB_ONLY = {
     "ann_batch_topk",  # list_reduce dot product
     "event_funnel",  # list(ts ORDER BY ts) FILTER + list_filter chain
     "retention_cohorts",  # date_diff('day', ...) quoted-unit form
+    "quality_weighted_sample",  # list_filter quality CTE + strpos bucket
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)

@@ -20,7 +20,9 @@ from mspr2_back_spark.plans.workloads import (
     FUNNEL_STAGES,
     ann_batch_topk,
     bm25_topk,
+    equidepth_price_bands,
     event_funnel,
+    quality_weighted_sample,
     retention_cohorts,
 )
 from mspr2_back_spark.sources.readers import load_table
@@ -133,3 +135,61 @@ def test_ann_batch_registered_shape(spark, sf_dir):
     assert set(per_q) == set(range(ANN_BATCH_QUERIES))
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, ANN_BATCH_K + 1))
+
+
+def test_quality_weighted_sample_tracks_mean_score(spark, sf_dir):
+    """E[kept fraction] equals the corpus mean quality score; with
+    n=500 the binomial 4-sigma envelope is ~±9pp. Also pins
+    determinism: the kept set is a pure function of doc_id."""
+    from mspr2_back_spark.functions.text import quality_score_col
+    from mspr2_back_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    mean_score = (
+        docs.select(F.avg(quality_score_col()).alias("m")).collect()[0]["m"]
+    )
+    kept = quality_weighted_sample(spark, sf_dir)
+    frac = kept.count() / n
+    sigma = (mean_score * (1 - mean_score) / n) ** 0.5
+    assert abs(frac - mean_score) < 4 * sigma + 0.01
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in quality_weighted_sample(spark, sf_dir)
+        .repartition(7)
+        .collect()
+    )
+    assert a == b
+
+
+def test_equidepth_bands_partition_and_ordering(spark, sf_dir):
+    """Each group yields bands 0..3 whose counts sum to the group
+    total, roughly n/4 each (discrete cutpoints allow slack only via
+    duplicate prices), and band value ranges are disjoint and
+    ordered."""
+    from mspr2_back_spark.sources.readers import load_table
+
+    rows = equidepth_price_bands(spark, sf_dir).collect()
+    totals = {
+        r["o_orderpriority"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    per_group: dict[str, list] = {}
+    for r in rows:
+        per_group.setdefault(r["o_orderpriority"], []).append(r)
+    assert set(per_group) == set(totals)
+    for g, band_rows in per_group.items():
+        band_rows.sort(key=lambda r: r["band"])
+        assert [r["band"] for r in band_rows] == [0, 1, 2, 3]
+        n = totals[g]
+        assert sum(r["n_in_band"] for r in band_rows) == n
+        for r in band_rows:
+            # equi-depth: within ±2 of n/4 unless prices collide
+            assert abs(r["n_in_band"] - n / 4) <= 2
+            assert r["band_min"] <= r["band_max"]
+        for lo, hi in zip(band_rows, band_rows[1:]):
+            assert lo["band_max"] <= hi["band_min"]
