@@ -62,6 +62,9 @@ HEADLINE = [
     "waiting_orders_by_supplier",
     "customer_order_histogram",
     "bigram_pmi",
+    # round-5 retrieval family — scan+broadcast ranking shapes
+    "bm25_topk",
+    "ann_batch_topk",
 ]
 
 
