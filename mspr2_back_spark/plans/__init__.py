@@ -54,6 +54,7 @@ _SWEEP_FIRST = [
     "waiting_orders_by_supplier",  # r5 one-pass argmax rework
     "quality_weighted_sample",
     "equidepth_price_bands",
+    "embedding_quantize_stats",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -92,10 +93,9 @@ _SWEEP_FIRST = [
     "order_rank_metrics",
     "status_pivot",
     "pack_documents",
-    "scaled_user_values",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: price_histogram,
-    # hot_shingles, props_variant_stats, profile_orders,
+    # round-5 "new / changed" block grew: scaled_user_values,
+    # price_histogram, hot_shingles, props_variant_stats, profile_orders,
     # set_ops_nations, customer_order_coverage,
     # customers_no_jumbo_order, crud_upsert, crud_delete,
     # crud_point_lookup

@@ -217,6 +217,18 @@ def equidepth_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style quantization reconstruction-error audit per label
+    (operators/quantize.py): the storage-compression decision data a
+    100 TB vector corpus needs before switching its ANN index to
+    int8 codes. One scan + one 128-value stats row broadcast; the
+    single Exchange SinglePartition is the stats aggregate's final
+    step."""
+    from mspr2_back_spark.operators.quantize import int8_quantize_stats
+
+    return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 WORKLOAD_QUERIES = {
     "bm25_topk": bm25_topk,
     "ann_batch_topk": ann_batch_topk,
@@ -224,4 +236,5 @@ WORKLOAD_QUERIES = {
     "event_funnel": event_funnel,
     "quality_weighted_sample": quality_weighted_sample,
     "equidepth_price_bands": equidepth_price_bands,
+    "embedding_quantize_stats": embedding_quantize_stats,
 }

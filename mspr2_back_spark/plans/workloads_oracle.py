@@ -171,3 +171,33 @@ FROM orders o JOIN cuts USING (o_orderpriority)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def _quant_oracle_sql(dim: int = 64) -> str:
+    from mspr2_back_spark.operators.quantize import quant_err_term_sql
+
+    mins = ", ".join(f"MIN(xs[{i}])" for i in range(1, dim + 1))
+    maxs = ", ".join(f"MAX(xs[{i}])" for i in range(1, dim + 1))
+    term = quant_err_term_sql("xs[i]", "mn[i]", "mx[i]")
+    return f"""
+WITH x AS (
+  SELECT label, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+  FROM embeddings
+),
+stats AS (SELECT [{mins}] AS mn, [{maxs}] AS mx FROM x),
+err AS (
+  SELECT label,
+         ROUND(list_reduce(list_transform(generate_series(1, {dim}),
+               i -> {term}), (a, b) -> a + b), 6) AS verr
+  FROM x, stats
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(verr AS DECIMAL(18,6))) AS DOUBLE) AS total_abs_err,
+       MAX(verr) AS max_abs_err
+FROM err
+GROUP BY label
+ORDER BY label
+"""
+
+
+WORKLOAD_ORACLE_SQL["embedding_quantize_stats"] = _quant_oracle_sql()

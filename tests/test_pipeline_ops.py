@@ -479,6 +479,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "set_ops_nations": 3,           # (b) set ops over the 25-row nation dim
         "bm25_topk": 1,                 # (a) corpus-stats row (N/avgdl/df)
         "event_funnel": 1,              # (a) final funnel-count row
+        "embedding_quantize_stats": 1,  # (a) per-dim min/max stats row
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

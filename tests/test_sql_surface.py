@@ -72,6 +72,7 @@ DUCKDB_ONLY = {
     "event_funnel",  # list(ts ORDER BY ts) FILTER + list_filter chain
     "retention_cohorts",  # date_diff('day', ...) quoted-unit form
     "quality_weighted_sample",  # list_filter quality CTE + strpos bucket
+    "embedding_quantize_stats",  # list_transform/list_reduce folds
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)

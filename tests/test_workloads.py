@@ -193,3 +193,25 @@ def test_equidepth_bands_partition_and_ordering(spark, sf_dir):
             assert r["band_min"] <= r["band_max"]
         for lo, hi in zip(band_rows, band_rows[1:]):
             assert lo["band_max"] <= hi["band_min"]
+
+
+def test_quantize_error_bound(spark, sf_dir):
+    """Per-element reconstruction error of round-to-nearest affine
+    quantization is at most span/(2*254), so a vector's L1 error is
+    bounded by sum(span_i)/508; counts must cover the corpus."""
+    from mspr2_back_spark.operators.quantize import QUANT_LEVELS
+    from mspr2_back_spark.plans.workloads import embedding_quantize_stats
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    mn_mx = vecs.agg(
+        *[F.min(F.element_at(F.expr("transform(embedding, e -> CAST(e AS DOUBLE))"), i)).alias(f"mn{i}") for i in range(1, 65)],
+        *[F.max(F.element_at(F.expr("transform(embedding, e -> CAST(e AS DOUBLE))"), i)).alias(f"mx{i}") for i in range(1, 65)],
+    ).collect()[0]
+    bound = sum(
+        (mn_mx[f"mx{i}"] - mn_mx[f"mn{i}"]) for i in range(1, 65)
+    ) / (2 * QUANT_LEVELS) + 1e-6
+    rows = embedding_quantize_stats(spark, sf_dir).collect()
+    assert sum(r["n_vecs"] for r in rows) == vecs.count()
+    for r in rows:
+        assert 0 <= r["max_abs_err"] <= bound
+        assert 0 <= r["total_abs_err"] <= bound * r["n_vecs"]
