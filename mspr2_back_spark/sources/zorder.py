@@ -1,0 +1,100 @@
+"""Z-order (Morton-interleaved) file layout for multi-column data
+skipping.
+
+Hive partitioning prunes on ONE low-cardinality key and bucketing
+co-locates ONE join key; neither helps when queries filter on two
+independent numeric/date ranges (ts AND value, lat AND lon). Sorting
+files by an interleaved-bit Morton code makes every file's parquet
+min/max footer stats tight on BOTH columns at once, so predicate
+pushdown skips most files/row-groups for either (or both)
+predicates — the layout trick Delta OPTIMIZE ZORDER and Iceberg's
+sort orders apply at warehouse scale.
+
+Mechanics here:
+- each column is affinely scaled to a ``bits``-wide integer grid
+  against its GLOBAL min/max (one scalar-aggregate row broadcast
+  back on a constant key — no driver collect). Linear scaling is
+  skew-sensitive: a heavy-tailed column wastes grid cells (the
+  production refinement is equi-depth boundaries, e.g. via
+  operators/quantiles.py); the interleave itself is unchanged.
+- grid coordinates interleave bit-by-bit into one BIGINT z-code via
+  a generated shift/mask expression (pure codegen, no UDF).
+- the frame is range-partitioned on the z-code (sampled range
+  exchange — balanced output files) and sorted within partitions,
+  then written; each output file covers one compact Z-curve segment,
+  i.e. a small hyper-rectangle of the value space.
+
+Scale note: the only corpus-sized exchange is the range partition —
+exactly the shuffle any explicit re-layout pays; everything else is
+scan-side arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16
+
+
+def _grid(col: Column, mn: Column, mx: Column, bits: int) -> Column:
+    """Scale ``col`` onto [0, 2^bits) against broadcast min/max.
+    Degenerate (constant) columns land on cell 0."""
+    levels = (1 << bits) - 1
+    span = mx - mn
+    scaled = F.floor((col.cast("double") - mn) / span * levels + 0.5)
+    return (
+        F.when(span == 0, F.lit(0)).otherwise(scaled).cast("bigint")
+    )
+
+
+def morton_code(grids: Sequence[Column], bits: int = ZORDER_BITS) -> Column:
+    """Interleave ``len(grids)`` grid coordinates bit-by-bit (column
+    j's bit i lands at position i*n+j). Generated shift/mask
+    expression — whole-stage codegen, no Python. Total output bits
+    = bits * n_cols must fit a BIGINT (<= 62)."""
+    n = len(grids)
+    if bits * n > 62:
+        raise ValueError(f"{n} cols x {bits} bits overflows BIGINT")
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, g in enumerate(grids):
+            out = out + F.shiftleft(
+                F.shiftright(g, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return out
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-curve of ``cols``
+    (numeric/date/timestamp — anything castable to double)."""
+    mins = [F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)]
+    maxs = [F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)]
+    stats = df.agg(*mins, *maxs)
+    key = F.spark_partition_id() * 0 + 1
+    gridded = df.withColumn("_k", key).join(
+        F.broadcast(stats.withColumn("_k", key)), "_k"
+    )
+    grids = [
+        _grid(F.col(c), F.col(f"mn_{i}"), F.col(f"mx_{i}"), bits)
+        for i, c in enumerate(cols)
+    ]
+    zed = gridded.withColumn("_z", morton_code(grids, bits)).drop(
+        "_k", *[f"mn_{i}" for i in range(len(cols))], *[f"mx_{i}" for i in range(len(cols))]
+    )
+    (
+        zed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
