@@ -277,3 +277,60 @@ def dedup_gate_against_corpus(
             F.coalesce("matches_corpus", F.lit(0)).alias("matches_corpus"),
         )
     )
+
+
+def funnel_stage_progress(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    window_days: int = 2,
+) -> DataFrame:
+    """Per-user funnel STATE MACHINE via ``applyInPandasWithState`` —
+    the streaming twin of plans/workloads.event_funnel.
+
+    State per user is three scalars: stages completed, first-signup
+    timestamp (nanos), and the previous stage's timestamp. Each
+    micro-batch advances the machine over its (ts-sorted) events:
+    stage k completes on the first stage-k event strictly after the
+    stage-(k-1) event and within ``window_days`` calendar days of
+    the signup day — the greedy first-match chain, identical to the
+    batch query's ordered array logic when events arrive in event-time
+    order (the parity test's contract; production fronts this with
+    the watermark + in-batch sort, late cross-batch stragglers are a
+    documented divergence of any single-pass state machine).
+
+    Emits (user_id, stage_reached) updates; downstream counts per
+    stage give the live funnel. State is O(1) per user — this is the
+    pattern (per-key progression machines) that windowed aggregation
+    cannot express and the escape hatch exists for.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_stages = len(stages)
+
+    def update(key, pdf_iter, state):
+        reached, t0, tprev = state.get if state.exists else (0, 0, 0)
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values("ts")
+        ts_ns = rows["ts"].astype("int64")  # nanos since epoch (UTC)
+        for t, et in zip(ts_ns, rows["event_type"]):
+            if reached == 0:
+                if et == stages[0]:
+                    reached, t0, tprev = 1, int(t), int(t)
+            elif reached < n_stages:
+                # floor-div by a UTC day = CAST(ts AS DATE) in the
+                # batch query's UTC session
+                day = (t // 86_400_000_000_000) - (t0 // 86_400_000_000_000)
+                if et == stages[reached] and t > tprev and day <= window_days:
+                    reached += 1
+                    tprev = int(t)
+        state.update((reached, t0, tprev))
+        yield pd.DataFrame({"user_id": [key[0]], "stage_reached": [reached]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, stage_reached int",
+        stateStructType="reached int, t0 long, tprev long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -607,3 +607,32 @@ class TestNumpyLSTMTraining:
         )
         assert out.shape == (3,) and np.isfinite(out).all()
 
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """The per-user funnel state machine, drained over the full event
+    history in event-time order, must land every user on exactly the
+    stage the batch event_funnel chain computes."""
+    from mspr2_back_spark.plans.workloads import FUNNEL_STAGES, event_funnel
+
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_funnel")
+    src.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    prog = stream_events.funnel_stage_progress(stream)
+    stream_events.run_to_memory(prog, "funnel_progress", mode="update")
+
+    final: dict[int, int] = {}
+    for r in spark.table("funnel_progress").collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.stage_reached)
+    # per-stage reach counts: stage k ⇒ stage_reached >= k+1
+    stream_counts = [
+        sum(1 for v in final.values() if v >= k + 1)
+        for k in range(len(FUNNEL_STAGES))
+    ]
+    batch = event_funnel(spark, sf_dir).collect()[0]
+    batch_counts = [batch[f"reached_{s}"] for s in FUNNEL_STAGES]
+    assert stream_counts == batch_counts
+    assert len(final) == batch["n_users"]
+    shutil.rmtree(stream_dir, ignore_errors=True)
