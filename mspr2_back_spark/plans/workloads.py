@@ -229,6 +229,55 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+# (child table, fk col, parent table, pk col) — the star schema's
+# edges; the oracle mirrors this list in order.
+FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every star-schema edge: row
+    count, orphan count (child keys with no parent), and orphan rate
+    per relationship.
+
+    The constraint-validation pass a warehouse runs after every
+    load. Each edge is a LEFT join on the key (parents deduped
+    first) reduced to one scalar row — partial aggregation map-side,
+    so each edge contributes one row to its final exchange (6
+    Exchange SinglePartition total, one per relationship, all
+    shape (a)). Parent sides broadcast when small; at 100 TB the
+    lineitem→orders edge shuffles on the key, which is the honest
+    cost of validating a fact-to-fact constraint.
+    """
+    rows = []
+    for child, fk, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(fk)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        joined = c.join(p, c[fk] == p[pk], "left")
+        rows.append(
+            joined.agg(
+                F.lit(f"{child}->{parent}").alias("relationship"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col(pk).isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "orphan_rate",
+        F.round(F.col("n_orphans").cast("double") / F.col("n_rows"), 6),
+    ).orderBy("relationship")
+
+
 WORKLOAD_QUERIES = {
     "bm25_topk": bm25_topk,
     "ann_batch_topk": ann_batch_topk,
@@ -237,4 +286,5 @@ WORKLOAD_QUERIES = {
     "quality_weighted_sample": quality_weighted_sample,
     "equidepth_price_bands": equidepth_price_bands,
     "embedding_quantize_stats": embedding_quantize_stats,
+    "fk_integrity_audit": fk_integrity_audit,
 }

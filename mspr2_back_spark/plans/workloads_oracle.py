@@ -201,3 +201,23 @@ ORDER BY label
 
 
 WORKLOAD_ORACLE_SQL["embedding_quantize_stats"] = _quant_oracle_sql()
+
+
+def _fk_oracle_sql() -> str:
+    from mspr2_back_spark.plans.workloads import FK_EDGES
+
+    parts = []
+    for child, fk, parent, pk in FK_EDGES:
+        parts.append(f"""
+SELECT '{child}->{parent}' AS relationship,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       ROUND(CAST(CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS DOUBLE) / COUNT(*), 6) AS orphan_rate
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{fk} = p.{pk}""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY relationship"
+
+
+WORKLOAD_ORACLE_SQL["fk_integrity_audit"] = _fk_oracle_sql()

@@ -480,6 +480,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "bm25_topk": 1,                 # (a) corpus-stats row (N/avgdl/df)
         "event_funnel": 1,              # (a) final funnel-count row
         "embedding_quantize_stats": 1,  # (a) per-dim min/max stats row
+        "fk_integrity_audit": 6,        # (a) one scalar row per FK edge
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

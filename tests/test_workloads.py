@@ -215,3 +215,40 @@ def test_quantize_error_bound(spark, sf_dir):
     for r in rows:
         assert 0 <= r["max_abs_err"] <= bound
         assert 0 <= r["total_abs_err"] <= bound * r["n_vecs"]
+
+
+def test_fk_integrity_clean_star_schema(spark, sf_dir):
+    """The synthetic star schema is referentially clean: every edge
+    reports 0 orphans, and row counts equal the child tables'."""
+    from mspr2_back_spark.plans.workloads import FK_EDGES, fk_integrity_audit
+
+    rows = {r["relationship"]: r for r in fk_integrity_audit(spark, sf_dir).collect()}
+    assert len(rows) == len(FK_EDGES)
+    for child, fk, parent, pk in FK_EDGES:
+        r = rows[f"{child}->{parent}"]
+        assert r["n_rows"] == load_table(spark, sf_dir, child).count()
+        assert r["n_orphans"] == 0 and r["orphan_rate"] == 0.0
+
+
+def test_fk_integrity_detects_orphans(spark, sf_dir, tmp_path):
+    """Injected orphans must be counted exactly (the audit is not
+    vacuously zero)."""
+    import os
+    import shutil
+
+    from mspr2_back_spark.plans.workloads import fk_integrity_audit
+
+    broken = str(tmp_path / "broken")
+    os.makedirs(broken, exist_ok=True)
+    for t in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{broken}/{t}.parquet")
+    # drop 10 customers -> their orders become orphans
+    cust = load_table(spark, sf_dir, "customer")
+    keep = cust.filter(F.col("c_custkey") >= 10)
+    keep.coalesce(1).write.mode("overwrite").parquet(f"{broken}/customer.parquet")
+    expected_orphans = (
+        load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 10).count()
+    )
+    rows = {r["relationship"]: r for r in fk_integrity_audit(spark, broken).collect()}
+    assert rows["orders->customer"]["n_orphans"] == expected_orphans > 0
+    assert rows["lineitem->orders"]["n_orphans"] == 0
