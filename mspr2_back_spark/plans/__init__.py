@@ -56,6 +56,7 @@ _SWEEP_FIRST = [
     "equidepth_price_bands",
     "embedding_quantize_stats",
     "fk_integrity_audit",
+    "lineitem_corr_matrix",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -92,9 +93,9 @@ _SWEEP_FIRST = [
     "above_avg_orders",
     "window_frame_metrics",
     "order_rank_metrics",
-    "status_pivot",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: pack_documents, scaled_user_values,
+    # round-5 "new / changed" block grew: status_pivot, pack_documents,
+    # scaled_user_values,
     # price_histogram, hot_shingles, props_variant_stats, profile_orders,
     # set_ops_nations, customer_order_coverage,
     # customers_no_jumbo_order, crud_upsert, crud_delete,

@@ -229,6 +229,54 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+CORR_COLS = (("q", "l_quantity"), ("p", "l_extendedprice"), ("d", "l_discount"))
+CORR_SCALE = "DECIMAL(28,6)"
+
+
+def corr_sql(a: str, b: str) -> str:
+    """Pearson correlation from exact-decimal moment sums —
+    engine-portable SQL text over columns n / s_{a} / s_{b} /
+    ss_{a}{b} etc. Fixed operation order ⇒ identical IEEE doubles
+    on both engines."""
+    return (
+        f"ROUND((CAST(n AS DOUBLE) * ss_{a}{b} - s_{a} * s_{b})"
+        f" / sqrt((CAST(n AS DOUBLE) * ss_{a}{a} - s_{a} * s_{a})"
+        f" * (CAST(n AS DOUBLE) * ss_{b}{b} - s_{b} * s_{b})), 6)"
+    )
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (quantity, price, discount) per
+    return flag — single-pass statistical profiling.
+
+    Plain double moment sums are summation-order-dependent (breaks
+    reruns and the oracle hash), so every sum aggregates in
+    DECIMAL(28,6) — exact, associative — and converts to double only
+    at the output boundary; the correlation formula itself is one
+    shared SQL template (corr_sql) so both engines evaluate the
+    identical expression tree. One map-side-partial aggregation;
+    3-group output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum6(expr: F.Column, name: str) -> F.Column:
+        return F.sum(expr.cast(CORR_SCALE)).cast("double").alias(name)
+
+    cols = {k: F.col(c) for k, c in CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    keys = list(cols)
+    for i, a in enumerate(keys):
+        aggs.append(dsum6(cols[a], f"s_{a}"))
+        for b in keys[i:]:
+            aggs.append(dsum6(cols[a] * cols[b], f"ss_{a}{b}"))
+    moments = li.groupBy("l_returnflag").agg(*aggs)
+    out_cols = [F.col("l_returnflag"), F.col("n")]
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            out_cols.append(F.expr(corr_sql(a, b)).alias(f"corr_{a}{b}"))
+    return moments.select(*out_cols).orderBy("l_returnflag")
+
+
 # (child table, fk col, parent table, pk col) — the star schema's
 # edges; the oracle mirrors this list in order.
 FK_EDGES = (
@@ -287,4 +335,5 @@ WORKLOAD_QUERIES = {
     "equidepth_price_bands": equidepth_price_bands,
     "embedding_quantize_stats": embedding_quantize_stats,
     "fk_integrity_audit": fk_integrity_audit,
+    "lineitem_corr_matrix": lineitem_corr_matrix,
 }

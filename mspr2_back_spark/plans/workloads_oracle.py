@@ -221,3 +221,37 @@ FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
 
 
 WORKLOAD_ORACLE_SQL["fk_integrity_audit"] = _fk_oracle_sql()
+
+
+def _corr_oracle_sql() -> str:
+    from mspr2_back_spark.plans.workloads import CORR_COLS, CORR_SCALE, corr_sql
+
+    keys = [k for k, _ in CORR_COLS]
+    cols = dict(CORR_COLS)
+    sums = []
+    for i, a in enumerate(keys):
+        sums.append(
+            f"CAST(SUM(CAST({cols[a]} AS {CORR_SCALE})) AS DOUBLE) AS s_{a}"
+        )
+        for b in keys[i:]:
+            sums.append(
+                f"CAST(SUM(CAST({cols[a]} * {cols[b]} AS {CORR_SCALE})) AS DOUBLE)"
+                f" AS ss_{a}{b}"
+            )
+    corrs = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            corrs.append(f"{corr_sql(a, b)} AS corr_{a}{b}")
+    return f"""
+WITH moments AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         {', '.join(sums)}
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n, {', '.join(corrs)}
+FROM moments
+ORDER BY l_returnflag
+"""
+
+
+WORKLOAD_ORACLE_SQL["lineitem_corr_matrix"] = _corr_oracle_sql()

@@ -252,3 +252,36 @@ def test_fk_integrity_detects_orphans(spark, sf_dir, tmp_path):
     rows = {r["relationship"]: r for r in fk_integrity_audit(spark, broken).collect()}
     assert rows["orders->customer"]["n_orphans"] == expected_orphans > 0
     assert rows["lineitem->orders"]["n_orphans"] == 0
+
+
+def test_corr_matrix_matches_numpy_and_is_invariant(spark, sf_dir):
+    """Correlations agree with numpy's per-group Pearson to 1e-6
+    (the decimal-sum route changes arithmetic, not the statistic)
+    and survive any input partitioning bit-for-bit."""
+    import numpy as np
+
+    from mspr2_back_spark.plans.workloads import lineitem_corr_matrix
+
+    rows = lineitem_corr_matrix(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"], r["l_discount"])
+        )
+    for r in rows:
+        arr = np.array(by_flag[r["l_returnflag"]])
+        assert r["n"] == len(arr)
+        for name, (i, j) in [("corr_qp", (0, 1)), ("corr_qd", (0, 2)), ("corr_pd", (1, 2))]:
+            expect = float(np.corrcoef(arr[:, i], arr[:, j])[0, 1])
+            assert abs(r[name] - expect) < 1e-6, (name, r[name], expect)
+            assert -1.0 <= r[name] <= 1.0
+    a = sorted(map(tuple, lineitem_corr_matrix(spark, sf_dir).collect()))
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        b = sorted(map(tuple, lineitem_corr_matrix(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
