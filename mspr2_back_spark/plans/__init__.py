@@ -57,6 +57,7 @@ _SWEEP_FIRST = [
     "embedding_quantize_stats",
     "fk_integrity_audit",
     "lineitem_corr_matrix",
+    "sliding_event_rates",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -92,10 +93,9 @@ _SWEEP_FIRST = [
     "local_supplier_volume",
     "above_avg_orders",
     "window_frame_metrics",
-    "order_rank_metrics",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: status_pivot, pack_documents,
-    # scaled_user_values,
+    # round-5 "new / changed" block grew: order_rank_metrics,
+    # status_pivot, pack_documents, scaled_user_values,
     # price_histogram, hot_shingles, props_variant_stats, profile_orders,
     # set_ops_nations, customer_order_coverage,
     # customers_no_jumbo_order, crud_upsert, crud_delete,

@@ -229,6 +229,47 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+SLIDE_WIDTH_MIN = 60
+SLIDE_STEP_MIN = 15
+
+
+def sliding_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window event rates: 1-hour windows advancing every 15
+    minutes — the smoothed-rate view a monitoring dashboard draws
+    (tumbling hourly_events is the coarse twin; the streaming module
+    runs the same windows live).
+
+    Spark's F.window(ts, width, step) explodes each event into
+    width/step = 4 overlapping windows scan-side, then one hash
+    aggregation on (window, event_type). Shuffle volume is 4× the
+    tumbling form's — the price of overlap, paid in the exchange,
+    not in any per-group state. Value sums go through DECIMAL
+    (money6) per the engine-wide determinism contract.
+    """
+    from mspr2_back_spark.functions.numeric import money6
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(
+                "ts", f"{SLIDE_WIDTH_MIN} minutes", f"{SLIDE_STEP_MIN} minutes"
+            ).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money6("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 CORR_COLS = (("q", "l_quantity"), ("p", "l_extendedprice"), ("d", "l_discount"))
 CORR_SCALE = "DECIMAL(28,6)"
 
@@ -336,4 +377,5 @@ WORKLOAD_QUERIES = {
     "embedding_quantize_stats": embedding_quantize_stats,
     "fk_integrity_audit": fk_integrity_audit,
     "lineitem_corr_matrix": lineitem_corr_matrix,
+    "sliding_event_rates": sliding_event_rates,
 }

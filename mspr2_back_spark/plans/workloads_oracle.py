@@ -255,3 +255,31 @@ ORDER BY l_returnflag
 
 
 WORKLOAD_ORACLE_SQL["lineitem_corr_matrix"] = _corr_oracle_sql()
+
+
+def _sliding_oracle_sql() -> str:
+    from mspr2_back_spark.plans.workloads import SLIDE_STEP_MIN, SLIDE_WIDTH_MIN
+
+    step_s = SLIDE_STEP_MIN * 60
+    n_hops = SLIDE_WIDTH_MIN // SLIDE_STEP_MIN
+    # Spark's window(ts, w, s) assigns ts to starts
+    # {floor_to_step(ts) - k*step : k in 0..w/s-1}; epoch alignment
+    # matches Spark's 1970-01-01 origin. to_timestamp yields
+    # TIMESTAMPTZ — cast back to naive (session is UTC).
+    return f"""
+WITH ex AS (
+  SELECT CAST(to_timestamp(FLOOR(epoch(ts) / {step_s}) * {step_s}
+              - k * {step_s}) AS TIMESTAMP) AS window_start,
+         event_type, value
+  FROM events, unnest(generate_series(0, {n_hops - 1})) AS t(k)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM ex
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+WORKLOAD_ORACLE_SQL["sliding_event_rates"] = _sliding_oracle_sql()

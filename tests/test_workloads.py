@@ -285,3 +285,22 @@ def test_corr_matrix_matches_numpy_and_is_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert a == b
+
+
+def test_sliding_windows_cover_each_event_four_times(spark, sf_dir):
+    """width/step = 4: summing n_events over all hopping windows
+    must count every event exactly 4 times, and window starts are
+    step-aligned."""
+    from mspr2_back_spark.plans.workloads import (
+        SLIDE_STEP_MIN,
+        SLIDE_WIDTH_MIN,
+        sliding_event_rates,
+    )
+
+    rows = sliding_event_rates(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "events").count()
+    hops = SLIDE_WIDTH_MIN // SLIDE_STEP_MIN
+    assert sum(r["n_events"] for r in rows) == hops * n
+    for r in rows:
+        ts = r["window_start"]
+        assert (ts.minute % SLIDE_STEP_MIN == 0) and ts.second == 0
