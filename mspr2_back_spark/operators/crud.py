@@ -61,3 +61,51 @@ def delete_where(df: DataFrame, cond: Column) -> DataFrame:
     SQL's three-valued logic, which a naive ``filter(~cond)`` gets
     wrong on NULL."""
     return df.filter(~cond.eqNullSafe(F.lit(True)))
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attr: str,
+    base_from: str,
+    effective: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: history-preserving
+    attribute updates.
+
+    `upsert` (above) is SCD1 — it overwrites. Type 2 instead CLOSES
+    the current version of every updated key (valid_to = effective
+    date) and opens a new current version carrying the new attribute
+    value; unchanged keys keep their open version. This is the
+    dimension-history pattern every warehouse load runs (and what
+    Delta/Iceberg MERGE WHEN MATCHED THEN UPDATE/INSERT pairs
+    express); algebraically it is one LEFT join of the dimension to
+    the update batch plus a projection union — the join shuffles on
+    the dimension key at scale (AQE broadcasts small batches), and
+    nothing else is corpus-sized.
+
+    ``updates`` must carry (key, new_<attr>); output =
+    (key, attr, valid_from, valid_to, is_current), one row per
+    version, deterministic.
+    """
+    upd = updates.select(
+        F.col(key), F.col(f"new_{attr}")
+    )
+    joined = dim.select(key, attr).join(upd, key, "left")
+    changed = F.col(f"new_{attr}").isNotNull()
+    old_rows = joined.select(
+        F.col(key),
+        F.col(attr),
+        F.lit(base_from).cast("date").alias("valid_from"),
+        F.when(changed, F.lit(effective).cast("date")).alias("valid_to"),
+        (~changed).alias("is_current"),
+    )
+    new_rows = joined.filter(changed).select(
+        F.col(key),
+        F.col(f"new_{attr}").alias(attr),
+        F.lit(effective).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return old_rows.unionByName(new_rows)

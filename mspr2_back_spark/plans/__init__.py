@@ -58,6 +58,7 @@ _SWEEP_FIRST = [
     "fk_integrity_audit",
     "lineitem_corr_matrix",
     "sliding_event_rates",
+    "scd2_customer_merge",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -92,9 +93,9 @@ _SWEEP_FIRST = [
     "shipping_priority",
     "local_supplier_volume",
     "above_avg_orders",
-    "window_frame_metrics",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: order_rank_metrics,
+    # round-5 "new / changed" block grew: window_frame_metrics,
+    # order_rank_metrics,
     # status_pivot, pack_documents, scaled_user_values,
     # price_histogram, hot_shingles, props_variant_stats, profile_orders,
     # set_ops_nations, customer_order_coverage,

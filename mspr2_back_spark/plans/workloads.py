@@ -229,6 +229,29 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+SCD2_BASE_FROM = "1995-01-01"
+SCD2_EFFECTIVE = "1998-06-01"
+SCD2_NEW_SEGMENT = "COLLECTIONS"
+
+
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving (SCD type 2) segment update: every
+    negative-balance customer moves to the COLLECTIONS segment as of
+    SCD2_EFFECTIVE — their current version closes, a new open
+    version appears; everyone else keeps one open version. The
+    update batch derives deterministically from the dimension so the
+    oracle can reproduce it exactly (operators/crud.scd2_merge)."""
+    from mspr2_back_spark.operators.crud import scd2_merge
+
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.lit(SCD2_NEW_SEGMENT).alias("new_c_mktsegment")
+    )
+    return scd2_merge(
+        c, updates, "c_custkey", "c_mktsegment", SCD2_BASE_FROM, SCD2_EFFECTIVE
+    ).orderBy("c_custkey", "valid_from")
+
+
 SLIDE_WIDTH_MIN = 60
 SLIDE_STEP_MIN = 15
 
@@ -378,4 +401,5 @@ WORKLOAD_QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "lineitem_corr_matrix": lineitem_corr_matrix,
     "sliding_event_rates": sliding_event_rates,
+    "scd2_customer_merge": scd2_customer_merge,
 }

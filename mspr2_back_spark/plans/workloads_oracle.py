@@ -283,3 +283,38 @@ ORDER BY 1, 2
 
 
 WORKLOAD_ORACLE_SQL["sliding_event_rates"] = _sliding_oracle_sql()
+
+
+def _scd2_oracle_sql() -> str:
+    from mspr2_back_spark.plans.workloads import (
+        SCD2_BASE_FROM,
+        SCD2_EFFECTIVE,
+        SCD2_NEW_SEGMENT,
+    )
+
+    return f"""
+WITH upd AS (
+  SELECT c_custkey, '{SCD2_NEW_SEGMENT}' AS new_seg
+  FROM customer WHERE c_acctbal < 0
+),
+joined AS (
+  SELECT c.c_custkey, c.c_mktsegment, u.new_seg
+  FROM customer c LEFT JOIN upd u USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment,
+       CAST('{SCD2_BASE_FROM}' AS DATE) AS valid_from,
+       CASE WHEN new_seg IS NOT NULL
+            THEN CAST('{SCD2_EFFECTIVE}' AS DATE) END AS valid_to,
+       new_seg IS NULL AS is_current
+FROM joined
+UNION ALL
+SELECT c_custkey, new_seg AS c_mktsegment,
+       CAST('{SCD2_EFFECTIVE}' AS DATE) AS valid_from,
+       CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM joined WHERE new_seg IS NOT NULL
+ORDER BY c_custkey, valid_from
+"""
+
+
+WORKLOAD_ORACLE_SQL["scd2_customer_merge"] = _scd2_oracle_sql()

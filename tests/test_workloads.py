@@ -304,3 +304,35 @@ def test_sliding_windows_cover_each_event_four_times(spark, sf_dir):
     for r in rows:
         ts = r["window_start"]
         assert (ts.minute % SLIDE_STEP_MIN == 0) and ts.second == 0
+
+
+def test_scd2_version_invariants(spark, sf_dir):
+    """Updated keys carry exactly (one closed + one open) version,
+    unchanged keys exactly one open version; closed intervals end
+    where the successor begins; is_current <=> valid_to IS NULL."""
+    from mspr2_back_spark.plans.workloads import (
+        SCD2_NEW_SEGMENT,
+        scd2_customer_merge,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    n_total = cust.count()
+    n_updated = cust.filter(F.col("c_acctbal") < 0).count()
+    rows = scd2_customer_merge(spark, sf_dir).collect()
+    assert len(rows) == n_total + n_updated
+    by_key: dict[int, list] = {}
+    for r in rows:
+        assert r["is_current"] == (r["valid_to"] is None)
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    n_two = 0
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for v in versions if v["is_current"]) == 1
+        if len(versions) == 2:
+            n_two += 1
+            closed, current = versions
+            assert closed["valid_to"] == current["valid_from"]
+            assert current["c_mktsegment"] == SCD2_NEW_SEGMENT
+        else:
+            assert len(versions) == 1
+    assert n_two == n_updated > 0
