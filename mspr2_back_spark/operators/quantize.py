@@ -33,20 +33,38 @@ QUANT_LEVELS = 254
 DIM = 64
 
 
-def quant_err_term_sql(x: str, mn: str, mx: str) -> str:
-    """|x - dequant(quant(x))| for one element — engine-portable SQL.
-
-    ``{x}/{mn}/{mx}`` are element expressions. The degenerate
-    zero-span dimension reconstructs exactly (error 0, written as
-    abs(x - mn) so the expression stays branch-for-branch identical
-    on both engines).
-    """
+def quant_recon_sql(x: str, mn: str, mx: str) -> str:
+    """dequant(quant(x)) for one element — engine-portable SQL.
+    Degenerate zero-span dimensions reconstruct as mn (exact)."""
     span = f"({mx} - {mn})"
     code = f"FLOOR(({x} - {mn}) / {span} * {QUANT_LEVELS} + 0.5)"
     recon = f"({mn} + {code} / {QUANT_LEVELS} * {span})"
-    return (
-        f"CASE WHEN {mx} = {mn} THEN abs({x} - {mn}) "
-        f"ELSE abs({x} - {recon}) END"
+    return f"CASE WHEN {mx} = {mn} THEN {mn} ELSE {recon} END"
+
+
+def quant_err_term_sql(x: str, mn: str, mx: str) -> str:
+    """|x - dequant(quant(x))| for one element — engine-portable SQL.
+
+    ``{x}/{mn}/{mx}`` are element expressions; built on
+    quant_recon_sql so the serving path (ann over dequantized codes)
+    and the audit share one reconstruction definition.
+    """
+    return f"abs({x} - {quant_recon_sql(x, mn, mx)})"
+
+
+def minmax_stats(vectors: DataFrame, dim: int = DIM) -> DataFrame:
+    """The one-row per-dimension (mn, mx) array relation every
+    quantization consumer (audit + int8 serving) broadcasts."""
+    xs = vectors.select(
+        F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("xs")
+    )
+    return xs.agg(
+        F.array(
+            *[F.min(F.element_at("xs", i)) for i in range(1, dim + 1)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.element_at("xs", i)) for i in range(1, dim + 1)]
+        ).alias("mx"),
     )
 
 
@@ -59,14 +77,7 @@ def int8_quantize_stats(
         label_col,
         F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("xs"),
     )
-    stats = xs.agg(
-        F.array(
-            *[F.min(F.element_at("xs", i)) for i in range(1, dim + 1)]
-        ).alias("mn"),
-        F.array(
-            *[F.max(F.element_at("xs", i)) for i in range(1, dim + 1)]
-        ).alias("mx"),
-    )
+    stats = minmax_stats(vectors, dim)
     key = F.spark_partition_id() * 0 + 1
     term = quant_err_term_sql(
         "element_at(xs, i)", "element_at(mn, i)", "element_at(mx, i)"
@@ -92,3 +103,59 @@ def int8_quantize_stats(
         )
         .orderBy(label_col)
     )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k over the DEQUANTIZED int8 codes — the
+    compressed serving path (score what the index would actually
+    store, 4× smaller than fp32).
+
+    Same plan as similarity.brute_force_topk (broadcast query,
+    scan-side fold scoring, TakeOrderedAndProject) with the
+    embedding replaced by its quantize→dequantize image; the
+    reconstruction expression is the audit's quant_recon_sql
+    template, so serving and audit can never drift. Ranking quality
+    vs the fp32 path is pinned by the recall test in
+    tests/test_workloads.py.
+    """
+    from mspr2_back_spark.operators.similarity import dot_col, norm_col
+
+    recon = quant_recon_sql(
+        "element_at(xs, i)", "element_at(mn, i)", "element_at(mx, i)"
+    )
+    dq_expr = F.expr(f"transform(sequence(1, {dim}), i -> {recon})")
+    stats = minmax_stats(vectors, dim)
+    key = F.spark_partition_id() * 0 + 1
+    base = (
+        vectors.select(
+            id_col,
+            "label",
+            F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("xs"),
+        )
+        .withColumn("_k", key)
+        .join(F.broadcast(stats.withColumn("_k", key)), "_k")
+        .withColumn("dq", dq_expr)
+        .drop("_k", "xs", "mn", "mx")
+    )
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("dq").alias("q_dq"), norm_col("dq", dim).alias("q_norm")
+    )
+    scored = (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            "label",
+            F.round(
+                dot_col("dq", "q_dq") / (norm_col("dq", dim) * F.col("q_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

@@ -59,6 +59,7 @@ _SWEEP_FIRST = [
     "lineitem_corr_matrix",
     "sliding_event_rates",
     "scd2_customer_merge",
+    "ann_quantized_topk",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -92,9 +93,9 @@ _SWEEP_FIRST = [
     "top3_orders_per_segment",
     "shipping_priority",
     "local_supplier_volume",
-    "above_avg_orders",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: window_frame_metrics,
+    # round-5 "new / changed" block grew: above_avg_orders,
+    # window_frame_metrics,
     # order_rank_metrics,
     # status_pivot, pack_documents, scaled_user_values,
     # price_histogram, hot_shingles, props_variant_stats, profile_orders,

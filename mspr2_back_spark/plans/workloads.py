@@ -229,6 +229,26 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+ANN_QUANT_QUERY_ID = 0
+ANN_QUANT_K = 10
+
+
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over the int8-dequantized embedding column —
+    the compressed serving path next to `ann_topk`'s fp32 baseline
+    (operators/quantize.quantized_topk). Recall vs fp32 is pinned in
+    pytest; the reconstruction expression is the audit's template,
+    so the driver verdict here certifies the exact codes the
+    quantize audit measures."""
+    from mspr2_back_spark.operators.quantize import quantized_topk
+
+    return quantized_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_QUANT_QUERY_ID,
+        k=ANN_QUANT_K,
+    )
+
+
 SCD2_BASE_FROM = "1995-01-01"
 SCD2_EFFECTIVE = "1998-06-01"
 SCD2_NEW_SEGMENT = "COLLECTIONS"
@@ -402,4 +422,5 @@ WORKLOAD_QUERIES = {
     "lineitem_corr_matrix": lineitem_corr_matrix,
     "sliding_event_rates": sliding_event_rates,
     "scd2_customer_merge": scd2_customer_merge,
+    "ann_quantized_topk": ann_quantized_topk,
 }

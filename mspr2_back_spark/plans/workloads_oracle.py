@@ -318,3 +318,42 @@ ORDER BY c_custkey, valid_from
 
 
 WORKLOAD_ORACLE_SQL["scd2_customer_merge"] = _scd2_oracle_sql()
+
+
+def _ann_quant_oracle_sql(dim: int = 64) -> str:
+    from mspr2_back_spark.operators.quantize import quant_recon_sql
+    from mspr2_back_spark.plans.workloads import ANN_QUANT_K, ANN_QUANT_QUERY_ID
+
+    mins = ", ".join(f"MIN(xs[{i}])" for i in range(1, dim + 1))
+    maxs = ", ".join(f"MAX(xs[{i}])" for i in range(1, dim + 1))
+    recon = quant_recon_sql("xs[i]", "mn[i]", "mx[i]")
+    norm = (
+        "sqrt(list_reduce(list_transform({v}, e -> e * e), (a, b) -> a + b))"
+    )
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> d.dq[i] * q.dq[i]), (a, b) -> a + b)"
+    )
+    return f"""
+WITH x AS (
+  SELECT vec_id, label, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+  FROM embeddings
+),
+stats AS (SELECT [{mins}] AS mn, [{maxs}] AS mx FROM x),
+dq AS (
+  SELECT vec_id, label,
+         list_transform(generate_series(1, {dim}), i -> {recon}) AS dq
+  FROM x, stats
+),
+q AS (SELECT dq, {norm.format(v='dq')} AS nrm FROM dq
+      WHERE vec_id = {ANN_QUANT_QUERY_ID})
+SELECT d.vec_id, d.label,
+       ROUND({dot} / ({norm.format(v='d.dq')} * q.nrm), 6) AS cosine_sim
+FROM dq d, q
+WHERE d.vec_id <> {ANN_QUANT_QUERY_ID}
+ORDER BY cosine_sim DESC, d.vec_id ASC
+LIMIT {ANN_QUANT_K}
+"""
+
+
+WORKLOAD_ORACLE_SQL["ann_quantized_topk"] = _ann_quant_oracle_sql()

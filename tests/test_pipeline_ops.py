@@ -453,6 +453,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "dedup_embedding_cosine",  # block-id pair keys (n_blocks²/2 rows)
         "percentile_prices_refined",  # len(ps)-row literal relation
         "equidepth_price_bands",  # same binned_quantiles ps-literal relation
+        "ann_quantized_topk",  # 1-row dequantized query vector broadcast
     }
     # Exchange SinglePartition budgets.  Every entry is one of two
     # documented shapes: (a) the FINAL step of a global scalar
@@ -481,6 +482,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "event_funnel": 1,              # (a) final funnel-count row
         "embedding_quantize_stats": 1,  # (a) per-dim min/max stats row
         "fk_integrity_audit": 6,        # (a) one scalar row per FK edge
+        "ann_quantized_topk": 2,        # (a) min/max stats row x2 branches
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

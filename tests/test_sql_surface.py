@@ -74,6 +74,7 @@ DUCKDB_ONLY = {
     "quality_weighted_sample",  # list_filter quality CTE + strpos bucket
     "embedding_quantize_stats",  # list_transform/list_reduce folds
     "sliding_event_rates",  # epoch()/to_timestamp + unnest hop explode
+    "ann_quantized_topk",  # list_transform/list_reduce folds
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)

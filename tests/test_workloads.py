@@ -336,3 +336,20 @@ def test_scd2_version_invariants(spark, sf_dir):
         else:
             assert len(versions) == 1
     assert n_two == n_updated > 0
+
+
+def test_quantized_topk_recall_vs_fp32(spark, sf_dir):
+    """int8 serving quality: the dequantized top-10 must recover at
+    least 8 of the fp32 top-10 (the quantization step is ~span/508
+    per dim — far below typical neighbor gaps), and the rounded sims
+    of common ids differ by < 0.01."""
+    from mspr2_back_spark.operators.quantize import quantized_topk
+    from mspr2_back_spark.operators.similarity import brute_force_topk
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    fp32 = {r["vec_id"]: r["cosine_sim"] for r in brute_force_topk(vecs, 0, 10).collect()}
+    q8 = {r["vec_id"]: r["cosine_sim"] for r in quantized_topk(vecs, 0, 10).collect()}
+    common = set(fp32) & set(q8)
+    assert len(common) >= 8, (sorted(fp32), sorted(q8))
+    for vid in common:
+        assert abs(fp32[vid] - q8[vid]) < 0.01
