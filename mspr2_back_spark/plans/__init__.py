@@ -60,6 +60,7 @@ _SWEEP_FIRST = [
     "sliding_event_rates",
     "scd2_customer_merge",
     "ann_quantized_topk",
+    "approx_price_quantiles",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -92,9 +93,9 @@ _SWEEP_FIRST = [
     "approx_distinct_users",
     "top3_orders_per_segment",
     "shipping_priority",
-    "local_supplier_volume",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: above_avg_orders,
+    # round-5 "new / changed" block grew: local_supplier_volume,
+    # above_avg_orders,
     # window_frame_metrics,
     # order_rank_metrics,
     # status_pivot, pack_documents, scaled_user_values,

@@ -229,6 +229,54 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
 
 
+APPROX_Q_ACCURACY = 10000
+
+
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (Greenwald-Khanna sketch) vs exact discrete price
+    quartiles per priority, side by side.
+
+    `percentile_approx` is the sketch a 100 TB job actually runs
+    (mergeable, bounded memory, one pass — no per-group sort); its
+    estimates are implementation-defined, so like
+    `approx_distinct_users` this is rows-only at the driver but NOT
+    unfalsified: the exact columns come from the oracle-pinned
+    discrete-quantile machinery, and
+    tests/test_workloads.py::test_approx_quantiles_rank_bound
+    asserts each estimate's rank error is within the configured
+    1/accuracy guarantee against the exact data.
+    """
+    from mspr2_back_spark.plans.extensions import percentile_prices
+
+    o = load_table(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.50, 0.75], APPROX_Q_ACCURACY
+        ).alias("aps")
+    )
+    exact = percentile_prices(spark, sf_dir).select(
+        "o_orderpriority",
+        F.col("p25").alias("p25_exact"),
+        F.col("p50").alias("p50_exact"),
+        F.col("p75").alias("p75_exact"),
+        "n_orders",
+    )
+    return (
+        approx.join(F.broadcast(exact), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.element_at("aps", 1).alias("p25_approx"),
+            F.element_at("aps", 2).alias("p50_approx"),
+            F.element_at("aps", 3).alias("p75_approx"),
+            "p25_exact",
+            "p50_exact",
+            "p75_exact",
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ANN_QUANT_QUERY_ID = 0
 ANN_QUANT_K = 10
 
@@ -423,4 +471,5 @@ WORKLOAD_QUERIES = {
     "sliding_event_rates": sliding_event_rates,
     "scd2_customer_merge": scd2_customer_merge,
     "ann_quantized_topk": ann_quantized_topk,
+    "approx_price_quantiles": approx_price_quantiles,
 }

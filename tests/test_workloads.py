@@ -353,3 +353,36 @@ def test_quantized_topk_recall_vs_fp32(spark, sf_dir):
     assert len(common) >= 8, (sorted(fp32), sorted(q8))
     for vid in common:
         assert abs(fp32[vid] - q8[vid]) < 0.01
+
+
+def test_approx_quantiles_rank_bound(spark, sf_dir):
+    """Greenwald-Khanna guarantee: each estimate is a REAL data value
+    whose rank is within n/accuracy (+1 slack) of the target rank —
+    checked against the fully collected per-group data, so the
+    rows-only driver verdict is backed by a falsifiable bound."""
+    from mspr2_back_spark.plans.workloads import (
+        APPROX_Q_ACCURACY,
+        approx_price_quantiles,
+    )
+
+    prices: dict[str, list[float]] = {}
+    for r in load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        prices.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for v in prices.values():
+        v.sort()
+    for r in approx_price_quantiles(spark, sf_dir).collect():
+        vals = prices[r["o_orderpriority"]]
+        n = len(vals)
+        assert r["n_orders"] == n
+        for p, col in [(0.25, "p25_approx"), (0.50, "p50_approx"), (0.75, "p75_approx")]:
+            est = r[col]
+            assert est in vals, "estimate must be a data value"
+            import bisect
+
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est) - 1
+            target = p * n
+            tol = n / APPROX_Q_ACCURACY + 1
+            assert lo - tol <= target <= hi + tol, (col, est, lo, hi, target)
