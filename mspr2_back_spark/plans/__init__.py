@@ -61,6 +61,7 @@ _SWEEP_FIRST = [
     "scd2_customer_merge",
     "ann_quantized_topk",
     "approx_price_quantiles",
+    "hybrid_search_rrf",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -92,9 +93,9 @@ _SWEEP_FIRST = [
     "chunk_documents",
     "approx_distinct_users",
     "top3_orders_per_segment",
-    "shipping_priority",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: local_supplier_volume,
+    # round-5 "new / changed" block grew: shipping_priority,
+    # local_supplier_volume,
     # above_avg_orders,
     # window_frame_metrics,
     # order_rank_metrics,

@@ -24,7 +24,7 @@ oracle imports them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mspr2_back_spark.functions.numeric import dsum
@@ -227,6 +227,63 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mspr2_back_spark.operators.quantize import int8_quantize_stats
 
     return int8_quantize_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+RRF_K = 60
+HYBRID_TOPK = 10
+HYBRID_VEC_QUERY = 0
+
+
+def rrf_score_sql() -> str:
+    """Reciprocal-rank-fusion score — engine-portable SQL text over
+    nullable kw_rank / vec_rank columns (absent side contributes 0)."""
+    return (
+        f"ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + kw_rank), CAST(0 AS DOUBLE))"
+        f" + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + vec_rank), CAST(0 AS DOUBLE)), 6)"
+    )
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 keyword list and the vector
+    top-k by reciprocal rank fusion (Cormack et al.'s RRF, the
+    standard hybrid-search combiner) — score = Σ 1/(60 + rank) over
+    the lists a doc appears in.
+
+    Both candidate lists are k-sized relations, so everything after
+    the two retrieval plans (rank windows, full outer join, fusion
+    top-k) is work over ≤ 25 rows; the corpus-sized cost is exactly
+    the two underlying retrievals. Embeddings align to documents by
+    id (vec_id == doc_id in the testdata). The oracle composes the
+    registered bm25_topk and ann_topk oracle texts verbatim, so the
+    fused verdict certifies the same lists the component queries
+    return.
+    """
+    kw = bm25_topk(spark, sf_dir).withColumn(
+        "kw_rank",
+        F.row_number().over(
+            W.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    ).select("doc_id", "kw_rank")
+    vec = (
+        similarity.brute_force_topk(
+            load_table(spark, sf_dir, "embeddings"), HYBRID_VEC_QUERY, k=10
+        )
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(
+                W.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "vec_rank")
+    )
+    fused = kw.join(vec, "doc_id", "full_outer").withColumn(
+        "rrf_score", F.expr(rrf_score_sql())
+    )
+    return (
+        fused.select("doc_id", "kw_rank", "vec_rank", "rrf_score")
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+    )
 
 
 APPROX_Q_ACCURACY = 10000
@@ -472,4 +529,5 @@ WORKLOAD_QUERIES = {
     "scd2_customer_merge": scd2_customer_merge,
     "ann_quantized_topk": ann_quantized_topk,
     "approx_price_quantiles": approx_price_quantiles,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }

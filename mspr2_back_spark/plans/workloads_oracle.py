@@ -357,3 +357,35 @@ LIMIT {ANN_QUANT_K}
 
 
 WORKLOAD_ORACLE_SQL["ann_quantized_topk"] = _ann_quant_oracle_sql()
+
+
+def _hybrid_oracle_sql() -> str:
+    from mspr2_back_spark.plans.pipeline_oracle import PIPELINE_ORACLE_SQL as P
+    from mspr2_back_spark.plans.workloads import HYBRID_TOPK, rrf_score_sql
+
+    return f"""
+WITH kw0 AS (SELECT * FROM ({WORKLOAD_ORACLE_SQL["bm25_topk"]})),
+kw AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS kw_rank
+  FROM kw0
+),
+vec0 AS (SELECT * FROM ({P["ann_topk"]})),
+vec AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id) AS INT)
+           AS vec_rank
+  FROM vec0
+),
+fused AS (
+  SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+)
+SELECT doc_id, kw_rank, vec_rank, {rrf_score_sql()} AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {HYBRID_TOPK}
+"""
+
+
+WORKLOAD_ORACLE_SQL["hybrid_search_rrf"] = _hybrid_oracle_sql()

@@ -454,6 +454,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "percentile_prices_refined",  # len(ps)-row literal relation
         "equidepth_price_bands",  # same binned_quantiles ps-literal relation
         "ann_quantized_topk",  # 1-row dequantized query vector broadcast
+        "hybrid_search_rrf",  # ann_topk's 1-row query vector broadcast
     }
     # Exchange SinglePartition budgets.  Every entry is one of two
     # documented shapes: (a) the FINAL step of a global scalar
@@ -483,6 +484,8 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "embedding_quantize_stats": 1,  # (a) per-dim min/max stats row
         "fk_integrity_audit": 6,        # (a) one scalar row per FK edge
         "ann_quantized_topk": 2,        # (a) min/max stats row x2 branches
+        "hybrid_search_rrf": 3,         # (a) bm25 stats row + (b) two
+                                        # rank windows over k-sized lists
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

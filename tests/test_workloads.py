@@ -386,3 +386,36 @@ def test_approx_quantiles_rank_bound(spark, sf_dir):
             target = p * n
             tol = n / APPROX_Q_ACCURACY + 1
             assert lo - tol <= target <= hi + tol, (col, est, lo, hi, target)
+
+
+def test_hybrid_rrf_fusion_properties(spark, sf_dir):
+    """Docs on BOTH lists outscore docs appearing on only one at the
+    same ranks; every output doc comes from one of the two component
+    lists; the RRF score matches a Python recomputation."""
+    from mspr2_back_spark.operators.similarity import brute_force_topk
+    from mspr2_back_spark.plans.workloads import (
+        RRF_K,
+        bm25_topk,
+        hybrid_search_rrf,
+    )
+
+    kw_ids = [r["doc_id"] for r in bm25_topk(spark, sf_dir).collect()]
+    vec_ids = [
+        r["vec_id"]
+        for r in brute_force_topk(
+            load_table(spark, sf_dir, "embeddings"), 0, 10
+        ).collect()
+    ]
+    kw_rank = {d: i + 1 for i, d in enumerate(kw_ids)}
+    vec_rank = {d: i + 1 for i, d in enumerate(vec_ids)}
+    rows = hybrid_search_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        d = r["doc_id"]
+        assert d in kw_rank or d in vec_rank
+        expect = (1.0 / (RRF_K + kw_rank[d]) if d in kw_rank else 0.0) + (
+            1.0 / (RRF_K + vec_rank[d]) if d in vec_rank else 0.0
+        )
+        assert abs(r["rrf_score"] - expect) < 1e-6
+        assert r["kw_rank"] == kw_rank.get(d)
+        assert r["vec_rank"] == vec_rank.get(d)
