@@ -11,7 +11,14 @@ from mspr2_back_spark.sources.readers import load_table
 
 def test_no_oracle_queries_still_run(spark, sf_dir):
     missing = sorted(k for k in QUERIES if k not in ORACLE_SQL)
-    assert missing == ["approx_distinct_users", "ml_forecast_ar"], missing
+    # every rows-only query must carry its own falsifiable in-repo
+    # bound/contract test (HLL rsd bound, AR forecast contract,
+    # GK rank-error bound)
+    assert missing == [
+        "approx_distinct_users",
+        "approx_price_quantiles",
+        "ml_forecast_ar",
+    ], missing
     for name in missing:
         df = QUERIES[name](spark, sf_dir)
         assert df.count() > 0
