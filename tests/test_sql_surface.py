@@ -75,6 +75,7 @@ DUCKDB_ONLY = {
     "embedding_quantize_stats",  # list_transform/list_reduce folds
     "sliding_event_rates",  # epoch()/to_timestamp + unnest hop explode
     "ann_quantized_topk",  # list_transform/list_reduce folds
+    "hybrid_search_rrf",  # composes the bm25/ann list-macro oracles
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)
