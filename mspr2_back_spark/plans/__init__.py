@@ -6,6 +6,8 @@ from mspr2_back_spark.plans.oracle import ORACLE_SQL as _RELATIONAL_SQL
 from mspr2_back_spark.plans.pipeline_oracle import PIPELINE_ORACLE_SQL
 from mspr2_back_spark.plans.pipeline_queries import PIPELINE_QUERIES
 from mspr2_back_spark.plans.queries import QUERIES as _RELATIONAL_QUERIES
+from mspr2_back_spark.plans.timeseries import TIMESERIES_QUERIES
+from mspr2_back_spark.plans.timeseries_oracle import TIMESERIES_ORACLE_SQL
 from mspr2_back_spark.plans.workloads import WORKLOAD_QUERIES
 from mspr2_back_spark.plans.workloads_oracle import WORKLOAD_ORACLE_SQL
 
@@ -15,6 +17,7 @@ QUERIES = {
     **EXTENSION_QUERIES,
     **ANALYTICS_QUERIES,
     **WORKLOAD_QUERIES,
+    **TIMESERIES_QUERIES,
 }
 ORACLE_SQL = {
     **_RELATIONAL_SQL,
@@ -22,6 +25,7 @@ ORACLE_SQL = {
     **EXTENSION_ORACLE_SQL,
     **ANALYTICS_ORACLE_SQL,
     **WORKLOAD_ORACLE_SQL,
+    **TIMESERIES_ORACLE_SQL,
 }
 
 # The driver's correctness sweep covers the first 50 registered
@@ -62,6 +66,11 @@ _SWEEP_FIRST = [
     "ann_quantized_topk",
     "approx_price_quantiles",
     "hybrid_search_rrf",
+    "gapfill_user_daily",
+    "daily_anomaly_scores",
+    "event_transition_matrix",
+    "attribution_last_touch",
+    "daily_value_trend",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -88,13 +97,11 @@ _SWEEP_FIRST = [
     "dedup_corpus_summary",
     "sessionize_events",
     "ann_ivf_topk",
-    "user_event_sequences",
-    "percentile_prices_refined",
-    "chunk_documents",
-    "approx_distinct_users",
-    "top3_orders_per_segment",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: shipping_priority,
+    # round-5 "new / changed" block grew: user_event_sequences,
+    # percentile_prices_refined, chunk_documents,
+    # approx_distinct_users (rows-only — no hash to refresh),
+    # top3_orders_per_segment, shipping_priority,
     # local_supplier_volume,
     # above_avg_orders,
     # window_frame_metrics,

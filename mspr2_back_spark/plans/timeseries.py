@@ -1,0 +1,298 @@
+"""Round-5 time-series / behavioral batch.
+
+Five shapes the existing surface didn't exercise, each a staple of
+production event analytics (the reference's serving layer stops at
+daily aggregates + LAG deltas — plans/queries.py covers those; this
+module is the operational layer above them):
+
+- gapfill_user_daily     — per-entity date-spine densification +
+                           forward fill (the missing-day repair every
+                           dashboard and forecast input needs).
+- daily_anomaly_scores   — trailing-window z-score outlier flags over
+                           daily event counts (monitoring).
+- event_transition_matrix— first-order Markov transition counts /
+                           probabilities over per-user event streams.
+- attribution_last_touch — last-touch marketing attribution: each
+                           purchase credits the latest preceding
+                           view/click within a conversion window
+                           (consumes operators/asof.asof_join).
+- daily_value_trend      — per-series OLS trend (slope/intercept)
+                           from exact-decimal moment sums — the
+                           regression twin of lineitem_corr_matrix.
+
+Contract identical to plans/queries.py: ``(spark, sf_dir) ->
+DataFrame``; every computed column aliased identically to the DuckDB
+oracle (plans/timeseries_oracle.py); shared constants and formula
+templates live HERE and the oracle imports them (one source of
+truth — ADVICE r4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mspr2_back_spark.functions.numeric import METRIC, dsum
+from mspr2_back_spark.operators.asof import asof_join
+from mspr2_back_spark.sources.readers import load_table
+
+# Trailing-window length (calendar days) and anomaly threshold for
+# daily_anomaly_scores. 7 days is the standard seasonality-free
+# baseline; z is NULL until a full window of history exists.
+ANOM_WINDOW_DAYS = 7
+ANOM_Z_THRESHOLD = 2.0
+# Last-touch attribution: qualifying touch types and the maximum
+# touch→purchase distance in calendar days.
+ATTR_TOUCH_TYPES = ("view", "click")
+ATTR_WINDOW_DAYS = 7
+ATTR_NO_TOUCH = "none"
+# Day-index origin for the OLS trend (x = days since this date).
+# Any fixed origin gives the same slope; intercept is "value at
+# TREND_EPOCH". The events table starts 2024-01-01 at every SF.
+TREND_EPOCH = "2024-01-01"
+
+
+def zscore_sql() -> str:
+    """Trailing-window z-score from integer window sums — one SQL
+    text over columns n_events / sum_w / ss_w, evaluated by BOTH
+    engines so the IEEE operation order is identical. sum_w/ss_w are
+    BIGINT (exact); the mean/variance algebra happens in double with
+    a fixed tree. Sample variance (n-1) over the full window."""
+    w = ANOM_WINDOW_DAYS
+    return (
+        f"ROUND((CAST(n_events AS DOUBLE) - CAST(sum_w AS DOUBLE) / {w})"
+        f" / NULLIF(sqrt((CAST(ss_w AS DOUBLE)"
+        f" - CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE) / {w})"
+        f" / {w - 1}), 0), 6)"
+    )
+
+
+def trend_slope_sql() -> str:
+    """OLS slope from moment sums n / sx / sxx / sy / sxy — shared
+    template, fixed double operation order (same discipline as
+    workloads.corr_sql)."""
+    return (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+
+
+def trend_intercept_sql() -> str:
+    """OLS intercept (ȳ - slope·x̄) from the same moments, using the
+    UNROUNDED slope expression."""
+    return (
+        f"(sy - ({trend_slope_sql()}) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE)"
+    )
+
+
+def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity, densified over each user's own
+    [first, last] day range, with event-less days carrying the most
+    recent observed daily value forward (and flagged as gaps).
+
+    Plan: the daily aggregation and the spine⋈daily join both hash on
+    (user_id, day); the forward-fill window re-partitions on user_id
+    only. Per-partition state is one user's day range — bounded by
+    calendar span, not corpus size — so the shape survives 100× (the
+    spine explode is sequence() scan-side; no driver state). The
+    filled value is never NULL because each user's spine starts on a
+    day that has events by construction.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        dsum("value", METRIC).alias("daily_value"),
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    fill_w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(
+                F.last("daily_value", ignorenulls=True).over(fill_w), 6
+            ).alias("value_filled"),
+            F.col("n_raw").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+def daily_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count z-scores per event type against the trailing
+    7 calendar days (RANGE frame on the day index, so a missing day
+    shrinks the window and z stays NULL — no silent bias).
+
+    The window runs over the DAILY relation (groups × days — thousands
+    of rows at any corpus size), so the per-type sort is free; the
+    only corpus-sized work is the first aggregation's (event_type,
+    day) hash. All window sums are BIGINT → the z expression
+    (zscore_sql) sees identical integers on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    idx = F.datediff(F.col("day"), F.to_date(F.lit(TREND_EPOCH)))
+    trail = (
+        W.partitionBy("event_type")
+        .orderBy(idx)
+        .rangeBetween(-ANOM_WINDOW_DAYS, -1)
+    )
+    scored = (
+        daily.withColumn("cnt_w", F.count(F.lit(1)).over(trail))
+        .withColumn("sum_w", F.sum("n_events").over(trail))
+        .withColumn(
+            "ss_w", F.sum(F.col("n_events") * F.col("n_events")).over(trail)
+        )
+        .withColumn(
+            "z_score",
+            F.when(
+                F.col("cnt_w") == ANOM_WINDOW_DAYS, F.expr(zscore_sql())
+            ),
+        )
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "n_events",
+        "z_score",
+        (F.abs(F.col("z_score")) > ANOM_Z_THRESHOLD).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: count and conditional probability of each
+    (event_type → next event_type) step.
+
+    One shuffle on user_id for the LEAD window (per-user state =
+    that user's events, the sessionization bound); the transition
+    counts are a types² relation, so the probability window is work
+    over ~25 rows. (user_id, ts) is unique in the testdata, so the
+    ordering — and therefore every count — is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    nxt = W.partitionBy("user_id").orderBy("ts")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(nxt).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_from = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_from).cast("double"),
+            6,
+        ).alias("transition_prob"),
+    ).orderBy("from_type", "to_type")
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    LATEST preceding view/click by the same user (as-of semantics),
+    but only within ATTR_WINDOW_DAYS calendar days — older touches
+    attribute to 'none'.
+
+    Consumes operators/asof.asof_join (the union + ordered-carry
+    composition — linear, never the quadratic join-then-rank), with
+    the touch (ts, type) carried as one struct so the window test
+    runs AFTER the as-of match, exactly like DuckDB's native
+    ASOF JOIN + CASE the oracle runs. One shuffle per side on
+    user_id; the final rollup is a touch-type-sized aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id",
+        "ts",
+        F.struct(
+            F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type")
+        ).alias("touch"),
+    )
+    matched = asof_join(
+        purchases, touches, key="user_id", ts="ts", value_col="touch",
+        out_col="touch",
+    )
+    in_window = F.datediff(
+        F.col("ts").cast("date"), F.col("touch.t_ts").cast("date")
+    ) <= ATTR_WINDOW_DAYS
+    return (
+        matched.select(
+            F.when(
+                F.col("touch").isNotNull() & in_window, F.col("touch.t_type")
+            )
+            .otherwise(ATTR_NO_TOUCH)
+            .alias("touch_type"),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value", METRIC).alias("total_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily total value over time:
+    slope (value/day) and intercept (value at TREND_EPOCH) from one
+    pass of exact-decimal moment sums.
+
+    Same scale shape as lineitem_corr_matrix: the corpus-sized work
+    is one map-side-partial aggregation to a types-sized moment
+    relation; the regression algebra (trend_slope_sql /
+    trend_intercept_sql — shared templates) runs over that tiny
+    relation. Day totals go through DECIMAL(18,6) first so y is
+    identical on both engines; x is an exact BIGINT day index.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value", METRIC).alias("y"))
+    x = F.datediff(F.col("day"), F.to_date(F.lit(TREND_EPOCH)))
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(F.col("y").cast(METRIC)).cast("double").alias("sy"),
+        F.sum((x * F.col("y")).cast(METRIC)).cast("double").alias("sxy"),
+    )
+    return moments.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.expr(trend_slope_sql()), 6).alias("slope_per_day"),
+        F.round(F.expr(trend_intercept_sql()), 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+TIMESERIES_QUERIES = {
+    "gapfill_user_daily": gapfill_user_daily,
+    "daily_anomaly_scores": daily_anomaly_scores,
+    "event_transition_matrix": event_transition_matrix,
+    "attribution_last_touch": attribution_last_touch,
+    "daily_value_trend": daily_value_trend,
+}

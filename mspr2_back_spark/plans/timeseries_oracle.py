@@ -1,0 +1,146 @@
+"""DuckDB oracles for the time-series / behavioral batch.
+
+Every tunable constant and every floating-point formula comes from
+plans/timeseries.py (zscore_sql / trend_*_sql are formatted into both
+engines' plans verbatim), so the two sides cannot drift
+independently.
+"""
+
+from __future__ import annotations
+
+from mspr2_back_spark.functions.numeric import METRIC
+from mspr2_back_spark.plans.timeseries import (
+    ANOM_WINDOW_DAYS,
+    ANOM_Z_THRESHOLD,
+    ATTR_NO_TOUCH,
+    ATTR_TOUCH_TYPES,
+    ATTR_WINDOW_DAYS,
+    TREND_EPOCH,
+    trend_intercept_sql,
+    trend_slope_sql,
+    zscore_sql,
+)
+
+TIMESERIES_ORACLE_SQL: dict[str, str] = {}
+
+TIMESERIES_ORACLE_SQL["gapfill_user_daily"] = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+),
+daily AS (
+  SELECT user_id, day, COUNT(*) AS n_raw,
+         CAST(SUM(CAST(value AS {METRIC})) AS DOUBLE) AS daily_value
+  FROM ev GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1)
+)
+SELECT s.user_id, s.day,
+       COALESCE(n_raw, 0) AS n_events,
+       ROUND(last_value(daily_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS value_filled,
+       n_raw IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY 1, 2
+"""
+
+TIMESERIES_ORACLE_SQL["daily_anomaly_scores"] = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, n_events,
+         COUNT(*) OVER w AS cnt_w,
+         SUM(n_events) OVER w AS sum_w,
+         SUM(n_events * n_events) OVER w AS ss_w
+  FROM daily
+  WINDOW w AS (
+    PARTITION BY event_type
+    ORDER BY date_diff('day', DATE '{TREND_EPOCH}', day)
+    RANGE BETWEEN {ANOM_WINDOW_DAYS} PRECEDING AND 1 PRECEDING
+  )
+),
+scored AS (
+  SELECT event_type, day, n_events,
+         CASE WHEN cnt_w = {ANOM_WINDOW_DAYS} THEN {zscore_sql()} END
+           AS z_score
+  FROM win
+)
+SELECT event_type, day, n_events, z_score,
+       abs(z_score) > {ANOM_Z_THRESHOLD} AS is_anomaly
+FROM scored
+ORDER BY event_type, day
+"""
+
+TIMESERIES_ORACLE_SQL["event_transition_matrix"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+           AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE), 6) AS transition_prob
+FROM c
+ORDER BY from_type, to_type
+"""
+
+_TOUCH_LIST = ", ".join(f"'{t}'" for t in ATTR_TOUCH_TYPES)
+
+TIMESERIES_ORACLE_SQL["attribution_last_touch"] = f"""
+WITH touches AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ({_TOUCH_LIST})
+),
+p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+att AS (
+  SELECT p.value,
+         CASE WHEN t.ts IS NOT NULL
+                   AND date_diff('day', CAST(t.ts AS DATE),
+                                 CAST(p.ts AS DATE)) <= {ATTR_WINDOW_DAYS}
+              THEN t.event_type ELSE '{ATTR_NO_TOUCH}' END AS touch_type
+  FROM p ASOF LEFT JOIN touches t
+    ON p.user_id = t.user_id AND t.ts <= p.ts
+)
+SELECT touch_type, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS {METRIC})) AS DOUBLE) AS total_value
+FROM att
+GROUP BY 1
+ORDER BY 1
+"""
+
+TIMESERIES_ORACLE_SQL["daily_value_trend"] = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS {METRIC})) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(x * x) AS sxx,
+         CAST(SUM(CAST(y AS {METRIC})) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS {METRIC})) AS DOUBLE) AS sxy
+  FROM (SELECT event_type, y,
+               date_diff('day', DATE '{TREND_EPOCH}', day) AS x
+        FROM daily)
+  GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       ROUND({trend_slope_sql()}, 6) AS slope_per_day,
+       ROUND({trend_intercept_sql()}, 6) AS intercept
+FROM moments
+ORDER BY event_type
+"""

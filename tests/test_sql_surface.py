@@ -76,6 +76,10 @@ DUCKDB_ONLY = {
     "sliding_event_rates",  # epoch()/to_timestamp + unnest hop explode
     "ann_quantized_topk",  # list_transform/list_reduce folds
     "hybrid_search_rrf",  # composes the bm25/ann list-macro oracles
+    "gapfill_user_daily",  # unnest(generate_series) spine + IGNORE NULLS placement
+    "daily_anomaly_scores",  # date_diff('day', ...) quoted-unit form
+    "attribution_last_touch",  # native ASOF JOIN
+    "daily_value_trend",  # date_diff('day', ...) quoted-unit form
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)

@@ -1,0 +1,141 @@
+"""Semantic invariants for the time-series / behavioral batch —
+checks the oracle diff can't express (the oracle shares formula
+templates with the queries, so these tests validate the SEMANTICS
+against independent recomputation: numpy OLS, brute-force windows)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mspr2_back_spark.plans.timeseries import (
+    ANOM_WINDOW_DAYS,
+    ATTR_NO_TOUCH,
+    ATTR_TOUCH_TYPES,
+    attribution_last_touch,
+    daily_anomaly_scores,
+    daily_value_trend,
+    event_transition_matrix,
+    gapfill_user_daily,
+)
+from mspr2_back_spark.sources.readers import load_table
+
+
+def test_gapfill_covers_each_users_full_span(spark, sf_dir):
+    out = gapfill_user_daily(spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert per_user, "gap-fill produced no rows"
+    n_gaps = 0
+    for rows in per_user.values():
+        days = [r.day for r in rows]
+        # dense spine: every day between the user's min and max, once
+        assert len(days) == (max(days) - min(days)).days + 1
+        assert len(set(days)) == len(days)
+        for r in rows:
+            if r.is_gap:
+                n_gaps += 1
+                assert r.n_events == 0
+            else:
+                assert r.n_events > 0
+            assert r.value_filled is not None  # first day has events
+    assert n_gaps > 0, "no gaps at this SF — the fill path is untested"
+
+
+def test_gapfill_carries_latest_observed_value(spark, sf_dir):
+    out = gapfill_user_daily(spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    for rows in per_user.values():
+        rows.sort(key=lambda r: r.day)
+        last_observed = None
+        for r in rows:
+            if not r.is_gap:
+                last_observed = r.value_filled
+            else:
+                assert r.value_filled == last_observed
+
+
+def test_anomaly_zscore_matches_numpy(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in daily:
+        series.setdefault(r.event_type, {})[r.day] = r.n
+    out = daily_anomaly_scores(spark, sf_dir).collect()
+    assert any(r.z_score is not None for r in out)
+    for r in out:
+        counts = series[r.event_type]
+        window = [
+            counts[d]
+            for d in counts
+            if 1 <= (r.day - d).days <= ANOM_WINDOW_DAYS
+        ]
+        if len(window) < ANOM_WINDOW_DAYS:
+            assert r.z_score is None and r.is_anomaly is None
+        else:
+            mu = float(np.mean(window))
+            sd = float(np.std(window, ddof=1))
+            expect = (r.n_events - mu) / sd
+            assert math.isclose(r.z_score, expect, rel_tol=0, abs_tol=5e-7)
+            assert r.is_anomaly == (abs(r.z_score) > 2.0)
+
+
+def test_transition_probs_sum_to_one_and_counts_conserve(spark, sf_dir):
+    out = event_transition_matrix(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user's chain of k events yields k-1 transitions
+    assert sum(r.n_transitions for r in out) == n_events - n_users
+    by_from: dict[str, float] = {}
+    for r in out:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.transition_prob
+    for total in by_from.values():
+        assert math.isclose(total, 1.0, abs_tol=1e-4)
+
+
+def test_attribution_partitions_all_purchases(spark, sf_dir):
+    out = attribution_last_touch(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in out) == n_purchases
+    allowed = set(ATTR_TOUCH_TYPES) | {ATTR_NO_TOUCH}
+    assert {r.touch_type for r in out} <= allowed
+    attributed = sum(
+        r.n_purchases for r in out if r.touch_type != ATTR_NO_TOUCH
+    )
+    assert attributed > 0, "no purchase attributed — window or join broken"
+
+
+def test_trend_matches_numpy_polyfit(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r)
+    out = {r.event_type: r for r in daily_value_trend(spark, sf_dir).collect()}
+    assert set(out) == set(series)
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    for et, rows in series.items():
+        xs = np.array([(r.day - epoch).days for r in rows], dtype=float)
+        ys = np.array([r.y for r in rows], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert math.isclose(out[et].slope_per_day, slope, rel_tol=0, abs_tol=5e-6)
+        assert math.isclose(out[et].intercept, intercept, rel_tol=0, abs_tol=5e-5)
+        assert out[et].n_days == len(rows)
