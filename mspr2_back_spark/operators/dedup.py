@@ -772,3 +772,62 @@ def incremental_ngram_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    prefix_len: int = 32,
+    max_dist: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by bounded Levenshtein distance, with
+    exact-prefix blocking — the character-level verifier family
+    (shingle Jaccard is token-level; SimHash/MinHash are sketches;
+    this is the edit-operation ground truth for small perturbations).
+
+    Blocking: docs sharing the same first ``prefix_len`` characters
+    (md5 of the prefix is the join key, so the shuffle key is 32
+    bytes however long the text). Candidates are verified with the
+    BANDED Levenshtein (Spark's 3-arg ``levenshtein(l, r, k)``
+    computes only the ±k diagonal — O(len·k) instead of O(len²) —
+    returning -1 past the bound), after a free |length delta| ≤ k
+    prefilter (length difference lower-bounds edit distance).
+
+    Scale: cost is Σ bucket², like every blocking join — safe when
+    prefixes spread (random corpora) and a skew bomb when boilerplate
+    makes one prefix hot; production either strips known boilerplate
+    first or caps bucket size the way ngram_jaccard_pairs df-caps its
+    inverted index. Recall bound: a pair whose edits touch the first
+    ``prefix_len`` characters lands in different buckets and is
+    missed — that is the documented trade of prefix blocking
+    (complete only for suffix-side edits; compose with MinHash for
+    edit-anywhere recall).
+    """
+    b = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.length(text_col).alias("tlen"),
+        F.md5(F.substring(text_col, 1, prefix_len)).alias("pbucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.pbucket") == F.col("c.pbucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .filter(F.abs(F.col("a.tlen") - F.col("c.tlen")) <= max_dist)
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(
+                F.col(f"a.{text_col}"), F.col(f"c.{text_col}"), max_dist
+            ),
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_1"),
+            F.col(f"c.{id_col}").alias("doc_id_2"),
+            "edit_dist",
+        )
+    )

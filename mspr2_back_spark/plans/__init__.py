@@ -6,6 +6,8 @@ from mspr2_back_spark.plans.oracle import ORACLE_SQL as _RELATIONAL_SQL
 from mspr2_back_spark.plans.pipeline_oracle import PIPELINE_ORACLE_SQL
 from mspr2_back_spark.plans.pipeline_queries import PIPELINE_QUERIES
 from mspr2_back_spark.plans.queries import QUERIES as _RELATIONAL_QUERIES
+from mspr2_back_spark.plans.sketches import SKETCH_QUERIES
+from mspr2_back_spark.plans.sketches_oracle import SKETCH_ORACLE_SQL
 from mspr2_back_spark.plans.timeseries import TIMESERIES_QUERIES
 from mspr2_back_spark.plans.timeseries_oracle import TIMESERIES_ORACLE_SQL
 from mspr2_back_spark.plans.workloads import WORKLOAD_QUERIES
@@ -18,6 +20,7 @@ QUERIES = {
     **ANALYTICS_QUERIES,
     **WORKLOAD_QUERIES,
     **TIMESERIES_QUERIES,
+    **SKETCH_QUERIES,
 }
 ORACLE_SQL = {
     **_RELATIONAL_SQL,
@@ -26,6 +29,7 @@ ORACLE_SQL = {
     **ANALYTICS_ORACLE_SQL,
     **WORKLOAD_ORACLE_SQL,
     **TIMESERIES_ORACLE_SQL,
+    **SKETCH_ORACLE_SQL,
 }
 
 # The driver's correctness sweep covers the first 50 registered
@@ -71,6 +75,9 @@ _SWEEP_FIRST = [
     "event_transition_matrix",
     "attribution_last_touch",
     "daily_value_trend",
+    "cms_heavy_hitters",
+    "tfidf_top_terms",
+    "dedup_edit_distance",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -94,11 +101,9 @@ _SWEEP_FIRST = [
     "source_mixture_sample",
     "quality_filter",
     "dedup_gate",
-    "dedup_corpus_summary",
-    "sessionize_events",
-    "ann_ivf_topk",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: user_event_sequences,
+    # round-5 "new / changed" block grew: dedup_corpus_summary,
+    # sessionize_events, ann_ivf_topk, user_event_sequences,
     # percentile_prices_refined, chunk_documents,
     # approx_distinct_users (rows-only — no hash to refresh),
     # top3_orders_per_segment, shipping_priority,

@@ -1,0 +1,113 @@
+"""DuckDB oracles for the sketch / text-relevance batch.
+
+The CMS grid is reproduced cell-for-cell: the oracle evaluates the
+SAME md5-nibble bucket arithmetic as
+operators/sampling.portable_hash_bucket (4 hex nibbles → value %
+width), per hash-row salt. The TF-IDF score evaluates the shared
+template from plans/sketches.py verbatim.
+"""
+
+from __future__ import annotations
+
+from mspr2_back_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+from mspr2_back_spark.plans.sketches import (
+    CMS_TOP,
+    EDIT_MAX_DIST,
+    EDIT_PREFIX_LEN,
+    TFIDF_TOP_PER_DOC,
+    tfidf_score_sql,
+)
+
+SKETCH_ORACLE_SQL: dict[str, str] = {}
+
+
+def _md5_bucket_sql(key_sql: str, salt: str, width: int, nibbles: int = 4) -> str:
+    """Nibble-decode of md5(key || '|salt')'s first ``nibbles`` hex
+    chars, mod width — character-identical to
+    operators/sampling.portable_hash_bucket."""
+    h = f"md5(CAST({key_sql} AS VARCHAR) || '|{salt}')"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    )
+    return f"(({terms}) % {width})"
+
+
+def _cms_oracle_sql() -> str:
+    build = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS h,"
+        f" {_md5_bucket_sql('user_id', f'cms{i}', CMS_WIDTH)} AS bucket"
+        f" FROM events"
+        for i in range(CMS_DEPTH)
+    )
+    probe = "\n    UNION ALL\n    ".join(
+        f"SELECT user_id, {i} AS h,"
+        f" {_md5_bucket_sql('user_id', f'cms{i}', CMS_WIDTH)} AS bucket"
+        f" FROM probes"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH cells AS (
+  SELECT h, bucket, COUNT(*) AS cnt FROM (
+    {build}
+  ) GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id FROM events),
+pcells AS (
+    {probe}
+),
+est AS (
+  SELECT user_id, MIN(COALESCE(cnt, 0)) AS est_count
+  FROM pcells LEFT JOIN cells USING (h, bucket)
+  GROUP BY 1
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1)
+SELECT user_id, est_count, exact_count,
+       est_count - exact_count AS overcount
+FROM est JOIN exact USING (user_id)
+ORDER BY est_count DESC, user_id
+LIMIT {CMS_TOP}
+"""
+
+
+SKETCH_ORACLE_SQL["cms_heavy_hitters"] = _cms_oracle_sql()
+
+SKETCH_ORACLE_SQL["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT word, COUNT(*) AS dfc FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.word AS word, tf, {tfidf_score_sql()} AS tfidf
+  FROM tf JOIN dfx ON tf.word = dfx.word, n
+),
+ranked AS (
+  SELECT doc_id, word, tf, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_PER_DOC}
+ORDER BY doc_id, rank
+"""
+
+SKETCH_ORACLE_SQL["dedup_edit_distance"] = f"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS tlen,
+         md5(substring(text, 1, {EDIT_PREFIX_LEN})) AS pbucket
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2,
+       levenshtein(a.text, c.text) AS edit_dist
+FROM b a JOIN b c
+  ON a.pbucket = c.pbucket AND a.doc_id < c.doc_id
+WHERE abs(a.tlen - c.tlen) <= {EDIT_MAX_DIST}
+  AND levenshtein(a.text, c.text) <= {EDIT_MAX_DIST}
+ORDER BY 1, 2
+"""

@@ -1,0 +1,126 @@
+"""Semantic invariants for the CMS / TF-IDF / edit-distance batch —
+properties the oracle diff can't express (one-sided sketch error,
+mergeability, DP ground truth)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mspr2_back_spark.operators.dedup import edit_distance_pairs
+from mspr2_back_spark.operators.sketches import (
+    CMS_WIDTH,
+    cms_build,
+    cms_estimate,
+)
+from mspr2_back_spark.plans.sketches import (
+    EDIT_MAX_DIST,
+    EDIT_PREFIX_LEN,
+    TFIDF_TOP_PER_DOC,
+    cms_heavy_hitters,
+    tfidf_top_terms,
+)
+from mspr2_back_spark.sources.readers import load_table
+
+
+def test_cms_estimate_is_one_sided_and_bounded(spark, sf_dir):
+    """CMS guarantee: est ≥ exact ALWAYS; and on this corpus the
+    average overcount stays within a few times N/width (the
+    per-cell expected collision mass)."""
+    ev = load_table(spark, sf_dir, "events")
+    n_total = ev.count()
+    sketch = cms_build(ev, "user_id")
+    est = cms_estimate(ev.select("user_id").distinct(), sketch, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    rows = est.join(exact, "user_id").collect()
+    assert rows
+    overs = [r.est_count - r.exact for r in rows]
+    assert all(o >= 0 for o in overs), "CMS undercounted — hash/min broken"
+    assert sum(overs) / len(overs) <= 3 * n_total / CMS_WIDTH
+
+
+def test_cms_sketches_merge_by_cell_sum(spark, sf_dir):
+    """Mergeability: sketch(full) == cell-wise sum of sketches built
+    on disjoint halves — the property that makes the operator
+    distributable / streamable."""
+    ev = load_table(spark, sf_dir, "events")
+    full = {(r.h, r.bucket): r.cnt for r in cms_build(ev, "user_id").collect()}
+    lo = cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id").collect()
+    hi = cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id").collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        merged[(r.h, r.bucket)] = merged.get((r.h, r.bucket), 0) + r.cnt
+    assert merged == full
+
+
+def test_tfidf_ranks_are_contiguous_and_monotone(spark, sf_dir):
+    out = tfidf_top_terms(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc with tokens appears (corpus texts are non-empty)
+    assert len(by_doc) == n_docs
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TFIDF_TOP_PER_DOC
+        scores = [r.tfidf for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows:
+            assert r.tfidf > 0 and r.tf >= 1
+
+
+def test_tfidf_score_formula_spot_check(spark, sf_dir):
+    """Recompute one document's top term score from raw tf/df/N."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    top = tfidf_top_terms(spark, sf_dir).filter(F.col("rank") == 1).first()
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("array_remove(split(text, ' '), '')")).alias("w")
+    )
+    tf = toks.filter(
+        (F.col("doc_id") == top.doc_id) & (F.col("w") == top.word)
+    ).count()
+    dfc = (
+        toks.filter(F.col("w") == top.word).select("doc_id").distinct().count()
+    )
+    expect = tf * (math.log((n_docs + 1.0) / (dfc + 1.0)) + 1.0)
+    assert math.isclose(top.tfidf, expect, rel_tol=0, abs_tol=5e-7)
+    assert top.tf == tf
+
+
+def _dp_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_matches_dp_and_threshold_binds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = edit_distance_pairs(
+        docs, prefix_len=EDIT_PREFIX_LEN, max_dist=EDIT_MAX_DIST
+    ).collect()
+    assert pairs, "no near-dup pairs found at this SF"
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in pairs:
+        assert 0 <= r.edit_dist <= EDIT_MAX_DIST
+        assert r.doc_id_1 < r.doc_id_2
+        assert r.edit_dist == _dp_levenshtein(
+            texts[r.doc_id_1], texts[r.doc_id_2]
+        )
+    # the bound binds: relaxing it admits pairs this query excluded
+    wider = edit_distance_pairs(
+        docs, prefix_len=EDIT_PREFIX_LEN, max_dist=EDIT_MAX_DIST * 4
+    ).collect()
+    assert len(wider) > len(pairs), (
+        "max_dist never excluded anything — vacuous threshold"
+    )

@@ -80,6 +80,8 @@ DUCKDB_ONLY = {
     "daily_anomaly_scores",  # date_diff('day', ...) quoted-unit form
     "attribution_last_touch",  # native ASOF JOIN
     "daily_value_trend",  # date_diff('day', ...) quoted-unit form
+    "cms_heavy_hitters",  # strpos nibble bucket (Spark side uses conv())
+    "tfidf_top_terms",  # unnest(list_filter) tokenizer
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)
