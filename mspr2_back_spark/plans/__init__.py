@@ -78,6 +78,9 @@ _SWEEP_FIRST = [
     "cms_heavy_hitters",
     "tfidf_top_terms",
     "dedup_edit_distance",
+    "ewma_daily_value",
+    "event_debounce",
+    "bloom_prefilter_audit",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -98,11 +101,9 @@ _SWEEP_FIRST = [
     "contamination_screen",
     "pii_scrub",
     "dedup_incremental",
-    "source_mixture_sample",
-    "quality_filter",
-    "dedup_gate",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: dedup_corpus_summary,
+    # round-5 "new / changed" block grew: source_mixture_sample,
+    # quality_filter, dedup_gate, dedup_corpus_summary,
     # sessionize_events, ann_ivf_topk, user_event_sequences,
     # percentile_prices_refined, chunk_documents,
     # approx_distinct_users (rows-only — no hash to refresh),

@@ -113,6 +113,61 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter effectiveness audit: build the portable Bloom
+    filter (operators/bloomfilter.py) over the negative-balance
+    customer keys, flag every order row by membership-possible, and
+    report the pass / true-match / false-positive accounting in one
+    row — the measurement a pipeline runs before trusting a Bloom
+    prune at scale.
+
+    The probe side (orders) NEVER shuffles: positions are scan-side
+    expressions and the bit relation broadcasts. The single
+    Exchange SinglePartition is the final one-row accounting
+    aggregate (budgeted in the hygiene net); false positives are
+    deterministic — same md5 grid on both engines — so the oracle
+    reproduces the exact FP set, not just its size.
+    """
+    from mspr2_back_spark.operators.bloomfilter import bloom_build, bloom_flag
+
+    c = load_table(spark, sf_dir, "customer")
+    risk = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    bits = bloom_build(risk, "key")
+    probe = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    flagged = bloom_flag(probe, bits, "key").join(
+        F.broadcast(risk.distinct().withColumn("_true", F.lit(1))),
+        "key",
+        "left",
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0)).alias(
+            "n_pass_bloom"
+        ),
+        F.sum(F.when(F.col("_true").isNotNull(), 1).otherwise(0)).alias(
+            "n_true_match"
+        ),
+        F.sum(
+            F.when(F.col("pass_bloom") & F.col("_true").isNull(), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    )
+    return agg.select(
+        "n_probe",
+        "n_pass_bloom",
+        "n_true_match",
+        "n_false_positive",
+        F.round(
+            F.col("n_false_positive").cast("double")
+            / (F.col("n_probe") - F.col("n_true_match")).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-Levenshtein near-dup pairs over the document corpus
     (prefix blocking + banded verify — operators/dedup.
@@ -128,4 +183,5 @@ SKETCH_QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_edit_distance": dedup_edit_distance,
+    "bloom_prefilter_audit": bloom_prefilter_audit,
 }

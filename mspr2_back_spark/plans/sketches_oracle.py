@@ -97,6 +97,55 @@ FROM ranked WHERE rank <= {TFIDF_TOP_PER_DOC}
 ORDER BY doc_id, rank
 """
 
+def _bloom_oracle_sql() -> str:
+    from mspr2_back_spark.operators.bloomfilter import BLOOM_BITS, BLOOM_HASHES
+
+    bits_ctes = ",\n".join(
+        f"bits{i} AS (SELECT DISTINCT"
+        f" {_md5_bucket_sql('key', f'bf{i}', BLOOM_BITS)} AS pos FROM risk)"
+        for i in range(BLOOM_HASHES)
+    )
+    pass_expr = " AND ".join(
+        f"b{i}.pos IS NOT NULL" for i in range(BLOOM_HASHES)
+    )
+    probe_joins = "\n  ".join(
+        f"LEFT JOIN bits{i} b{i}"
+        f" ON {_md5_bucket_sql('p.key', f'bf{i}', BLOOM_BITS)} = b{i}.pos"
+        for i in range(BLOOM_HASHES)
+    )
+    return f"""
+WITH risk AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal < 0
+),
+{bits_ctes},
+probe AS (SELECT o_custkey AS key FROM orders),
+flags AS (
+  SELECT p.key,
+         ({pass_expr}) AS pass_bloom,
+         (r.key IS NOT NULL) AS is_true
+  FROM probe p
+  {probe_joins}
+  LEFT JOIN risk r ON p.key = r.key
+),
+a AS (
+  SELECT COUNT(*) AS n_probe,
+         CAST(SUM(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_bloom,
+         CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_match,
+         CAST(SUM(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_positive
+  FROM flags
+)
+SELECT n_probe, n_pass_bloom, n_true_match, n_false_positive,
+       ROUND(CAST(n_false_positive AS DOUBLE)
+             / CAST(n_probe - n_true_match AS DOUBLE), 6) AS fp_rate
+FROM a
+"""
+
+
+SKETCH_ORACLE_SQL["bloom_prefilter_audit"] = _bloom_oracle_sql()
+
 SKETCH_ORACLE_SQL["dedup_edit_distance"] = f"""
 WITH b AS (
   SELECT doc_id, text, length(text) AS tlen,

@@ -50,6 +50,24 @@ ATTR_NO_TOUCH = "none"
 # Any fixed origin gives the same slope; intercept is "value at
 # TREND_EPOCH". The events table starts 2024-01-01 at every SF.
 TREND_EPOCH = "2024-01-01"
+# Exponential smoothing factor for ewma_daily_value.
+EWMA_ALPHA = 0.3
+# Debounce window: an event is dropped when the previous event of
+# the same (user, type) is closer than this. 30 min drops 6 / 91
+# events at sf0.001 / sf0.01 — the threshold demonstrably binds at
+# every sweep SF (a 10-min window drops just 1 at sf0.001).
+DEBOUNCE_MINUTES = 30
+
+
+def ewma_step_sql() -> str:
+    """One EWMA fold step over (acc, x) — shared lambda-body text so
+    both engines execute the identical IEEE sequence in list order.
+    The 1-α and α literals are exact decimal strings cast to DOUBLE
+    (bare float literals parse as DECIMAL on both engines)."""
+    return (
+        f"acc * CAST({1 - EWMA_ALPHA} AS DOUBLE)"
+        f" + x * CAST({EWMA_ALPHA} AS DOUBLE)"
+    )
 
 
 def zscore_sql() -> str:
@@ -289,10 +307,85 @@ def daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each event type's
+    daily total value — the smoothing recursion e_t = α·y_t +
+    (1-α)·e_{t-1}, seeded with the first day, evaluated as a
+    LEFT FOLD over the day-ordered value array (higher-order
+    functions, JVM codegen, no UDF).
+
+    Spark's ``aggregate(slice(ys, 2, ...), get(ys, 0), step)`` is
+    fold-order-identical to DuckDB's ``list_reduce`` (init = first
+    element, fold left over the rest) and the step body is ONE
+    shared template (ewma_step_sql) — so the recursive float chain
+    is bit-equal cross-engine, the same discipline
+    embedding_norm_stats uses for its norm fold.
+
+    Scale: the array is one group's CALENDAR (days, not events) —
+    bounded by time; corpus growth adds groups (or, partitioned
+    per-entity, entities), never array length. The corpus-sized work
+    is the daily aggregation's (event_type, day) hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value", METRIC).alias("y"))
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("transform(sort_array(collect_list(struct(day, y))), e -> e.y)")
+            .alias("ys"),
+    )
+    return arr.select(
+        "event_type",
+        "n_days",
+        F.round(
+            F.expr(
+                "aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)),"
+                f" get(ys, 0), (acc, x) -> {ewma_step_sql()})"
+            ),
+            6,
+        ).alias("ewma_value"),
+        F.round(F.element_at("ys", -1), 6).alias("last_value"),
+    ).orderBy("event_type")
+
+
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce filter: drop an event when the previous RAW event of
+    the same (user, type) is within DEBOUNCE_MINUTES — the
+    double-fire / duplicate-webhook suppression every event pipeline
+    runs at ingest. (True throttling — "within N of the last KEPT
+    event" — is a recursive chain; the LAG-against-raw form is the
+    window-expressible industry default, and the streaming module's
+    watermark dedup gate is its online twin.)
+
+    One shuffle on (user, type) for the LAG window; the keep test is
+    an interval comparison, so the whole operator is one window pass
+    over the scan — the 100 TB shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("prev_ts", prev)
+        .filter(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts")
+                > F.col("prev_ts")
+                + F.expr(f"INTERVAL {DEBOUNCE_MINUTES} MINUTE")
+            )
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("user_id", "event_type", "ts")
+    )
+
+
 TIMESERIES_QUERIES = {
     "gapfill_user_daily": gapfill_user_daily,
     "daily_anomaly_scores": daily_anomaly_scores,
     "event_transition_matrix": event_transition_matrix,
     "attribution_last_touch": attribution_last_touch,
     "daily_value_trend": daily_value_trend,
+    "ewma_daily_value": ewma_daily_value,
+    "event_debounce": event_debounce,
 }

@@ -15,7 +15,9 @@ from mspr2_back_spark.plans.timeseries import (
     ATTR_NO_TOUCH,
     ATTR_TOUCH_TYPES,
     ATTR_WINDOW_DAYS,
+    DEBOUNCE_MINUTES,
     TREND_EPOCH,
+    ewma_step_sql,
     trend_intercept_sql,
     trend_slope_sql,
     zscore_sql,
@@ -143,4 +145,36 @@ SELECT event_type, n AS n_days,
        ROUND({trend_intercept_sql()}, 6) AS intercept
 FROM moments
 ORDER BY event_type
+"""
+
+TIMESERIES_ORACLE_SQL["ewma_daily_value"] = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS {METRIC})) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type, COUNT(*) AS n_days, list(y ORDER BY day) AS ys
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       ROUND(list_reduce(ys, (acc, x) -> {ewma_step_sql()}), 6)
+         AS ewma_value,
+       ROUND(ys[-1], 6) AS last_value
+FROM arr
+ORDER BY event_type
+"""
+
+TIMESERIES_ORACLE_SQL["event_debounce"] = f"""
+WITH l AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts)
+           AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM l
+WHERE prev_ts IS NULL
+   OR ts > prev_ts + INTERVAL {DEBOUNCE_MINUTES} MINUTE
+ORDER BY user_id, event_type, ts
 """

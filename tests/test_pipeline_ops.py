@@ -494,6 +494,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "hybrid_search_rrf": 3,         # (a) bm25 stats row + (b) two
                                         # rank windows over k-sized lists
         "tfidf_top_terms": 1,           # (a) corpus-count scalar (n_docs)
+        "bloom_prefilter_audit": 1,     # (a) final one-row accounting agg
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

@@ -124,3 +124,30 @@ def test_edit_distance_matches_dp_and_threshold_binds(spark, sf_dir):
     assert len(wider) > len(pairs), (
         "max_dist never excluded anything — vacuous threshold"
     )
+
+
+def test_bloom_no_false_negatives_and_fp_visible(spark):
+    """Bloom guarantee: every true member passes (no false
+    negatives, any SF); at sf0.01 the grid produces at least one
+    false positive, so the FP accounting is exercised by real data."""
+    from pyspark.sql import functions as F
+
+    from mspr2_back_spark.operators.bloomfilter import bloom_build, bloom_flag
+    from mspr2_back_spark.plans.sketches import bloom_prefilter_audit
+
+    sf01 = "/root/testdata/sf0.01"
+    c = load_table(spark, sf01, "customer")
+    risk = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    bits = bloom_build(risk, "key")
+    flagged = bloom_flag(risk, bits, "key").collect()
+    assert flagged and all(r.pass_bloom for r in flagged), (
+        "a true member failed the filter — broken hash grid"
+    )
+    audit = bloom_prefilter_audit(spark, sf01).first()
+    assert audit.n_false_positive > 0, (
+        "no false positive at sf0.01 — FP accounting untested"
+    )
+    assert audit.n_pass_bloom == audit.n_true_match + audit.n_false_positive
+    assert audit.n_true_match <= audit.n_pass_bloom <= audit.n_probe

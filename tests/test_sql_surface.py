@@ -82,6 +82,8 @@ DUCKDB_ONLY = {
     "daily_value_trend",  # date_diff('day', ...) quoted-unit form
     "cms_heavy_hitters",  # strpos nibble bucket (Spark side uses conv())
     "tfidf_top_terms",  # unnest(list_filter) tokenizer
+    "ewma_daily_value",  # list(y ORDER BY day) + list_reduce fold
+    "bloom_prefilter_audit",  # strpos nibble bucket (Spark side uses conv())
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)

@@ -139,3 +139,53 @@ def test_trend_matches_numpy_polyfit(spark, sf_dir):
         assert math.isclose(out[et].slope_per_day, slope, rel_tol=0, abs_tol=5e-6)
         assert math.isclose(out[et].intercept, intercept, rel_tol=0, abs_tol=5e-5)
         assert out[et].n_days == len(rows)
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    from mspr2_back_spark.plans.timeseries import EWMA_ALPHA, ewma_daily_value
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.y))
+    out = {r.event_type: r for r in ewma_daily_value(spark, sf_dir).collect()}
+    assert set(out) == set(series)
+    for et, pairs in series.items():
+        ys = [y for _, y in sorted(pairs)]
+        acc = ys[0]
+        for y in ys[1:]:
+            acc = acc * (1 - EWMA_ALPHA) + y * EWMA_ALPHA
+        assert math.isclose(out[et].ewma_value, acc, rel_tol=0, abs_tol=5e-6)
+        assert out[et].n_days == len(ys)
+        # smoothing pulls the estimate off the raw last value
+        assert out[et].ewma_value != out[et].last_value
+
+
+def test_debounce_drops_exactly_the_close_followers(spark, sf_dir):
+    from mspr2_back_spark.plans.timeseries import DEBOUNCE_MINUTES, event_debounce
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect()
+    kept = {r.event_id for r in event_debounce(spark, sf_dir).collect()}
+    import datetime
+
+    window = datetime.timedelta(minutes=DEBOUNCE_MINUTES)
+    groups: dict = {}
+    for r in ev:
+        groups.setdefault((r.user_id, r.event_type), []).append(r)
+    n_dropped = 0
+    for rows in groups.values():
+        rows.sort(key=lambda r: r.ts)
+        for prev, cur in zip(rows, rows[1:]):
+            expect_kept = cur.ts > prev.ts + window
+            assert (cur.event_id in kept) == expect_kept
+            n_dropped += 0 if expect_kept else 1
+        assert rows[0].event_id in kept  # first in group always kept
+    assert n_dropped > 0, "debounce window never bound — vacuous"
+    assert len(kept) == len(ev) - n_dropped
