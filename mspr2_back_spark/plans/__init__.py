@@ -81,6 +81,7 @@ _SWEEP_FIRST = [
     "ewma_daily_value",
     "event_debounce",
     "bloom_prefilter_audit",
+    "seasonal_decompose_daily",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -100,9 +101,9 @@ _SWEEP_FIRST = [
     "repeated_spans",
     "contamination_screen",
     "pii_scrub",
-    "dedup_incremental",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: source_mixture_sample,
+    # round-5 "new / changed" block grew: dedup_incremental,
+    # source_mixture_sample,
     # quality_filter, dedup_gate, dedup_corpus_summary,
     # sessionize_events, ann_ivf_topk, user_event_sequences,
     # percentile_prices_refined, chunk_documents,

@@ -380,6 +380,77 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Centered moving-average window for the decomposition trend
+# (±3 days ⇒ 7-day MA, the weekly-seasonality-free baseline).
+DECOMP_HALF_WINDOW = 3
+SEASON_PERIOD = 7
+
+
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic additive seasonal decomposition of each event type's
+    daily value series: y = trend + seasonal + residual, with
+    trend = centered 7-day moving average, seasonal = mean detrended
+    value per weekday position, residual = remainder. The
+    moving-average decomposition every monitoring/forecast pipeline
+    runs before modeling.
+
+    Determinism discipline: the MA sums day values in DECIMAL inside
+    the window (exact, order-free), detrended values round at 6 dp
+    BEFORE the seasonal mean decimal-sums them, and the weekday
+    index is pure arithmetic (day-index mod 7) — no locale- or
+    engine-dependent dow function. Corpus-sized work is one
+    aggregation; windows and joins run over the groups × days
+    relation. Edge days without a full ±3-day window are excluded
+    (count == 7 guard), like the anomaly query's full-window rule.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value", METRIC).alias("y"))
+    idx = F.datediff(F.col("day"), F.to_date(F.lit(TREND_EPOCH)))
+    ma = (
+        W.partitionBy("event_type")
+        .orderBy(idx)
+        .rangeBetween(-DECOMP_HALF_WINDOW, DECOMP_HALF_WINDOW)
+    )
+    span = 2 * DECOMP_HALF_WINDOW + 1
+    with_trend = (
+        daily.withColumn("wd", F.pmod(idx, F.lit(SEASON_PERIOD)))
+        .withColumn("cnt_w", F.count(F.lit(1)).over(ma))
+        .withColumn(
+            "trend",
+            F.round(
+                F.sum(F.col("y").cast(METRIC)).over(ma).cast("double")
+                / span,
+                6,
+            ),
+        )
+        .filter(F.col("cnt_w") == span)
+        .withColumn("detrended", F.round(F.col("y") - F.col("trend"), 6))
+    )
+    seasonal = with_trend.groupBy("event_type", "wd").agg(
+        F.round(
+            F.sum(F.col("detrended").cast(METRIC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("seasonal")
+    )
+    return (
+        with_trend.join(seasonal, ["event_type", "wd"])
+        .select(
+            "event_type",
+            "day",
+            "y",
+            "trend",
+            "seasonal",
+            F.round(F.col("detrended") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 TIMESERIES_QUERIES = {
     "gapfill_user_daily": gapfill_user_daily,
     "daily_anomaly_scores": daily_anomaly_scores,
@@ -388,4 +459,5 @@ TIMESERIES_QUERIES = {
     "daily_value_trend": daily_value_trend,
     "ewma_daily_value": ewma_daily_value,
     "event_debounce": event_debounce,
+    "seasonal_decompose_daily": seasonal_decompose_daily,
 }

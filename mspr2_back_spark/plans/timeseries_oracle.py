@@ -16,6 +16,8 @@ from mspr2_back_spark.plans.timeseries import (
     ATTR_TOUCH_TYPES,
     ATTR_WINDOW_DAYS,
     DEBOUNCE_MINUTES,
+    DECOMP_HALF_WINDOW,
+    SEASON_PERIOD,
     TREND_EPOCH,
     ewma_step_sql,
     trend_intercept_sql,
@@ -163,6 +165,43 @@ SELECT event_type, n_days,
        ROUND(ys[-1], 6) AS last_value
 FROM arr
 ORDER BY event_type
+"""
+
+_DECOMP_SPAN = 2 * DECOMP_HALF_WINDOW + 1
+
+TIMESERIES_ORACLE_SQL["seasonal_decompose_daily"] = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS {METRIC})) AS DOUBLE) AS y,
+         date_diff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) AS x
+  FROM events GROUP BY 1, 2, 4
+),
+win AS (
+  SELECT event_type, day, y, x % {SEASON_PERIOD} AS wd,
+         COUNT(*) OVER w AS cnt_w,
+         ROUND(CAST(SUM(CAST(y AS {METRIC})) OVER w AS DOUBLE)
+               / {_DECOMP_SPAN}, 6) AS trend
+  FROM daily
+  WINDOW w AS (
+    PARTITION BY event_type ORDER BY x
+    RANGE BETWEEN {DECOMP_HALF_WINDOW} PRECEDING
+          AND {DECOMP_HALF_WINDOW} FOLLOWING
+  )
+),
+dt AS (
+  SELECT event_type, day, y, wd, trend, ROUND(y - trend, 6) AS detrended
+  FROM win WHERE cnt_w = {_DECOMP_SPAN}
+),
+seas AS (
+  SELECT event_type, wd,
+         ROUND(CAST(SUM(CAST(detrended AS {METRIC})) AS DOUBLE)
+               / COUNT(*), 6) AS seasonal
+  FROM dt GROUP BY 1, 2
+)
+SELECT dt.event_type, day, y, trend, seasonal,
+       ROUND(detrended - seasonal, 6) AS residual
+FROM dt JOIN seas ON dt.event_type = seas.event_type AND dt.wd = seas.wd
+ORDER BY dt.event_type, day
 """
 
 TIMESERIES_ORACLE_SQL["event_debounce"] = f"""

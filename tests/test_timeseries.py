@@ -189,3 +189,47 @@ def test_debounce_drops_exactly_the_close_followers(spark, sf_dir):
         assert rows[0].event_id in kept  # first in group always kept
     assert n_dropped > 0, "debounce window never bound — vacuous"
     assert len(kept) == len(ev) - n_dropped
+
+
+def test_seasonal_decomposition_identity_and_trend(spark, sf_dir):
+    from mspr2_back_spark.plans.timeseries import (
+        DECOMP_HALF_WINDOW,
+        seasonal_decompose_daily,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+        .collect()
+    )
+    series: dict[str, dict] = {}
+    for r in daily:
+        series.setdefault(r.event_type, {})[r.day] = r.y
+    out = seasonal_decompose_daily(spark, sf_dir).collect()
+    assert out
+    import datetime
+
+    one = datetime.timedelta(days=1)
+    for r in out:
+        # additive identity up to the documented 6-dp rounds
+        assert math.isclose(
+            r.y, r.trend + r.seasonal + r.residual, rel_tol=0, abs_tol=3e-6
+        )
+        # trend is the centered mean of the +/-3-day neighborhood
+        s = series[r.event_type]
+        window = [
+            s[r.day + k * one]
+            for k in range(-DECOMP_HALF_WINDOW, DECOMP_HALF_WINDOW + 1)
+            if r.day + k * one in s
+        ]
+        assert len(window) == 2 * DECOMP_HALF_WINDOW + 1  # edge days excluded
+        assert math.isclose(
+            r.trend, sum(window) / len(window), rel_tol=0, abs_tol=5e-6
+        )
+    # edge trimming: each series loses exactly 2*half_window days
+    per_type: dict[str, int] = {}
+    for r in out:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + 1
+    for et, n in per_type.items():
+        assert n == len(series[et]) - 2 * DECOMP_HALF_WINDOW
