@@ -334,3 +334,50 @@ def funnel_stage_progress(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transition_increments(events: DataFrame) -> DataFrame:
+    """Live first-order transition counting via
+    ``applyInPandasWithState`` — the streaming twin of
+    plans/timeseries.event_transition_matrix.
+
+    State per user is ONE (last event type, last ts) pair; each
+    micro-batch sorts its rows by event time, chains them onto the
+    carried last event, and emits per-(from, to) increment rows for
+    the batch. Downstream, ``SUM(n) GROUP BY from_type, to_type``
+    (any sink-side aggregation) gives the live matrix; the parity
+    test drains the full history and checks the summed increments
+    equal the batch query's counts exactly. Same contract as the
+    funnel machine: event-time order within the drain (watermark +
+    in-batch sort in production); O(1) state per user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        last_type, last_ts = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        counts: dict[tuple[str, str], int] = {}
+        for t, et in zip(rows["ts"].astype("int64"), rows["event_type"]):
+            if last_type is not None:
+                k = (last_type, et)
+                counts[k] = counts.get(k, 0) + 1
+            last_type, last_ts = et, int(t)
+        state.update((last_type, last_ts))
+        if counts:
+            keys = list(counts)
+            yield pd.DataFrame(
+                {
+                    "from_type": [k[0] for k in keys],
+                    "to_type": [k[1] for k in keys],
+                    "n": [counts[k] for k in keys],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="from_type string, to_type string, n long",
+        stateStructType="last_type string, last_ts long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -636,3 +636,29 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     assert stream_counts == batch_counts
     assert len(final) == batch["n_users"]
     shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_streaming_transitions_match_batch(spark, sf_dir, tmp_path):
+    """The per-user transition state machine, drained over the full
+    history, must emit increments that sum to exactly the batch
+    transition matrix's counts."""
+    from mspr2_back_spark.plans.timeseries import event_transition_matrix
+
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_transitions")
+    src.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    inc = stream_events.transition_increments(stream)
+    stream_events.run_to_memory(inc, "transition_increments", mode="update")
+
+    streamed: dict[tuple[str, str], int] = {}
+    for r in spark.table("transition_increments").collect():
+        k = (r.from_type, r.to_type)
+        streamed[k] = streamed.get(k, 0) + r.n
+    batch = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transition_matrix(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(stream_dir, ignore_errors=True)
