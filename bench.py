@@ -65,6 +65,11 @@ HEADLINE = [
     # round-5 retrieval family — scan+broadcast ranking shapes
     "bm25_topk",
     "ann_batch_topk",
+    # round-5 time-series/sketch layer — representative member of
+    # each new plan shape (window carry / sketch grid / tf-idf rank)
+    "attribution_last_touch",
+    "cms_heavy_hitters",
+    "tfidf_top_terms",
 ]
 
 

@@ -82,6 +82,8 @@ _SWEEP_FIRST = [
     "event_debounce",
     "bloom_prefilter_audit",
     "seasonal_decompose_daily",
+    "weighted_sample_fixed_k",
+    "event_weekday_contingency",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -99,10 +101,9 @@ _SWEEP_FIRST = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "repeated_spans",
-    "contamination_screen",
-    "pii_scrub",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: dedup_incremental,
+    # round-5 "new / changed" block grew: contamination_screen,
+    # pii_scrub, dedup_incremental,
     # source_mixture_sample,
     # quality_filter, dedup_gate, dedup_corpus_summary,
     # sessionize_events, ann_ivf_topk, user_event_sequences,

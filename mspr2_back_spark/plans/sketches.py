@@ -113,6 +113,64 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WS_SAMPLE_K = 100
+WS_MIN_WEIGHT = 0.001
+WS_BUCKETS = 65536
+
+
+def ws_key_sql() -> str:
+    """Efraimidis–Spirakis sampling key u^(1/w) over columns u / w —
+    one shared template so both engines run the identical pow."""
+    return "pow(u, CAST(1 AS DOUBLE) / w)"
+
+
+def weighted_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SIZE weighted sample: exactly K documents, inclusion
+    probability proportional to quality weight — Efraimidis–Spirakis
+    A-ES (key = u^(1/w), take the K largest), the standard
+    distributed weighted-sampling-without-replacement recipe.
+
+    Complements the rate-based samplers: `quality_weighted_sample`
+    keeps a score-proportional FRACTION (output size varies);
+    this keeps an exact-count sample (the "give me exactly 100k
+    docs, quality-weighted" curation ask). u comes from the portable
+    md5 bucket (+0.5 over the bucket count, never 0 or 1), so the
+    sample is deterministic under any partitioning and reproducible
+    by the oracle. Plan: scan-side key expression →
+    TakeOrderedAndProject(K) — per-partition heaps, no global sort,
+    no shuffle beyond the heap merge.
+    """
+    from mspr2_back_spark.functions.text import quality_score_col
+    from mspr2_back_spark.operators.sampling import portable_hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        portable_hash_bucket(
+            F.col("doc_id"), salt="ws", buckets=WS_BUCKETS
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(WS_BUCKETS))
+    # quality_score_col() already rounds at 6 dp, so the displayed
+    # score and the weight see the identical value on both engines.
+    scored = docs.select(
+        "doc_id",
+        "source",
+        quality_score_col().alias("quality_score"),
+        u.alias("u"),
+        F.greatest(quality_score_col(), F.lit(WS_MIN_WEIGHT)).alias("w"),
+    ).withColumn("sample_key", F.expr(ws_key_sql()))
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.round("sample_key", 6).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(WS_SAMPLE_K)
+    )
+
+
 def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter effectiveness audit: build the portable Bloom
     filter (operators/bloomfilter.py) over the negative-balance
@@ -184,4 +242,5 @@ SKETCH_QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_edit_distance": dedup_edit_distance,
     "bloom_prefilter_audit": bloom_prefilter_audit,
+    "weighted_sample_fixed_k": weighted_sample_fixed_k,
 }

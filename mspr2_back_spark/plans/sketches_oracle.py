@@ -10,12 +10,17 @@ template from plans/sketches.py verbatim.
 from __future__ import annotations
 
 from mspr2_back_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+from mspr2_back_spark.plans.pipeline_oracle import PIPELINE_ORACLE_SQL
 from mspr2_back_spark.plans.sketches import (
     CMS_TOP,
     EDIT_MAX_DIST,
     EDIT_PREFIX_LEN,
     TFIDF_TOP_PER_DOC,
+    WS_BUCKETS,
+    WS_MIN_WEIGHT,
+    WS_SAMPLE_K,
     tfidf_score_sql,
+    ws_key_sql,
 )
 
 SKETCH_ORACLE_SQL: dict[str, str] = {}
@@ -160,3 +165,26 @@ WHERE abs(a.tlen - c.tlen) <= {EDIT_MAX_DIST}
   AND levenshtein(a.text, c.text) <= {EDIT_MAX_DIST}
 ORDER BY 1, 2
 """
+
+
+def _ws_oracle_sql() -> str:
+    bucket = _md5_bucket_sql("d.doc_id", "ws", WS_BUCKETS)
+    return f"""
+WITH tq AS (SELECT * FROM ({PIPELINE_ORACLE_SQL["text_quality"]})),
+scored AS (
+  SELECT d.doc_id AS doc_id, d.source,
+         tq.quality_score AS quality_score,
+         (CAST({bucket} AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / CAST({WS_BUCKETS} AS DOUBLE) AS u,
+         GREATEST(tq.quality_score, CAST({WS_MIN_WEIGHT} AS DOUBLE)) AS w
+  FROM documents d JOIN tq ON d.doc_id = tq.doc_id
+)
+SELECT doc_id, source, quality_score,
+       ROUND({ws_key_sql()}, 6) AS sample_key
+FROM scored
+ORDER BY ROUND({ws_key_sql()}, 6) DESC, doc_id
+LIMIT {WS_SAMPLE_K}
+"""
+
+
+SKETCH_ORACLE_SQL["weighted_sample_fixed_k"] = _ws_oracle_sql()

@@ -451,6 +451,64 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chisq_cell_sql() -> str:
+    """One contingency cell's χ² contribution over columns
+    observed / row_tot / col_tot / n — expected count and the
+    (o−e)²/e term in one fixed double expression, shared by both
+    engines; all four inputs are exact BIGINTs."""
+    e = (
+        "(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    return (
+        f"ROUND((CAST(observed AS DOUBLE) - {e})"
+        f" * (CAST(observed AS DOUBLE) - {e}) / {e}, 6)"
+    )
+
+
+def event_weekday_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence profile of event type × weekday position: the
+    full contingency matrix with each cell's observed count,
+    expected count under independence, and χ² contribution — the
+    seasonality-vs-type dependence screen a profiling pass runs
+    (Σ contrib vs the χ² critical value is the test; the pytest
+    recomputes the statistic from raw counts).
+
+    All marginals come from windows over the types × 7 cell relation
+    (the single global-frame window runs on ≤ 35 rows — documented
+    tiny-relation shape); the only corpus-sized work is the first
+    (type, weekday) aggregation. Weekday is day-index mod 7 — no
+    engine dow function.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    idx = F.datediff(
+        F.col("ts").cast("date"), F.to_date(F.lit(TREND_EPOCH))
+    )
+    cells = ev.groupBy(
+        "event_type", F.pmod(idx, F.lit(7)).alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    by_type = W.partitionBy("event_type")
+    by_wd = W.partitionBy("weekday")
+    all_w = W.partitionBy()
+    enriched = (
+        cells.withColumn("row_tot", F.sum("observed").over(by_type))
+        .withColumn("col_tot", F.sum("observed").over(by_wd))
+        .withColumn("n", F.sum("observed").over(all_w))
+    )
+    return enriched.select(
+        "event_type",
+        "weekday",
+        "observed",
+        F.round(
+            F.col("row_tot").cast("double")
+            * F.col("col_tot").cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("expected"),
+        F.expr(chisq_cell_sql()).alias("chisq_contrib"),
+    ).orderBy("event_type", "weekday")
+
+
 TIMESERIES_QUERIES = {
     "gapfill_user_daily": gapfill_user_daily,
     "daily_anomaly_scores": daily_anomaly_scores,
@@ -460,4 +518,5 @@ TIMESERIES_QUERIES = {
     "ewma_daily_value": ewma_daily_value,
     "event_debounce": event_debounce,
     "seasonal_decompose_daily": seasonal_decompose_daily,
+    "event_weekday_contingency": event_weekday_contingency,
 }

@@ -217,3 +217,33 @@ WHERE prev_ts IS NULL
    OR ts > prev_ts + INTERVAL {DEBOUNCE_MINUTES} MINUTE
 ORDER BY user_id, event_type, ts
 """
+
+
+def _contingency_oracle_sql() -> str:
+    from mspr2_back_spark.plans.timeseries import chisq_cell_sql
+
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         date_diff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) % 7
+           AS weekday,
+         COUNT(*) AS observed
+  FROM events GROUP BY 1, 2
+),
+enriched AS (
+  SELECT event_type, weekday, observed,
+         SUM(observed) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(observed) OVER (PARTITION BY weekday) AS col_tot,
+         SUM(observed) OVER () AS n
+  FROM cells
+)
+SELECT event_type, weekday, observed,
+       ROUND(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS expected,
+       {chisq_cell_sql()} AS chisq_contrib
+FROM enriched
+ORDER BY event_type, weekday
+"""
+
+
+TIMESERIES_ORACLE_SQL["event_weekday_contingency"] = _contingency_oracle_sql()

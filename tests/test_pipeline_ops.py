@@ -495,6 +495,8 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
                                         # rank windows over k-sized lists
         "tfidf_top_terms": 1,           # (a) corpus-count scalar (n_docs)
         "bloom_prefilter_audit": 1,     # (a) final one-row accounting agg
+        "event_weekday_contingency": 1,  # (b) global marginal window over
+                                         # the types×7 cell relation
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

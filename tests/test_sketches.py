@@ -151,3 +151,32 @@ def test_bloom_no_false_negatives_and_fp_visible(spark):
     )
     assert audit.n_pass_bloom == audit.n_true_match + audit.n_false_positive
     assert audit.n_true_match <= audit.n_pass_bloom <= audit.n_probe
+
+
+def test_weighted_sample_exact_k_and_quality_biased(spark, sf_dir):
+    """A-ES sampling: exactly K rows, deterministic across reruns,
+    and quality-BIASED — the sampled mean quality exceeds the corpus
+    mean (that is the point of weighting)."""
+    from mspr2_back_spark.functions.text import quality_score_col
+    from mspr2_back_spark.plans.sketches import (
+        WS_SAMPLE_K,
+        weighted_sample_fixed_k,
+    )
+
+    a = weighted_sample_fixed_k(spark, sf_dir).collect()
+    b = weighted_sample_fixed_k(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == WS_SAMPLE_K
+    assert len({r.doc_id for r in a}) == WS_SAMPLE_K  # without replacement
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .select(quality_score_col().alias("q"))
+        .agg(F.avg("q"))
+        .first()[0]
+    )
+    sample_mean = sum(r.quality_score for r in a) / len(a)
+    assert sample_mean > corpus_mean, (
+        f"sample mean {sample_mean} not above corpus mean {corpus_mean}"
+    )
+    # keys are valid u^(1/w) values in (0, 1]
+    assert all(0.0 < r.sample_key <= 1.0 for r in a)

@@ -82,6 +82,8 @@ DUCKDB_ONLY = {
     "daily_value_trend",  # date_diff('day', ...) quoted-unit form
     "cms_heavy_hitters",  # strpos nibble bucket (Spark side uses conv())
     "tfidf_top_terms",  # unnest(list_filter) tokenizer
+    "weighted_sample_fixed_k",  # strpos nibble bucket + list_filter quality CTE
+    "event_weekday_contingency",  # date_diff('day', ...) quoted-unit form
     "ewma_daily_value",  # list(y ORDER BY day) + list_reduce fold
     "seasonal_decompose_daily",  # date_diff('day', ...) quoted-unit form
     "bloom_prefilter_audit",  # strpos nibble bucket (Spark side uses conv())

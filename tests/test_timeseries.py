@@ -233,3 +233,27 @@ def test_seasonal_decomposition_identity_and_trend(spark, sf_dir):
         per_type[r.event_type] = per_type.get(r.event_type, 0) + 1
     for et, n in per_type.items():
         assert n == len(series[et]) - 2 * DECOMP_HALF_WINDOW
+
+
+def test_contingency_chisq_matches_numpy(spark, sf_dir):
+    from mspr2_back_spark.plans.timeseries import event_weekday_contingency
+
+    out = event_weekday_contingency(spark, sf_dir).collect()
+    assert out
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.observed for r in out) == n_events
+    # recompute the full chi-square statistic from raw observed counts
+    types = sorted({r.event_type for r in out})
+    wds = sorted({r.weekday for r in out})
+    obs = np.zeros((len(types), len(wds)))
+    for r in out:
+        obs[types.index(r.event_type), wds.index(r.weekday)] = r.observed
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    expected = row @ col / obs.sum()
+    chi2 = float(((obs - expected) ** 2 / expected).sum())
+    got = sum(r.chisq_contrib for r in out)
+    assert math.isclose(got, chi2, rel_tol=0, abs_tol=5e-4)
+    for r in out:
+        e = expected[types.index(r.event_type), wds.index(r.weekday)]
+        assert math.isclose(r.expected, e, rel_tol=0, abs_tol=5e-6)
