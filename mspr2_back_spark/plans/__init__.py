@@ -84,6 +84,7 @@ _SWEEP_FIRST = [
     "seasonal_decompose_daily",
     "weighted_sample_fixed_k",
     "event_weekday_contingency",
+    "unigram_surprisal",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -100,9 +101,9 @@ _SWEEP_FIRST = [
     "pct_negative_acctbal",
     "dedup_embedding_cosine",
     "dedup_clusters",
-    "repeated_spans",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: contamination_screen,
+    # round-5 "new / changed" block grew: repeated_spans,
+    # contamination_screen,
     # pii_scrub, dedup_incremental,
     # source_mixture_sample,
     # quality_filter, dedup_gate, dedup_corpus_summary,

@@ -171,6 +171,52 @@ def weighted_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def surprisal_term_sql() -> str:
+    """One token's unigram surprisal −ln(c/T) over columns c /
+    n_total, rounded at 6 dp BEFORE the per-document aggregation so
+    the decimal sum is order-free and engine-identical."""
+    return (
+        "ROUND(-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)"
+    )
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal −Σ ln p(w) / n — the
+    language-model perplexity screen corpus curation runs to flag
+    gibberish (high surprisal) and boilerplate (low): the
+    cheapest-LM member of the quality ladder next to the heuristic
+    `text_quality` score.
+
+    The "model" is the corpus's own unigram distribution: one
+    (token) count aggregation (vocabulary-sized, broadcast back —
+    the word-hash shuffle replaces the broadcast at open-vocab
+    scale), the corpus total attached via the non-foldable-key
+    scalar join, and the per-token surprisal (shared template,
+    rounded pre-sum) decimal-summed per document. Corpus-sized
+    shuffles: (doc, token) explode agg and the doc regroup — same
+    envelope as tfidf_top_terms.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(WORDS)).alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(F.sum("c").alias("n_total"))
+    scored = _with_scalar(
+        toks.join(F.broadcast(vocab), "word"), totals
+    ).withColumn("s", F.expr(surprisal_term_sql()))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter effectiveness audit: build the portable Bloom
     filter (operators/bloomfilter.py) over the negative-balance
@@ -243,4 +289,5 @@ SKETCH_QUERIES = {
     "dedup_edit_distance": dedup_edit_distance,
     "bloom_prefilter_audit": bloom_prefilter_audit,
     "weighted_sample_fixed_k": weighted_sample_fixed_k,
+    "unigram_surprisal": unigram_surprisal,
 }

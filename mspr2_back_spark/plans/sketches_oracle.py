@@ -188,3 +188,30 @@ LIMIT {WS_SAMPLE_K}
 
 
 SKETCH_ORACLE_SQL["weighted_sample_fixed_k"] = _ws_oracle_sql()
+
+
+def _surprisal_oracle_sql() -> str:
+    from mspr2_back_spark.plans.sketches import surprisal_term_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1),
+totals AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab),
+scored AS (
+  SELECT t.doc_id, {surprisal_term_sql()} AS s
+  FROM toks t JOIN vocab v ON t.word = v.word, totals
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_surprisal
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+SKETCH_ORACLE_SQL["unigram_surprisal"] = _surprisal_oracle_sql()

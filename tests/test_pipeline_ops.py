@@ -497,6 +497,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "bloom_prefilter_audit": 1,     # (a) final one-row accounting agg
         "event_weekday_contingency": 1,  # (b) global marginal window over
                                          # the types×7 cell relation
+        "unigram_surprisal": 1,         # (a) corpus-token-total scalar
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

@@ -180,3 +180,37 @@ def test_weighted_sample_exact_k_and_quality_biased(spark, sf_dir):
     )
     # keys are valid u^(1/w) values in (0, 1]
     assert all(0.0 < r.sample_key <= 1.0 for r in a)
+
+
+def test_surprisal_matches_python_and_separates_rarity(spark, sf_dir):
+    """Recompute one document's mean surprisal from raw counts, and
+    check the score actually separates: a doc made of rare tokens
+    scores above one made of common tokens."""
+    from mspr2_back_spark.plans.sketches import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("array_remove(split(text, ' '), '')")).alias("w")
+    ).collect()
+    vocab: dict[str, int] = {}
+    per_doc: dict[int, list] = {}
+    for r in toks:
+        vocab[r.w] = vocab.get(r.w, 0) + 1
+        per_doc.setdefault(r.doc_id, []).append(r.w)
+    total = sum(vocab.values())
+    out = {r.doc_id: r for r in unigram_surprisal(spark, sf_dir).collect()}
+    assert set(out) == set(per_doc)
+    expected = {}
+    for doc_id, words in per_doc.items():
+        terms = [round(-math.log(vocab[w] / total), 6) for w in words]
+        expected[doc_id] = sum(terms) / len(terms)
+        assert out[doc_id].n_tokens == len(words)
+    for doc_id, e in expected.items():
+        assert math.isclose(
+            out[doc_id].mean_surprisal, e, rel_tol=0, abs_tol=5e-6
+        )
+    # separation: the most surprising doc really contains rarer tokens
+    hi = max(out.values(), key=lambda r: r.mean_surprisal)
+    lo = min(out.values(), key=lambda r: r.mean_surprisal)
+    mean_c = lambda d: sum(vocab[w] for w in per_doc[d]) / len(per_doc[d])
+    assert mean_c(hi.doc_id) < mean_c(lo.doc_id)
