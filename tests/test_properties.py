@@ -274,3 +274,98 @@ def test_ngram_jaccard_cap_subset_property(spark, texts, cap):
         ).collect()
     }
     assert generous == exact
+
+
+values6 = st.lists(
+    st.integers(min_value=-10**6, max_value=10**6).map(lambda v: v / 100.0),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(ys=values6)
+@_settings
+def test_ewma_template_matches_python_fold(spark, ys):
+    """The shared EWMA step template, folded by Spark's aggregate()
+    over an arbitrary series, equals the python recursion — the
+    template is correct for ANY input, not just the corpus."""
+    import math
+
+    from mspr2_back_spark.plans.timeseries import EWMA_ALPHA, ewma_step_sql
+
+    df = spark.createDataFrame([(ys,)], "ys array<double>")
+    got = df.select(
+        F.expr(
+            "aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)),"
+            f" get(ys, 0), (acc, x) -> {ewma_step_sql()})"
+        ).alias("e")
+    ).first()[0]
+    acc = ys[0]
+    for y in ys[1:]:
+        acc = acc * (1 - EWMA_ALPHA) + y * EWMA_ALPHA
+    assert math.isclose(got, acc, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@given(ys=values6)
+@_settings
+def test_trend_templates_match_numpy_ols(spark, ys):
+    """The OLS slope/intercept templates over moment columns equal
+    numpy.polyfit for arbitrary series (x = 0..n-1)."""
+    import math
+
+    import numpy as np
+
+    from mspr2_back_spark.plans.timeseries import (
+        trend_intercept_sql,
+        trend_slope_sql,
+    )
+
+    n = len(ys)
+    xs = list(range(n))
+    rows = [(float(x), float(y)) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    moments = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = moments.select(
+        F.expr(trend_slope_sql()).alias("slope"),
+        F.expr(trend_intercept_sql()).alias("icept"),
+    ).first()
+    if n * sum(x * x for x in xs) - sum(xs) ** 2 == 0:
+        return  # degenerate x spread (n < 2 never happens here)
+    slope, icept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert math.isclose(r.slope, slope, rel_tol=1e-6, abs_tol=1e-6)
+    assert math.isclose(r.icept, icept, rel_tol=1e-6, abs_tol=1e-4)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=8, max_size=8
+    )
+)
+@_settings
+def test_zscore_template_matches_numpy(spark, counts):
+    """The trailing-window z template over integer window sums equals
+    numpy's (x - mean)/std (ddof=1) for any 7-day history."""
+    import math
+
+    import numpy as np
+
+    from mspr2_back_spark.plans.timeseries import zscore_sql
+
+    *window, x = counts
+    sd = float(np.std(window, ddof=1))
+    df = spark.createDataFrame(
+        [(int(x), int(sum(window)), int(sum(v * v for v in window)))],
+        "n_events long, sum_w long, ss_w long",
+    )
+    got = df.select(F.expr(zscore_sql()).alias("z")).first()[0]
+    if sd == 0.0:
+        assert got is None  # NULLIF guard
+    else:
+        expect = (x - float(np.mean(window))) / sd
+        assert math.isclose(got, round(expect, 6), rel_tol=0, abs_tol=2e-6)
