@@ -85,6 +85,7 @@ _SWEEP_FIRST = [
     "weighted_sample_fixed_k",
     "event_weekday_contingency",
     "unigram_surprisal",
+    "corpus_datacard",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -100,9 +101,9 @@ _SWEEP_FIRST = [
     "props_extract",
     "pct_negative_acctbal",
     "dedup_embedding_cosine",
-    "dedup_clusters",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: repeated_spans,
+    # round-5 "new / changed" block grew: dedup_clusters,
+    # repeated_spans,
     # contamination_screen,
     # pii_scrub, dedup_incremental,
     # source_mixture_sample,

@@ -283,6 +283,105 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_1", "doc_id_2")
 
 
+DATACARD_BIN_WIDTH = 64.0
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: the one-table corpus audit a training
+    run ships with its dataset — volume (docs, tokens, median doc
+    length), quality (mean blended score), integrity (duplicate-
+    candidate rate), and language mix (top predicted language +
+    share). One query composing the curation machinery:
+    quality_score_col, predicted_lang, the prefix-blocking digest
+    (EDIT_PREFIX_LEN — the cheap structural dup signal; exact copies
+    share every prefix, so it upper-bounds the exact-dup rate and
+    stays non-vacuous at every SF, where md5-of-full-text is zero
+    below sf0.1), and the binned two-phase quantile operator (no
+    per-group sort) for the median.
+
+    Scale shape: every branch reduces the corpus to a sources-sized
+    relation before joining — token/quality sums are one
+    aggregation; the dup branch's only corpus-sized exchange hashes
+    on the content digest; the median rides binned_quantiles'
+    (group, bin) relation. The branch joins are broadcast
+    (sources-sized).
+    """
+    from mspr2_back_spark.functions.text import predicted_lang, quality_score_col
+    from mspr2_back_spark.operators.quantiles import binned_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"size({WORDS})").alias("n_tokens"),
+        quality_score_col().alias("q"),
+        predicted_lang().alias("plang"),
+        F.md5(F.substring("text", 1, EDIT_PREFIX_LEN)).alias("h"),
+    )
+    base = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    med = binned_quantiles(
+        feats, "source", "n_tokens", ps=(0.5,), bin_width=DATACARD_BIN_WIDTH
+    ).select(
+        F.col("grp").alias("source"),
+        F.col("p50").cast("bigint").alias("median_tokens"),
+    )
+    copies = feats.withColumn(
+        "copies", F.count(F.lit(1)).over(W.partitionBy("h"))
+    )
+    dup = (
+        copies.filter(F.col("copies") > 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup_docs"))
+    )
+    langs = feats.groupBy("source", "plang").agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    top = (
+        langs.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("cl"), F.asc("plang"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("plang").alias("top_lang"),
+            F.col("cl").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.join(F.broadcast(med), "source")
+        .join(F.broadcast(top), "source")
+        .join(F.broadcast(dup), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+            "median_tokens",
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_candidate_rate"),
+            "top_lang",
+            F.round(
+                F.col("top_lang_docs").cast("double") / F.col("n_docs"), 6
+            ).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
+
+
 SKETCH_QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "tfidf_top_terms": tfidf_top_terms,
@@ -290,4 +389,5 @@ SKETCH_QUERIES = {
     "bloom_prefilter_audit": bloom_prefilter_audit,
     "weighted_sample_fixed_k": weighted_sample_fixed_k,
     "unigram_surprisal": unigram_surprisal,
+    "corpus_datacard": corpus_datacard,
 }

@@ -215,3 +215,67 @@ ORDER BY doc_id
 
 
 SKETCH_ORACLE_SQL["unigram_surprisal"] = _surprisal_oracle_sql()
+
+
+def _datacard_oracle_sql() -> str:
+    tq = PIPELINE_ORACLE_SQL["text_quality"]
+    pl = PIPELINE_ORACLE_SQL["text_lang_id"]
+    return f"""
+WITH tq AS (SELECT * FROM ({tq})),
+pl AS (SELECT * FROM ({pl})),
+feats AS (
+  SELECT d.source, d.doc_id, tq.n_words AS n_tokens,
+         tq.quality_score AS q, pl.predicted_lang AS plang,
+         md5(substring(d.text, 1, {EDIT_PREFIX_LEN})) AS h
+  FROM documents d
+  JOIN tq ON d.doc_id = tq.doc_id
+  JOIN pl ON d.doc_id = pl.doc_id
+),
+base AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         ROUND(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_quality
+  FROM feats GROUP BY 1
+),
+ranked AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM feats
+),
+med AS (
+  SELECT source,
+         CAST(MIN(CASE WHEN rn >= CEIL(0.50 * n) THEN n_tokens END)
+              AS BIGINT) AS median_tokens
+  FROM ranked GROUP BY 1
+),
+copies AS (
+  SELECT source, COUNT(*) OVER (PARTITION BY h) AS copies FROM feats
+),
+dup AS (
+  SELECT source, COUNT(*) AS n_dup_docs FROM copies
+  WHERE copies > 1 GROUP BY 1
+),
+lc AS (SELECT source, plang, COUNT(*) AS cl FROM feats GROUP BY 1, 2),
+top AS (
+  SELECT source, plang AS top_lang, cl FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY cl DESC, plang) AS rk
+    FROM lc
+  ) WHERE rk = 1
+)
+SELECT b.source, n_docs, total_tokens, mean_quality, median_tokens,
+       ROUND(CAST(COALESCE(n_dup_docs, 0) AS DOUBLE) / n_docs, 6)
+         AS dup_candidate_rate,
+       top_lang,
+       ROUND(CAST(cl AS DOUBLE) / n_docs, 6) AS top_lang_share
+FROM base b
+JOIN med USING (source)
+JOIN top USING (source)
+LEFT JOIN dup USING (source)
+ORDER BY b.source
+"""
+
+
+SKETCH_ORACLE_SQL["corpus_datacard"] = _datacard_oracle_sql()

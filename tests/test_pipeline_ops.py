@@ -460,6 +460,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "dedup_embedding_cosine",  # block-id pair keys (n_blocks²/2 rows)
         "percentile_prices_refined",  # len(ps)-row literal relation
         "equidepth_price_bands",  # same binned_quantiles ps-literal relation
+        "corpus_datacard",  # binned_quantiles ps-literal relation (median)
         "ann_quantized_topk",  # 1-row dequantized query vector broadcast
         "hybrid_search_rrf",  # ann_topk's 1-row query vector broadcast
     }

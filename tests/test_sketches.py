@@ -214,3 +214,37 @@ def test_surprisal_matches_python_and_separates_rarity(spark, sf_dir):
     lo = min(out.values(), key=lambda r: r.mean_surprisal)
     mean_c = lambda d: sum(vocab[w] for w in per_doc[d]) / len(per_doc[d])
     assert mean_c(hi.doc_id) < mean_c(lo.doc_id)
+
+
+def test_datacard_accounting_is_consistent(spark, sf_dir):
+    from mspr2_back_spark.plans.sketches import corpus_datacard
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    out = corpus_datacard(spark, sf_dir).collect()
+    assert out
+    assert sum(r.n_docs for r in out) == n_docs
+    # dup-candidate docs across sources == docs in >1-copy
+    # prefix-digest groups (non-vacuous at every SF, unlike
+    # md5-of-full-text which is zero below sf0.1)
+    from mspr2_back_spark.plans.sketches import EDIT_PREFIX_LEN
+
+    h_counts = (
+        docs.groupBy(
+            F.md5(F.substring("text", 1, EDIT_PREFIX_LEN)).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.sum("c"))
+        .first()[0]
+    ) or 0
+    dup_docs = sum(round(r.dup_candidate_rate * r.n_docs) for r in out)
+    assert dup_docs == h_counts
+    assert any(r.dup_candidate_rate > 0 for r in out), (
+        "no dup-candidate source at this SF — rate column untested"
+    )
+    for r in out:
+        assert 0.0 < r.mean_quality <= 1.0
+        assert 0.0 < r.top_lang_share <= 1.0
+        assert 0.0 <= r.dup_candidate_rate <= 1.0
+        assert r.median_tokens > 0 and r.total_tokens >= r.median_tokens

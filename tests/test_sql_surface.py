@@ -84,6 +84,7 @@ DUCKDB_ONLY = {
     "tfidf_top_terms",  # unnest(list_filter) tokenizer
     "weighted_sample_fixed_k",  # strpos nibble bucket + list_filter quality CTE
     "unigram_surprisal",  # unnest(list_filter) tokenizer
+    "corpus_datacard",  # composes the list-macro quality/lang CTEs
     "event_weekday_contingency",  # date_diff('day', ...) quoted-unit form
     "ewma_daily_value",  # list(y ORDER BY day) + list_reduce fold
     "seasonal_decompose_daily",  # date_diff('day', ...) quoted-unit form
