@@ -804,7 +804,7 @@ def edit_distance_pairs(
     (complete only for suffix-side edits; compose with MinHash for
     edit-anywhere recall).
     """
-    b = docs.select(
+    b = _spread(docs).select(
         F.col(id_col),
         F.col(text_col),
         F.length(text_col).alias("tlen"),

@@ -381,3 +381,43 @@ def transition_increments(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_value_live(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Live exponential smoothing of event values per type via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    EWMA fold (plans/timeseries.ewma_daily_value's recursion, applied
+    at event grain).
+
+    State per event type is TWO scalars: the running EWMA and the
+    count of values folded — the O(1)-state recursion that windowed
+    aggregation cannot express (each step depends on the previous
+    result, not on a frame of rows). Batches fold their rows in
+    (ts, event_id) order (the deterministic total order — ts alone
+    can collide across users) on top of the carried state; draining
+    the full history in event-time order reproduces the batch fold
+    bit-for-bit (pytest parity). Emits the (type, n_seen, ewma)
+    running snapshot each batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        ewma, n = state.get if state.exists else (0.0, 0)
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            v = float(v)
+            ewma = v if n == 0 else ewma * (1 - alpha) + v * alpha
+            n += 1
+        state.update((float(ewma), int(n)))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_seen": [n], "ewma": [float(ewma)]}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_seen long, ewma double",
+        stateStructType="ewma double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

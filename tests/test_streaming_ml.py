@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import math
 import shutil
 
 import numpy as np
@@ -661,4 +662,37 @@ def test_streaming_transitions_match_batch(spark, sf_dir, tmp_path):
         for r in event_transition_matrix(spark, sf_dir).collect()
     }
     assert streamed == batch
+    shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_streaming_ewma_matches_batch_fold(spark, sf_dir, tmp_path):
+    """The per-type EWMA state machine, drained over the full
+    history, must equal the python fold over the (ts, event_id)-
+    ordered values — same recursion, same order, same floats."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_ewma")
+    src.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    live = stream_events.ewma_value_live(stream, alpha=0.3)
+    stream_events.run_to_memory(live, "ewma_live", mode="update")
+
+    final: dict[str, tuple] = {}
+    for r in spark.table("ewma_live").collect():
+        prev = final.get(r.event_type)
+        if prev is None or r.n_seen > prev[0]:
+            final[r.event_type] = (r.n_seen, r.ewma)
+
+    series: dict[str, list] = {}
+    for r in src.select("event_type", "ts", "event_id", "value").collect():
+        series.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    assert set(final) == set(series)
+    for et, rows in series.items():
+        rows.sort()
+        ewma = None
+        for _, _, v in rows:
+            ewma = v if ewma is None else ewma * 0.7 + v * 0.3
+        n_seen, got = final[et]
+        assert n_seen == len(rows)
+        assert math.isclose(got, ewma, rel_tol=1e-12, abs_tol=1e-12)
     shutil.rmtree(stream_dir, ignore_errors=True)
