@@ -1031,3 +1031,37 @@ def test_simhash_degree_hamming3_banded_fallback(spark, sf_dir):
         ).collect()
     }
     assert via_probe == via_bands and len(via_probe) > 0
+
+
+def test_registry_report_matches_documented_counts():
+    """The derived registry inventory stays in lockstep with the
+    documented surface: 50-slot sweep window full, every non-oracle
+    query on the explicit rows-only allowlist, and every plans module
+    contributing."""
+    from mspr2_back_spark.tools.registry_report import (
+        SWEEP_WINDOW,
+        markdown,
+        summary,
+    )
+
+    s = summary()
+    assert s["in_sweep_window"] == SWEEP_WINDOW
+    assert s["total"] == s["oracle_checked"] + len(s["rows_only"])
+    assert s["rows_only"] == [
+        "approx_distinct_users",
+        "approx_price_quantiles",
+        "ml_forecast_ar",
+    ]
+    expected_modules = {
+        "mspr2_back_spark.plans.analytics",
+        "mspr2_back_spark.plans.extensions",
+        "mspr2_back_spark.plans.pipeline_queries",
+        "mspr2_back_spark.plans.queries",
+        "mspr2_back_spark.plans.sketches",
+        "mspr2_back_spark.plans.timeseries",
+        "mspr2_back_spark.plans.workloads",
+    }
+    assert set(s["modules"]) == expected_modules
+    # the report renders one row per query plus 2 header lines,
+    # a blank separator, and the summary footer
+    assert len(markdown().splitlines()) == s["total"] + 4
