@@ -86,6 +86,8 @@ _SWEEP_FIRST = [
     "event_weekday_contingency",
     "unigram_surprisal",
     "corpus_datacard",
+    "event_association_rules",
+    "funnel_latency",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -99,10 +101,9 @@ _SWEEP_FIRST = [
     "year_week_rollup_join",
     "urgent_semijoin",
     "props_extract",
-    "pct_negative_acctbal",
-    "dedup_embedding_cosine",
     # rotated out (r3-green, refresh deferred to round 6) when the
-    # round-5 "new / changed" block grew: dedup_clusters,
+    # round-5 "new / changed" block grew: pct_negative_acctbal,
+    # dedup_embedding_cosine, dedup_clusters,
     # repeated_spans,
     # contamination_screen,
     # pii_scrub, dedup_incremental,

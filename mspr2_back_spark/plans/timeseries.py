@@ -509,6 +509,145 @@ def event_weekday_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "weekday")
 
 
+def assoc_lift_sql() -> str:
+    """Association lift (c12·N)/(c1·c2) over integer count columns —
+    shared template, fixed double order."""
+    return (
+        "ROUND(CAST(c12 AS DOUBLE) * CAST(n_baskets AS DOUBLE)"
+        " / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)), 6)"
+    )
+
+
+def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, day) event-type
+    baskets: support, confidence (a→b), and lift for every co-
+    occurring type pair — the classic affinity screen, session-level
+    where bigram_pmi is adjacency-level.
+
+    Baskets are distinct (user, day, type) triples, so the pair
+    self-join expands each basket to at most C(|types|, 2) rows —
+    bounded by the type vocabulary, never by event volume. Shuffles:
+    the basket distinct and the (user, day) join both hash on the
+    basket key; marginals and the basket total are types-sized /
+    one-row (non-foldable scalar attach). All ratios derive from
+    exact BIGINTs through shared fixed-order templates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    from mspr2_back_spark.plans.analytics import _with_scalar
+
+    i1 = item.select(F.col("event_type").alias("type_a"), F.col("c").alias("c1"))
+    i2 = item.select(F.col("event_type").alias("type_b"), F.col("c").alias("c2"))
+    enriched = _with_scalar(
+        pair_counts.join(F.broadcast(i1), "type_a").join(
+            F.broadcast(i2), "type_b"
+        ),
+        n_baskets,
+    )
+    return enriched.select(
+        "type_a",
+        "type_b",
+        "c12",
+        F.round(F.col("c12").cast("double") / F.col("n_baskets"), 6).alias(
+            "support"
+        ),
+        F.round(F.col("c12").cast("double") / F.col("c1"), 6).alias(
+            "confidence_a_to_b"
+        ),
+        F.expr(assoc_lift_sql()).alias("lift"),
+    ).orderBy("type_a", "type_b")
+
+
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile of the ordered funnel: for users
+    who completed the whole signup→…→purchase chain (same chain as
+    workloads.event_funnel), the distribution of signup→purchase
+    latency in whole seconds — n, min, exact discrete quartiles, max.
+
+    The quartiles ride operators/quantiles.binned_quantiles over the
+    converted-users relation (3600-second bins — no global row sort,
+    the same scale path as equidepth_price_bands); latency is
+    floor-of-epoch-seconds arithmetic on both engines. One row out.
+    """
+    from mspr2_back_spark.operators.quantiles import binned_quantiles
+    from mspr2_back_spark.plans.workloads import (
+        FUNNEL_STAGES,
+        FUNNEL_WINDOW_DAYS,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s0 = FUNNEL_STAGES[0]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s0, F.col("ts"))).alias("t_0"),
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+            ).alias(f"ts_{s}")
+            for s in FUNNEL_STAGES[1:]
+        ],
+    )
+    stepped = per_user
+    for i, s in enumerate(FUNNEL_STAGES[1:], start=1):
+        stepped = stepped.withColumn(
+            f"t_{i}",
+            F.expr(
+                f"get(filter(ts_{s}, x -> x > t_{i - 1}"
+                f" AND CAST(x AS DATE) <= CAST(t_0 AS DATE)"
+                f" + {FUNNEL_WINDOW_DAYS}), 0)"
+            ),
+        )
+    last = len(FUNNEL_STAGES) - 1
+    converted = stepped.filter(F.col(f"t_{last}").isNotNull()).select(
+        (
+            F.unix_timestamp(f"t_{last}") - F.unix_timestamp("t_0")
+        ).alias("latency_sec"),
+        F.lit("all").alias("cohort"),
+    )
+    qs = binned_quantiles(
+        converted, "cohort", "latency_sec", bin_width=3600.0
+    )
+    extremes = converted.groupBy("cohort").agg(
+        F.min("latency_sec").alias("min_sec"),
+        F.max("latency_sec").alias("max_sec"),
+    )
+    return (
+        qs.select(
+            F.col("n_orders").alias("n_converted"),
+            F.col("p25").cast("bigint").alias("p25_sec"),
+            F.col("p50").cast("bigint").alias("p50_sec"),
+            F.col("p75").cast("bigint").alias("p75_sec"),
+            F.col("grp").alias("cohort"),
+        )
+        .join(F.broadcast(extremes), "cohort")
+        .select(
+            "n_converted", "min_sec", "p25_sec", "p50_sec", "p75_sec",
+            "max_sec",
+        )
+    )
+
+
 TIMESERIES_QUERIES = {
     "gapfill_user_daily": gapfill_user_daily,
     "daily_anomaly_scores": daily_anomaly_scores,
@@ -519,4 +658,6 @@ TIMESERIES_QUERIES = {
     "event_debounce": event_debounce,
     "seasonal_decompose_daily": seasonal_decompose_daily,
     "event_weekday_contingency": event_weekday_contingency,
+    "event_association_rules": event_association_rules,
+    "funnel_latency": funnel_latency,
 }

@@ -19,6 +19,7 @@ from mspr2_back_spark.plans.timeseries import (
     DECOMP_HALF_WINDOW,
     SEASON_PERIOD,
     TREND_EPOCH,
+    assoc_lift_sql,
     ewma_step_sql,
     trend_intercept_sql,
     trend_slope_sql,
@@ -247,3 +248,78 @@ ORDER BY event_type, weekday
 
 
 TIMESERIES_ORACLE_SQL["event_weekday_contingency"] = _contingency_oracle_sql()
+
+
+TIMESERIES_ORACLE_SQL["event_association_rules"] = f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+n AS (
+  SELECT COUNT(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM baskets)
+),
+item AS (SELECT event_type, COUNT(*) AS c FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c12
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, c12,
+       ROUND(CAST(c12 AS DOUBLE) / n_baskets, 6) AS support,
+       ROUND(CAST(c12 AS DOUBLE) / c1, 6) AS confidence_a_to_b,
+       {assoc_lift_sql()} AS lift
+FROM pairs
+JOIN (SELECT event_type AS type_a, c AS c1 FROM item) USING (type_a)
+JOIN (SELECT event_type AS type_b, c AS c2 FROM item) USING (type_b)
+CROSS JOIN n
+ORDER BY type_a, type_b
+"""
+
+
+def _funnel_latency_oracle_sql() -> str:
+    from mspr2_back_spark.plans.workloads import FUNNEL_STAGES
+    from mspr2_back_spark.plans.workloads_oracle import _LIST_COLS, _STEP_CTES
+
+    last = len(FUNNEL_STAGES) - 1
+    return f"""
+WITH s0 AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = '{FUNNEL_STAGES[0]}') AS t_0,
+         {_LIST_COLS}
+  FROM events GROUP BY 1
+),
+{_STEP_CTES},
+conv AS (
+  SELECT CAST(floor(epoch(t_{last})) AS BIGINT)
+         - CAST(floor(epoch(t_0)) AS BIGINT) AS latency_sec
+  FROM s{last} WHERE t_{last} IS NOT NULL
+),
+ranked AS (
+  SELECT latency_sec,
+         ROW_NUMBER() OVER (ORDER BY latency_sec) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv
+),
+q AS (
+  SELECT
+    CAST(MIN(CASE WHEN rn >= CEIL(0.25 * n) THEN latency_sec END) AS BIGINT)
+      AS p25_sec,
+    CAST(MIN(CASE WHEN rn >= CEIL(0.50 * n) THEN latency_sec END) AS BIGINT)
+      AS p50_sec,
+    CAST(MIN(CASE WHEN rn >= CEIL(0.75 * n) THEN latency_sec END) AS BIGINT)
+      AS p75_sec
+  FROM ranked
+),
+e AS (
+  SELECT COUNT(*) AS n_converted,
+         MIN(latency_sec) AS min_sec, MAX(latency_sec) AS max_sec
+  FROM conv
+)
+SELECT n_converted, min_sec, p25_sec, p50_sec, p75_sec, max_sec
+FROM e, q
+"""
+
+
+TIMESERIES_ORACLE_SQL["funnel_latency"] = _funnel_latency_oracle_sql()

@@ -461,6 +461,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "percentile_prices_refined",  # len(ps)-row literal relation
         "equidepth_price_bands",  # same binned_quantiles ps-literal relation
         "corpus_datacard",  # binned_quantiles ps-literal relation (median)
+        "funnel_latency",  # binned_quantiles ps-literal relation (quartiles)
         "ann_quantized_topk",  # 1-row dequantized query vector broadcast
         "hybrid_search_rrf",  # ann_topk's 1-row query vector broadcast
     }
@@ -499,6 +500,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "event_weekday_contingency": 1,  # (b) global marginal window over
                                          # the types×7 cell relation
         "unigram_surprisal": 1,         # (a) corpus-token-total scalar
+        "event_association_rules": 1,   # (a) basket-total scalar
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

@@ -85,6 +85,7 @@ DUCKDB_ONLY = {
     "weighted_sample_fixed_k",  # strpos nibble bucket + list_filter quality CTE
     "unigram_surprisal",  # unnest(list_filter) tokenizer
     "corpus_datacard",  # composes the list-macro quality/lang CTEs
+    "funnel_latency",  # list(ts ORDER BY) FILTER chain + epoch()
     "event_weekday_contingency",  # date_diff('day', ...) quoted-unit form
     "ewma_daily_value",  # list(y ORDER BY day) + list_reduce fold
     "seasonal_decompose_daily",  # date_diff('day', ...) quoted-unit form

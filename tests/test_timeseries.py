@@ -257,3 +257,62 @@ def test_contingency_chisq_matches_numpy(spark, sf_dir):
     for r in out:
         e = expected[types.index(r.event_type), wds.index(r.weekday)]
         assert math.isclose(r.expected, e, rel_tol=0, abs_tol=5e-6)
+
+
+def test_association_rules_match_python_recount(spark, sf_dir):
+    from mspr2_back_spark.plans.timeseries import event_association_rules
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct().collect()
+    baskets: dict = {}
+    for r in ev:
+        baskets.setdefault((r.user_id, r.day), set()).add(r.event_type)
+    n_b = len(baskets)
+    item: dict = {}
+    pair: dict = {}
+    for types in baskets.values():
+        for t in types:
+            item[t] = item.get(t, 0) + 1
+        ts = sorted(types)
+        for i, ta in enumerate(ts):
+            for tb in ts[i + 1 :]:
+                pair[(ta, tb)] = pair.get((ta, tb), 0) + 1
+    out = event_association_rules(spark, sf_dir).collect()
+    assert {(r.type_a, r.type_b) for r in out} == set(pair)
+    for r in out:
+        c12 = pair[(r.type_a, r.type_b)]
+        c1, c2 = item[r.type_a], item[r.type_b]
+        assert r.c12 == c12
+        assert c12 <= min(c1, c2)
+        assert math.isclose(r.support, c12 / n_b, rel_tol=0, abs_tol=5e-7)
+        assert math.isclose(
+            r.confidence_a_to_b, c12 / c1, rel_tol=0, abs_tol=5e-7
+        )
+        assert math.isclose(
+            r.lift, (c12 * n_b) / (c1 * c2), rel_tol=0, abs_tol=5e-6
+        )
+
+
+def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
+    from mspr2_back_spark.plans.timeseries import funnel_latency
+    from mspr2_back_spark.plans.workloads import (
+        FUNNEL_STAGES,
+        FUNNEL_WINDOW_DAYS,
+        event_funnel,
+    )
+
+    lat = funnel_latency(spark, sf_dir).first()
+    funnel = event_funnel(spark, sf_dir).first()
+    assert lat.n_converted == funnel[f"reached_{FUNNEL_STAGES[-1]}"]
+    assert lat.n_converted > 0
+    assert (
+        0
+        < lat.min_sec
+        <= lat.p25_sec
+        <= lat.p50_sec
+        <= lat.p75_sec
+        <= lat.max_sec
+    )
+    # window bound: purchase lands within signup-day + N calendar days
+    assert lat.max_sec <= (FUNNEL_WINDOW_DAYS + 1) * 86400
