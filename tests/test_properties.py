@@ -369,3 +369,34 @@ def test_zscore_template_matches_numpy(spark, counts):
     else:
         expect = (x - float(np.mean(window))) / sd
         assert math.isclose(got, round(expect, 6), rel_tol=0, abs_tol=2e-6)
+
+
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40),
+    probes=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40),
+)
+@_settings
+def test_bloom_filter_properties(spark, members, probes):
+    """For ANY key sets: no member is rejected (zero false
+    negatives), and a filter built on a union equals the
+    union().distinct() merge of per-half filters."""
+    from mspr2_back_spark.operators.bloomfilter import bloom_build, bloom_flag
+
+    mdf = spark.createDataFrame([(k,) for k in members], "key long")
+    pdf = spark.createDataFrame(
+        [(k,) for k in members | probes], "key long"
+    )
+    bits = bloom_build(mdf, "key")
+    flags = {r.key: r.pass_bloom for r in bloom_flag(pdf, bits, "key").collect()}
+    for k in members:
+        assert flags[k], f"member {k} rejected — false negative"
+    # mergeability: union-of-halves == filter-of-union
+    ms = sorted(members)
+    half = len(ms) // 2
+    lo = spark.createDataFrame([(k,) for k in ms[:half]] or [(None,)], "key long").dropna()
+    hi = spark.createDataFrame([(k,) for k in ms[half:]], "key long")
+    merged = sorted(
+        map(tuple, bloom_build(lo, "key").union(bloom_build(hi, "key")).distinct().collect())
+    )
+    direct = sorted(map(tuple, bits.collect()))
+    assert merged == direct
