@@ -1,5 +1,7 @@
 from mspr2_back_spark.plans.analytics import ANALYTICS_QUERIES
 from mspr2_back_spark.plans.analytics_oracle import ANALYTICS_ORACLE_SQL
+from mspr2_back_spark.plans.customer import CUSTOMER_QUERIES
+from mspr2_back_spark.plans.customer_oracle import CUSTOMER_ORACLE_SQL
 from mspr2_back_spark.plans.extensions import EXTENSION_QUERIES
 from mspr2_back_spark.plans.extensions_oracle import EXTENSION_ORACLE_SQL
 from mspr2_back_spark.plans.oracle import ORACLE_SQL as _RELATIONAL_SQL
@@ -21,6 +23,7 @@ QUERIES = {
     **WORKLOAD_QUERIES,
     **TIMESERIES_QUERIES,
     **SKETCH_QUERIES,
+    **CUSTOMER_QUERIES,
 }
 ORACLE_SQL = {
     **_RELATIONAL_SQL,
@@ -30,6 +33,7 @@ ORACLE_SQL = {
     **WORKLOAD_ORACLE_SQL,
     **TIMESERIES_ORACLE_SQL,
     **SKETCH_ORACLE_SQL,
+    **CUSTOMER_ORACLE_SQL,
 }
 
 # The driver's correctness sweep covers the first 50 registered
@@ -88,6 +92,9 @@ _SWEEP_FIRST = [
     "corpus_datacard",
     "event_association_rules",
     "funnel_latency",
+    "rfm_segments",
+    "session_paths",
+    "cohort_ltv",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -98,9 +105,8 @@ _SWEEP_FIRST = [
     "max_year_orders",
     "last_value_sum",
     "revenue_by_nation",
-    "year_week_rollup_join",
-    "urgent_semijoin",
-    "props_extract",
+    # rotated out (continued): year_week_rollup_join,
+    # urgent_semijoin, props_extract,
     # rotated out (r3-green, refresh deferred to round 6) when the
     # round-5 "new / changed" block grew: pct_negative_acctbal,
     # dedup_embedding_cosine, dedup_clusters,

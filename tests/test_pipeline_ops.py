@@ -462,6 +462,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "equidepth_price_bands",  # same binned_quantiles ps-literal relation
         "corpus_datacard",  # binned_quantiles ps-literal relation (median)
         "funnel_latency",  # binned_quantiles ps-literal relation (quartiles)
+        "rfm_segments",  # binned_quantiles ps-literal relation x3 dims
         "ann_quantized_topk",  # 1-row dequantized query vector broadcast
         "hybrid_search_rrf",  # ann_topk's 1-row query vector broadcast
     }
@@ -501,6 +502,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
                                          # the types×7 cell relation
         "unigram_surprisal": 1,         # (a) corpus-token-total scalar
         "event_association_rules": 1,   # (a) basket-total scalar
+        "session_paths": 1,             # (a) session-total scalar
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests
@@ -1056,6 +1058,7 @@ def test_registry_report_matches_documented_counts():
     ]
     expected_modules = {
         "mspr2_back_spark.plans.analytics",
+        "mspr2_back_spark.plans.customer",
         "mspr2_back_spark.plans.extensions",
         "mspr2_back_spark.plans.pipeline_queries",
         "mspr2_back_spark.plans.queries",

@@ -86,6 +86,9 @@ DUCKDB_ONLY = {
     "unigram_surprisal",  # unnest(list_filter) tokenizer
     "corpus_datacard",  # composes the list-macro quality/lang CTEs
     "funnel_latency",  # list(ts ORDER BY) FILTER chain + epoch()
+    "rfm_segments",  # date_diff('day', ...) quoted-unit form
+    "session_paths",  # list(x ORDER BY ...) aggregate + array_to_string
+    "cohort_ltv",  # date_diff('day', ...) quoted-unit form
     "event_weekday_contingency",  # date_diff('day', ...) quoted-unit form
     "ewma_daily_value",  # list(y ORDER BY day) + list_reduce fold
     "seasonal_decompose_daily",  # date_diff('day', ...) quoted-unit form

@@ -316,3 +316,84 @@ def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
     )
     # window bound: purchase lands within signup-day + N calendar days
     assert lat.max_sec <= (FUNNEL_WINDOW_DAYS + 1) * 86400
+
+
+def test_rfm_scores_partition_customers_into_quintiles(spark, sf_dir):
+    from mspr2_back_spark.plans.customer import rfm_segments
+
+    out = rfm_segments(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in out) == n_cust
+    for r in out:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+        assert r.total_monetary > 0
+    # marginal quintiles roughly balanced (ties can skew bands, but
+    # every monetary band must be populated — monetary is continuous)
+    m_marg: dict[int, int] = {}
+    for r in out:
+        m_marg[r.m_score] = m_marg.get(r.m_score, 0) + r.n_customers
+    assert set(m_marg) == {1, 2, 3, 4, 5}
+    for c in m_marg.values():
+        assert 0.1 * n_cust < c < 0.35 * n_cust
+
+
+def test_session_paths_match_python_recount(spark, sf_dir):
+    from mspr2_back_spark.plans.customer import (
+        PATH_SEP,
+        PATH_STEPS,
+        PATH_TOP_K,
+        session_paths,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "ts", "event_id",
+        "event_type",
+    ).collect()
+    sessions: dict = {}
+    for r in ev:
+        sessions.setdefault((r.user_id, r.day), []).append(
+            (r.ts, r.event_id, r.event_type)
+        )
+    counts: dict[str, int] = {}
+    for rows in sessions.values():
+        rows.sort()
+        path = PATH_SEP.join(t for _, _, t in rows[:PATH_STEPS])
+        counts[path] = counts.get(path, 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :PATH_TOP_K
+    ]
+    out = session_paths(spark, sf_dir).collect()
+    assert [(r.path, r.n_sessions) for r in out] == expect
+    total = len(sessions)
+    for r in out:
+        assert math.isclose(
+            r.share, counts[r.path] / total, rel_tol=0, abs_tol=5e-7
+        )
+        assert len(r.path.split(PATH_SEP)) <= PATH_STEPS
+
+
+def test_cohort_ltv_cumulates_to_total_value(spark, sf_dir):
+    from mspr2_back_spark.plans.customer import cohort_ltv
+
+    out = cohort_ltv(spark, sf_dir).collect()
+    assert out
+    total_value = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+        .first()[0]
+    )
+    by_cohort: dict = {}
+    for r in out:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    final_sum = 0.0
+    for rows in by_cohort.values():
+        rows.sort(key=lambda r: r.week_offset)
+        running = 0.0
+        for r in rows:
+            running += r.week_value
+            assert math.isclose(r.cum_value, running, rel_tol=0, abs_tol=2e-5)
+        final_sum += rows[-1].cum_value
+    assert math.isclose(final_sum, total_value, rel_tol=0, abs_tol=1e-3)
