@@ -95,6 +95,7 @@ _SWEEP_FIRST = [
     "rfm_segments",
     "session_paths",
     "cohort_ltv",
+    "rolling_active_users",
     # latest verdict is round 3 — refresh
     "pricing_summary",
     "global_totals",
@@ -104,8 +105,8 @@ _SWEEP_FIRST = [
     "distinct_counts",
     "max_year_orders",
     "last_value_sum",
-    "revenue_by_nation",
-    # rotated out (continued): year_week_rollup_join,
+    # rotated out (continued): revenue_by_nation,
+    # year_week_rollup_join,
     # urgent_semijoin, props_extract,
     # rotated out (r3-green, refresh deferred to round 6) when the
     # round-5 "new / changed" block grew: pct_negative_acctbal,

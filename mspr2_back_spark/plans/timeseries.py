@@ -648,6 +648,63 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    canonical product-engagement triple. A user counts toward
+    WAU(d) when active anywhere in [d-6, d].
+
+    Sliding distinct counts can't ride an ordinary window (DISTINCT
+    isn't frame-decomposable), so the scale shape is: reduce the
+    corpus to the distinct (user, active-day) relation FIRST (one
+    key-hash shuffle — entity × days, far smaller than events), then
+    explode THAT by the 7 target days, de-duplicate (user, target),
+    and count per target. The explode multiplies the already-reduced
+    relation, never raw events. Days without a full trailing window
+    are flagged rather than dropped (the WAU there is a partial
+    cumulation — flagging keeps the column honest without shrinking
+    the series).
+    """
+    from mspr2_back_spark.plans.analytics import _with_scalar
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    targets = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(WAU_WINDOW_DAYS - 1))
+            ).alias("k"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, k)").alias("day"))
+        .distinct()
+    )
+    wau = targets.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    bounds = ud.agg(F.min("day").alias("d0"))
+    return (
+        _with_scalar(dau.join(wau, "day"), bounds)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+            (
+                F.col("day")
+                >= F.expr(f"date_add(d0, {WAU_WINDOW_DAYS - 1})")
+            ).alias("full_window"),
+        )
+        .orderBy("day")
+    )
+
+
 TIMESERIES_QUERIES = {
     "gapfill_user_daily": gapfill_user_daily,
     "daily_anomaly_scores": daily_anomaly_scores,
@@ -660,4 +717,5 @@ TIMESERIES_QUERIES = {
     "event_weekday_contingency": event_weekday_contingency,
     "event_association_rules": event_association_rules,
     "funnel_latency": funnel_latency,
+    "rolling_active_users": rolling_active_users,
 }

@@ -323,3 +323,29 @@ FROM e, q
 
 
 TIMESERIES_ORACLE_SQL["funnel_latency"] = _funnel_latency_oracle_sql()
+
+
+def _rau_oracle_sql() -> str:
+    from mspr2_back_spark.plans.timeseries import WAU_WINDOW_DAYS
+
+    w = WAU_WINDOW_DAYS
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+targets AS (
+  SELECT DISTINCT user_id, day + CAST(k AS INT) AS day
+  FROM ud, unnest(generate_series(0, {w - 1})) AS t(k)
+),
+wau AS (SELECT day, COUNT(*) AS wau FROM targets GROUP BY 1),
+bounds AS (SELECT MIN(day) AS d0 FROM ud)
+SELECT d.day, dau, wau,
+       ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness,
+       d.day >= d0 + {w - 1} AS full_window
+FROM dau d JOIN wau USING (day) CROSS JOIN bounds
+ORDER BY 1
+"""
+
+
+TIMESERIES_ORACLE_SQL["rolling_active_users"] = _rau_oracle_sql()

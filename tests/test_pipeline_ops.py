@@ -503,6 +503,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "unigram_surprisal": 1,         # (a) corpus-token-total scalar
         "event_association_rules": 1,   # (a) basket-total scalar
         "session_paths": 1,             # (a) session-total scalar
+        "rolling_active_users": 1,      # (a) first-day scalar (flag)
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests

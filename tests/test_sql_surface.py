@@ -89,6 +89,7 @@ DUCKDB_ONLY = {
     "rfm_segments",  # date_diff('day', ...) quoted-unit form
     "session_paths",  # list(x ORDER BY ...) aggregate + array_to_string
     "cohort_ltv",  # date_diff('day', ...) quoted-unit form
+    "rolling_active_users",  # unnest(generate_series) day explode
     "event_weekday_contingency",  # date_diff('day', ...) quoted-unit form
     "ewma_daily_value",  # list(y ORDER BY day) + list_reduce fold
     "seasonal_decompose_daily",  # date_diff('day', ...) quoted-unit form

@@ -397,3 +397,36 @@ def test_cohort_ltv_cumulates_to_total_value(spark, sf_dir):
             assert math.isclose(r.cum_value, running, rel_tol=0, abs_tol=2e-5)
         final_sum += rows[-1].cum_value
     assert math.isclose(final_sum, total_value, rel_tol=0, abs_tol=1e-3)
+
+
+def test_rolling_active_users_matches_python_recount(spark, sf_dir):
+    from mspr2_back_spark.plans.timeseries import (
+        WAU_WINDOW_DAYS,
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().collect()
+    active: dict = {}
+    for r in ev:
+        active.setdefault(r.day, set()).add(r.user_id)
+    days = sorted(active)
+    import datetime
+
+    one = datetime.timedelta(days=1)
+    out = {r.day: r for r in rolling_active_users(spark, sf_dir).collect()}
+    assert set(out) == set(days)
+    for d in days:
+        dau = len(active[d])
+        wau_set: set = set()
+        for k in range(WAU_WINDOW_DAYS):
+            wau_set |= active.get(d - k * one, set())
+        r = out[d]
+        assert r.dau == dau
+        assert r.wau == len(wau_set)
+        assert math.isclose(
+            r.stickiness, dau / len(wau_set), rel_tol=0, abs_tol=5e-7
+        )
+        assert r.full_window == (d >= days[0] + (WAU_WINDOW_DAYS - 1) * one)
+        assert r.dau <= r.wau
