@@ -421,3 +421,36 @@ def ewma_value_live(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hopping_event_rates(
+    events: DataFrame,
+    width: str = "60 minutes",
+    step: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping-window (overlapping) rates per event type — the LIVE
+    twin of plans/workloads.sliding_event_rates: same F.window(ts,
+    width, step) assignment, same DECIMAL value sums, with watermark-
+    bounded state (each event belongs to width/step windows; state
+    per window evicts once the watermark passes its end). The parity
+    test drains the full history and matches the batch query's
+    matrix exactly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", width, step).alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(METRIC)).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

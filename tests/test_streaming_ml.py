@@ -696,3 +696,32 @@ def test_streaming_ewma_matches_batch_fold(spark, sf_dir, tmp_path):
         assert n_seen == len(rows)
         assert math.isclose(got, ewma, rel_tol=1e-12, abs_tol=1e-12)
     shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_streaming_hopping_windows_match_batch(spark, sf_dir, tmp_path):
+    """The hopping-window stream, drained over the full history,
+    must produce exactly the batch sliding_event_rates matrix
+    (update mode: the last emitted row per key is the final state —
+    counts only grow, so keep the max)."""
+    from mspr2_back_spark.plans.workloads import sliding_event_rates
+
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_hopping")
+    src.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    live = stream_events.hopping_event_rates(stream)
+    stream_events.run_to_memory(live, "hopping_rates", mode="update")
+
+    final: dict = {}
+    for r in spark.table("hopping_rates").collect():
+        k = (r.window_start, r.event_type)
+        prev = final.get(k)
+        if prev is None or r.n_events > prev[0]:
+            final[k] = (r.n_events, r.total_value)
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in sliding_event_rates(spark, sf_dir).collect()
+    }
+    assert final == batch
+    shutil.rmtree(stream_dir, ignore_errors=True)
