@@ -70,6 +70,49 @@ HEADLINE = [
     "attribution_last_touch",
     "cms_heavy_hitters",
     "tfidf_top_terms",
+    # round-6 additions (VERDICT r5 task 2): the r5 heavies whose
+    # perf previously lived only in SCALING.md one-offs get a
+    # per-round floor here
+    "funnel_latency",
+    "rfm_segments",
+    "event_association_rules",
+    "gapfill_user_daily",
+    "seasonal_decompose_daily",
+]
+
+# Queries benched in the PREVIOUS round's headline set — their
+# subtotal is emitted as "shared_prev_subtotal" so the
+# round-over-round like-for-like comparison lives in the artifact
+# itself instead of requiring the reader to re-sum (VERDICT r5,
+# "What's wrong" #2). Update alongside HEADLINE each round.
+PREV_ROUND_HEADLINE = [
+    "pricing_summary",
+    "weekly_rollup",
+    "revenue_by_nation",
+    "year_week_rollup_join",
+    "top5_customers",
+    "rolling_sum3",
+    "latest_order_per_customer",
+    "hourly_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_token_stats",
+    "ann_topk",
+    "dedup_embedding_cosine",
+    "sessionize_events",
+    "rollup_revenue",
+    "percentile_prices",
+    "crud_upsert",
+    "waiting_orders_by_supplier",
+    "customer_order_histogram",
+    "bigram_pmi",
+    "bm25_topk",
+    "ann_batch_topk",
+    "attribution_last_touch",
+    "cms_heavy_hitters",
+    "tfidf_top_terms",
 ]
 
 
@@ -98,6 +141,9 @@ def main() -> None:
     worst = {name: round(max(ts), 4) for name, ts in samples.items()}
     total = round(sum(timings.values()), 4)
     total_max = round(sum(worst.values()), 4)
+    shared_prev = round(
+        sum(timings[n] for n in PREV_ROUND_HEADLINE if n in timings), 4
+    )
     print(
         json.dumps(
             {
@@ -110,6 +156,8 @@ def main() -> None:
                 "queries_max": worst,
                 "total_max": total_max,
                 "spread_pct": round(100.0 * (total_max - total) / total, 1) if total else 0.0,
+                "shared_prev_subtotal": shared_prev,
+                "shared_prev_n": len(PREV_ROUND_HEADLINE),
             }
         )
     )

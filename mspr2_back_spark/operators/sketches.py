@@ -78,7 +78,9 @@ def cms_estimate(
 ) -> DataFrame:
     """Estimated count per probe key: MIN over the key's ``depth``
     cells. The sketch side broadcasts (≤ depth × width rows); probe
-    keys the corpus never saw estimate as 0 (their cells are empty).
+    keys the corpus never saw estimate as the minimum collision mass
+    of their cells — 0 only when at least one of their cells is
+    empty (the usual CMS one-sided overcount, never an undercount).
     """
     pcells = probes.select(
         key_col,

@@ -266,7 +266,10 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_positive",
         F.round(
             F.col("n_false_positive").cast("double")
-            / (F.col("n_probe") - F.col("n_true_match")).cast("double"),
+            / F.nullif(
+                (F.col("n_probe") - F.col("n_true_match")).cast("double"),
+                F.lit(0.0),
+            ),
             6,
         ).alias("fp_rate"),
     )

@@ -144,7 +144,8 @@ a AS (
 )
 SELECT n_probe, n_pass_bloom, n_true_match, n_false_positive,
        ROUND(CAST(n_false_positive AS DOUBLE)
-             / CAST(n_probe - n_true_match AS DOUBLE), 6) AS fp_rate
+             / NULLIF(CAST(n_probe - n_true_match AS DOUBLE), 0),
+             6) AS fp_rate
 FROM a
 """
 

@@ -666,9 +666,16 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     are flagged rather than dropped (the WAU there is a partial
     cumulation — flagging keeps the column honest without shrinking
     the series).
-    """
-    from mspr2_back_spark.plans.analytics import _with_scalar
 
+    The series is DENSE over [min(day), max(day)] (r6, ADVICE r5):
+    calendar days with zero activity still get a row (dau=0, and
+    wau from whatever trailing activity reaches them) instead of a
+    silent hole — the shape a DAU/WAU dashboard expects. When the
+    trailing window is entirely empty, wau=0 and stickiness is NULL
+    (0/0 has no defensible value; both engines guard the division).
+    The spine is days-sized, so densification adds no corpus-scale
+    work.
+    """
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
@@ -686,15 +693,22 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     wau = targets.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
-    bounds = ud.agg(F.min("day").alias("d0"))
+    spine = (
+        ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("d0", F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    )
+    dau_f = F.coalesce(F.col("dau"), F.lit(0)).cast("bigint")
+    wau_f = F.coalesce(F.col("wau"), F.lit(0)).cast("bigint")
     return (
-        _with_scalar(dau.join(wau, "day"), bounds)
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
         .select(
             "day",
-            "dau",
-            "wau",
-            F.round(
-                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            dau_f.alias("dau"),
+            wau_f.alias("wau"),
+            F.when(
+                wau_f > 0,
+                F.round(dau_f.cast("double") / wau_f.cast("double"), 6),
             ).alias("stickiness"),
             (
                 F.col("day")

@@ -178,7 +178,8 @@ WITH daily AS (
   FROM events GROUP BY 1, 2, 4
 ),
 win AS (
-  SELECT event_type, day, y, x % {SEASON_PERIOD} AS wd,
+  SELECT event_type, day, y,
+         ((x % {SEASON_PERIOD}) + {SEASON_PERIOD}) % {SEASON_PERIOD} AS wd,
          COUNT(*) OVER w AS cnt_w,
          ROUND(CAST(SUM(CAST(y AS {METRIC})) OVER w AS DOUBLE)
                / {_DECOMP_SPAN}, 6) AS trend
@@ -226,8 +227,8 @@ def _contingency_oracle_sql() -> str:
     return f"""
 WITH cells AS (
   SELECT event_type,
-         date_diff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) % 7
-           AS weekday,
+         ((date_diff('day', DATE '{TREND_EPOCH}', CAST(ts AS DATE)) % 7)
+          + 7) % 7 AS weekday,
          COUNT(*) AS observed
   FROM events GROUP BY 1, 2
 ),
@@ -339,11 +340,21 @@ targets AS (
   FROM ud, unnest(generate_series(0, {w - 1})) AS t(k)
 ),
 wau AS (SELECT day, COUNT(*) AS wau FROM targets GROUP BY 1),
-bounds AS (SELECT MIN(day) AS d0 FROM ud)
-SELECT d.day, dau, wau,
-       ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness,
-       d.day >= d0 + {w - 1} AS full_window
-FROM dau d JOIN wau USING (day) CROSS JOIN bounds
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+spine AS (
+  SELECT d0, d0 + CAST(k AS INT) AS day
+  FROM bounds,
+       unnest(generate_series(0,
+         CAST(date_diff('day', d0, d1) AS BIGINT))) AS t(k)
+)
+SELECT s.day,
+       CAST(COALESCE(dau, 0) AS BIGINT) AS dau,
+       CAST(COALESCE(wau, 0) AS BIGINT) AS wau,
+       ROUND(CAST(COALESCE(dau, 0) AS DOUBLE)
+             / NULLIF(CAST(COALESCE(wau, 0) AS DOUBLE), 0), 6)
+         AS stickiness,
+       s.day >= d0 + {w - 1} AS full_window
+FROM spine s LEFT JOIN dau USING (day) LEFT JOIN wau USING (day)
 ORDER BY 1
 """
 

@@ -356,7 +356,10 @@ def transition_increments(events: DataFrame) -> DataFrame:
 
     def update(key, pdf_iter, state):
         last_type, last_ts = state.get if state.exists else (None, 0)
-        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        # (ts, event_id) — ts alone can collide, which would make the
+        # emitted transition order (hence counts) nondeterministic;
+        # same total order as the EWMA twin.
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
         counts: dict[tuple[str, str], int] = {}
         for t, et in zip(rows["ts"].astype("int64"), rows["event_type"]):
             if last_type is not None:

@@ -416,17 +416,59 @@ def test_rolling_active_users_matches_python_recount(spark, sf_dir):
 
     one = datetime.timedelta(days=1)
     out = {r.day: r for r in rolling_active_users(spark, sf_dir).collect()}
-    assert set(out) == set(days)
-    for d in days:
-        dau = len(active[d])
+    # dense contract (r6): every calendar day in [min, max] gets a
+    # row, activity or not — no holes in the series
+    span = [
+        days[0] + k * one
+        for k in range((days[-1] - days[0]).days + 1)
+    ]
+    assert sorted(out) == span
+    for d in span:
+        dau = len(active.get(d, set()))
         wau_set: set = set()
         for k in range(WAU_WINDOW_DAYS):
             wau_set |= active.get(d - k * one, set())
         r = out[d]
         assert r.dau == dau
         assert r.wau == len(wau_set)
-        assert math.isclose(
-            r.stickiness, dau / len(wau_set), rel_tol=0, abs_tol=5e-7
-        )
+        if wau_set:
+            assert math.isclose(
+                r.stickiness, dau / len(wau_set), rel_tol=0, abs_tol=5e-7
+            )
+        else:
+            assert r.stickiness is None
         assert r.full_window == (d >= days[0] + (WAU_WINDOW_DAYS - 1) * one)
         assert r.dau <= r.wau
+
+
+def test_rolling_active_users_densifies_gap_days(spark, tmp_path):
+    """A corpus with a hole ≥ the WAU window must still emit one row
+    per calendar day: dau=0 on the gap days, wau decaying to 0 once
+    the trailing window is empty, stickiness NULL exactly there."""
+    import datetime
+
+    from mspr2_back_spark.plans.timeseries import rolling_active_users
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # activity on day 0 and day 10 only — days 1..9 are gap days;
+    # days 7..9 have an empty trailing window (wau = 0)
+    for i, d in enumerate([0, 10]):
+        rows.append((i, 7, "view", base + datetime.timedelta(days=d), 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    sf = str(tmp_path / "sparse")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = {r.day: r for r in rolling_active_users(spark, sf).collect()}
+    assert len(out) == 11
+    for k, r in out.items():
+        off = (k - datetime.date(2024, 3, 1)).days
+        assert r.dau == (1 if off in (0, 10) else 0)
+        expect_wau = 1 if off <= 6 or off == 10 else 0
+        assert r.wau == expect_wau
+        if expect_wau == 0:
+            assert r.stickiness is None
