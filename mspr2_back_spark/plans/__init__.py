@@ -53,7 +53,8 @@ ORACLE_SQL = {
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
     # -- new / changed in round 6 (cap 10) --
-    "ml_forecast_ar",  # r6: step-1 closed-form oracle added (was no_oracle)
+    "ml_forecast_ar",  # r6: refreshed rows-only signal (AR(14) pandas path)
+    "ml_forecast_ar_exact",  # r6: NEW — closed-form AR(2), fully oracle-checked
     "dedup_minhash_lsh",  # r6: 2-universal signature derivation rework
     "event_weekday_contingency",  # r6: oracle hardened to sign-safe mod (ADVICE)
     "seasonal_decompose_daily",  # r6: oracle hardened to sign-safe mod (ADVICE)

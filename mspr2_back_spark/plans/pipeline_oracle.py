@@ -686,3 +686,87 @@ SELECT doc_id, COUNT(*) AS n_near, CAST(MIN(hamming) AS INT) AS min_hamming
 FROM sym GROUP BY doc_id
 """
 )
+
+
+def _ar2_oracle_sql() -> str:
+    """ml_forecast_ar_exact mirror: the Cramer weight solve and the
+    unrolled 7-step recursion come verbatim from pipeline_queries'
+    ar2_weight_sqls / ar2_step_sql templates, so every double on the
+    oracle side traverses the identical IEEE operation chain."""
+    from mspr2_back_spark.plans.pipeline_queries import (
+        AR2_HORIZON,
+        AR2_SCALE,
+        ar2_step_sql,
+        ar2_weight_sqls,
+    )
+
+    det, d1, d2, d3 = ar2_weight_sqls()
+    ok = f"(n >= 3 AND {det} <> CAST(0.0 AS DOUBLE))"
+
+    def m(expr: str, name: str) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN x2 IS NOT NULL THEN"
+            f" CAST({expr} AS {AR2_SCALE}) END) AS DOUBLE) AS {name}"
+        )
+
+    steps = []
+    prev2, prev1 = "pa", "pc"
+    for k in range(1, AR2_HORIZON + 1):
+        src = "wts" if k == 1 else f"st{k - 1}"
+        steps.append(
+            f"st{k} AS (SELECT *, {ar2_step_sql(prev1, prev2)} AS f{k}"
+            f" FROM {src})"
+        )
+        prev2, prev1 = prev1, f"f{k}"
+    case = " ".join(
+        f"WHEN {k} THEN f{k}" for k in range(1, AR2_HORIZON + 1)
+    )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT user_id, day, y,
+         LAG(y, 1) OVER w AS x1, LAG(y, 2) OVER w AS x2
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN x2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n,
+         {m("x1", "sx1")},
+         {m("x2", "sx2")},
+         {m("y", "sy")},
+         {m("x1 * x1", "s11")},
+         {m("x1 * x2", "s12")},
+         {m("x2 * x2", "s22")},
+         {m("x1 * y", "s1y")},
+         {m("x2 * y", "s2y")},
+         max_by(y, day) AS pc,
+         max_by(x1, day) AS pa_raw,
+         MAX(day) AS last_day
+  FROM lagged GROUP BY 1
+),
+wts AS (
+  SELECT user_id, last_day, pc,
+         COALESCE(pa_raw, CAST(0.0 AS DOUBLE)) AS pa,
+         CASE WHEN {ok} THEN {d1} / {det}
+              ELSE CAST(0.0 AS DOUBLE) END AS ww1,
+         CASE WHEN {ok} THEN {d2} / {det}
+              ELSE CAST(0.0 AS DOUBLE) END AS ww2,
+         CASE WHEN {ok} THEN {d3} / {det} ELSE pc END AS bb
+  FROM agg
+),
+{steps_sql}
+SELECT user_id, CAST(k AS INT) AS step,
+       last_day + CAST(k AS INT) AS forecast_day,
+       ROUND(CASE k {case} END, 6) AS forecast_value
+FROM st{AR2_HORIZON}, unnest(generate_series(1, {AR2_HORIZON})) AS t(k)
+ORDER BY user_id, step
+"""
+
+
+PIPELINE_ORACLE_SQL["ml_forecast_ar_exact"] = _ar2_oracle_sql()

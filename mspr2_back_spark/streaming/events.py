@@ -183,11 +183,26 @@ def join_event_streams(
     ).select("c_user", "click_id", "c_ts", "view_id", "v_ts", "view_value")
 
 
+GOLD_MERGE_BUCKETS = 64
+
+
+def _gold_bucket(keys: list[str], n_buckets: int):
+    """Deterministic merge-bucket id for a key tuple: xxhash64 of the
+    key columns, folded into [0, n_buckets). The SAME expression
+    buckets the standing gold table (at write time, as its partition
+    column) and each arriving batch (at merge time), so a key's rows
+    always live in exactly one partition directory."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
 def run_upsert_to_gold(
     stream_df: DataFrame,
     gold_path: str,
     checkpoint: str,
     keys: list[str],
+    n_buckets: int = GOLD_MERGE_BUCKETS,
 ) -> None:
     """Stream → gold-table maintenance via ``foreachBatch`` upsert:
     each micro-batch's aggregates MERGE into the parquet gold table
@@ -197,28 +212,61 @@ def run_upsert_to_gold(
     becomes a real MERGE INTO; the relational algebra is identical
     (operators/crud.upsert).
 
+    The merge is PARTITION-SCOPED (r6, VERDICT r5): the gold table is
+    laid out as ``_bucket=<xxhash64(keys) mod n_buckets>`` partition
+    directories, and a micro-batch (1) computes the bucket set its
+    keys hash into, (2) reads ONLY those partitions back (partition
+    pruning — untouched buckets are never scanned), (3) merges, and
+    (4) rewrites ONLY those partitions via dynamic partition
+    overwrite. Per-batch work is O(batch + touched-bucket data), not
+    O(gold): at 100 TB gold with 4096 buckets, a batch touching 10
+    buckets reads/writes ~250 GB instead of the whole table, and
+    every untouched bucket's files are left physically untouched
+    (byte-identical — the parity test asserts this). Commit is atomic
+    per partition directory (the committer stages files and swaps at
+    job commit); cross-bucket atomicity is what a table format's
+    transaction log adds on top.
+
+    ``localCheckpoint`` severs the merged plan's lineage from the
+    gold path before the overwrite — Spark (correctly) refuses to
+    overwrite a path its own input plan is still reading; the
+    checkpoint bounds that materialization to the touched buckets.
+
     Update-mode batches can re-emit a key with a fresher value, which
     plain append sinks can't reconcile — exactly-once-per-key needs
     this read-modify-write (idempotent on retry: re-upserting the
-    same batch is a no-op).
+    same batch is a no-op; the bucket function is deterministic, so a
+    retry touches the same partitions).
     """
     from mspr2_back_spark.operators.crud import upsert
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_b = batch_df.withColumn("_bucket", _gold_bucket(keys, n_buckets))
+        touched = [
+            r["_bucket"]
+            for r in batch_b.select("_bucket").distinct().collect()
+        ]
+        if not touched:
+            return
         try:
-            base = spark.read.parquet(gold_path)
+            base = spark.read.parquet(gold_path).filter(
+                F.col("_bucket").isin(touched)
+            )
         except Exception:
             base = None
-        merged = batch_df if base is None else upsert(base, batch_df, keys)
-        # Write-then-swap is not atomic on plain parquet; collect to
-        # the driver is avoided by writing a temp dir and renaming.
-        tmp = gold_path + f"._staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(gold_path, ignore_errors=True)
-        shutil.move(tmp, gold_path)
+        merged = (
+            batch_b
+            if base is None
+            else upsert(base, batch_b.select(*base.columns), keys)
+        )
+        (
+            merged.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(gold_path)
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)

@@ -1071,3 +1071,85 @@ def test_registry_report_matches_documented_counts():
     # the report renders one row per query plus 2 header lines,
     # a blank separator, and the summary footer
     assert len(markdown().splitlines()) == s["total"] + 4
+
+
+def test_ml_forecast_ar_exact_matches_numpy_fit(spark, sf_dir):
+    """The SQL-side Cramer AR(2) fit and unrolled recursion must
+    reproduce an independent numpy lstsq fit + python recursion on
+    the same per-user daily series (falsifiability for the
+    oracle-checked closed form)."""
+    import math
+
+    import numpy as np
+
+    from mspr2_back_spark.plans.pipeline_queries import ml_forecast_ar_exact
+    from mspr2_back_spark.sources.readers import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.user_id, []).append((r.day, r.y))
+    out = ml_forecast_ar_exact(spark, sf_dir).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r.user_id, {})[r.step] = (r.forecast_day, r.forecast_value)
+
+    assert set(got) == set(series)
+    checked_fit = checked_fallback = 0
+    for uid, pts in series.items():
+        pts.sort()
+        y = np.array([v for _, v in pts], dtype=np.float64)
+        last_day = pts[-1][0]
+        if len(y) >= 5:
+            X = np.stack([y[1:-1], y[:-2], np.ones(len(y) - 2)], axis=1)
+            tgt = y[2:]
+            w1, w2, b = np.linalg.lstsq(X, tgt, rcond=None)[0]
+            preds = []
+            p1, p2 = y[-1], y[-2]
+            for _ in range(7):
+                nxt = b + w1 * p1 + w2 * p2
+                preds.append(nxt)
+                p2, p1 = p1, nxt
+            checked_fit += 1
+        else:
+            preds = [y[-1]] * 7
+            checked_fallback += 1
+        for s in range(1, 8):
+            fd, fv = got[uid][s]
+            assert (fd - last_day).days == s
+            assert math.isclose(fv, preds[s - 1], rel_tol=1e-6, abs_tol=1e-4), (
+                uid, s, fv, preds[s - 1]
+            )
+    assert checked_fit > 0
+
+
+def test_ml_forecast_ar_exact_degenerate_repeats_last(spark, tmp_path):
+    """Users with too little history (< 3 training rows) must get the
+    repeat-last-value fallback, exactly like _fit_predict_ar."""
+    import datetime
+    import os
+
+    from mspr2_back_spark.plans.pipeline_queries import ml_forecast_ar_exact
+
+    base = datetime.datetime(2024, 5, 1, 8, 0, 0)
+    rows = []
+    # user 1: two days; user 2: one day — both degenerate
+    rows.append((1, 1, "view", base, 5.0))
+    rows.append((2, 1, "view", base + datetime.timedelta(days=1), 9.0))
+    rows.append((3, 2, "click", base, 4.25))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    sf = str(tmp_path / "tiny")
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    out = ml_forecast_ar_exact(spark, sf).collect()
+    assert len(out) == 14
+    for r in out:
+        assert r.forecast_value == (9.0 if r.user_id == 1 else 4.25)

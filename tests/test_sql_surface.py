@@ -94,6 +94,7 @@ DUCKDB_ONLY = {
     "ewma_daily_value",  # list(y ORDER BY day) + list_reduce fold
     "seasonal_decompose_daily",  # date_diff('day', ...) quoted-unit form
     "bloom_prefilter_audit",  # strpos nibble bucket (Spark side uses conv())
+    "ml_forecast_ar_exact",  # unnest(generate_series) step explode
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)

@@ -283,6 +283,91 @@ def test_foreachbatch_gold_upsert(spark, sf_dir, tmp_path):
     assert all(final[k] >= v for k, v in first.items() if k in final)
 
 
+def test_gold_upsert_partition_scoped_merge(spark, sf_dir, tmp_path):
+    """The r6 bucket-partitioned gold merge: (a) the final table is
+    identical to the full-table merge semantics computed in batch,
+    and (b) a micro-batch that touches a strict subset of buckets
+    leaves every untouched bucket's files physically unrewritten
+    (same names, same bytes) — the O(touched), not O(gold), rewrite
+    contract."""
+    import hashlib
+    from pathlib import Path
+
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "pgold_in"
+    stream_dir.mkdir()
+    gold = str(tmp_path / "pgold_out")
+    ckpt = str(tmp_path / "pgold_ckpt")
+
+    def land(df, name):
+        staging = tmp_path / f"pgstage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        for i, f in enumerate(staging.glob("part-*.parquet")):
+            f.rename(stream_dir / f"{name}_{i}.parquet")
+
+    def run():
+        stream = stream_events.read_event_stream(
+            spark, str(stream_dir), src.schema
+        )
+        counts = stream.groupBy("event_type").count()
+        stream_events.run_upsert_to_gold(
+            counts, gold, ckpt, keys=["event_type"], n_buckets=16
+        )
+
+    def inventory():
+        return {
+            str(p.relative_to(gold)): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in Path(gold).rglob("*.parquet")
+        }
+
+    land(src, "b1")
+    run()
+    before = inventory()
+    base_counts = {
+        r.event_type: r["count"]
+        for r in spark.read.parquet(gold).collect()
+    }
+
+    # batch 2: one single event type — exactly one bucket is touched
+    one_type = src.select("event_type").first()[0]
+    land(src.filter(F.col("event_type") == one_type), "b2")
+    run()
+    after = inventory()
+
+    touched_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(one_type)), F.lit(16)).cast("int").alias("b")
+    ).first()[0]
+    touched_dir = f"_bucket={touched_bucket}"
+    untouched_before = {
+        p: h for p, h in before.items() if not p.startswith(touched_dir)
+    }
+    untouched_after = {
+        p: h for p, h in after.items() if not p.startswith(touched_dir)
+    }
+    # the corpus has >1 event type, so untouched buckets must exist,
+    # and their files must be EXACTLY the batch-1 files, byte for byte
+    assert untouched_before
+    assert untouched_after == untouched_before
+    # the touched bucket was rewritten (fresh part files)
+    assert {p for p in after if p.startswith(touched_dir)} != {
+        p for p in before if p.startswith(touched_dir)
+    }
+
+    # full-table parity: gold == the merge semantics over all data —
+    # batch-1 counts for every other key, cumulative count for the
+    # re-emitted key (streaming state accumulates across runs)
+    expected = dict(base_counts)
+    expected[one_type] = (
+        base_counts[one_type]
+        + src.filter(F.col("event_type") == one_type).count()
+    )
+    final = {
+        r.event_type: r["count"]
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert final == expected
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     """Stream-stream time-bounded join == the same join in batch over
     the drained input."""
