@@ -204,6 +204,28 @@ def ngram_jaccard_pairs(
     )
 
 
+_MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def _minhash_coeffs(k: int) -> tuple[int, int]:
+    """Deterministic (a_k, b_k) for the 2-universal slot permutation
+    h_k(x) = (a_k·x + b_k) mod P, derived from md5 of the slot index
+    so the signature family is fixed across runs and engines
+    (a_k ∈ [1, P-1], b_k ∈ [0, P-1])."""
+    import hashlib
+
+    a = (
+        int.from_bytes(hashlib.md5(f"mh_a{k}".encode()).digest()[:4], "big")
+        % (_MINHASH_PRIME - 1)
+        + 1
+    )
+    b = (
+        int.from_bytes(hashlib.md5(f"mh_b{k}".encode()).digest()[:4], "big")
+        % _MINHASH_PRIME
+    )
+    return a, b
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -213,10 +235,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection, verified exactly.
 
-    shingle → 32 minhashes (xxhash64 with per-slot seed, computed
-    scan-side) → 16 bands of 2 rows → bucket-join on (band, band
-    signature) for candidates → exact Jaccard verification on the
-    candidate pairs only.
+    shingle → one xxhash64 → 32 minhashes via the (a·x + b) mod P
+    2-universal trick (computed scan-side) → 16 bands of 2 rows →
+    bucket-join on (band, band signature) for candidates → exact
+    Jaccard verification on the candidate pairs only.
 
     With r=2, b=16 the candidate probability at j=0.8 is
     1-(1-0.8²)¹⁶ ≈ 1-8e-8, so verified output equals the exact
@@ -240,21 +262,32 @@ def minhash_lsh_pairs(
     per_doc = with_shingles(_spread(docs), id_col).persist(StorageLevel.MEMORY_AND_DISK)
     per_doc.count()  # eager: populate once, before branches race to compute it
     # Signatures are computed ENTIRELY scan-side: hash each shingle
-    # STRING once, then derive per-slot hashes by re-hashing the
-    # 8-byte long with the slot index (hashing ~30-char strings
-    # num_hashes times was the dominant cost; re-hashing a long is
-    # ~free), with the per-slot minimum taken by array_min INSIDE the
-    # row. This replaces the previous explode → 32-column → groupBy
-    # formulation: identical signatures (verified bit-equal), but the
-    # signature shuffle disappears entirely — measured 2x faster at
-    # sf0.1, and at cluster scale it removes a corpus-sized exchange.
+    # STRING once, fold it into [0, P) (P = 2^31 - 1), then derive
+    # the per-slot permutations by the 2-universal family
+    # h_k(x) = (a_k·x + b_k) mod P — one multiply + add + mod per
+    # slot instead of a full 64-bit hash round (r6, VERDICT r5 task
+    # 6; the same family Spark MLlib's MinHashLSH uses). Operands
+    # stay < 2^62, so the arithmetic never trips ANSI overflow. The
+    # per-slot minimum is taken by array_min INSIDE the row, so no
+    # signature shuffle exists at any width. Correctness does not
+    # ride on the signature family: candidates are verified with
+    # exact Jaccard below, and at r=2/b=16 the miss probability at
+    # j=0.8 stays ~1e-7 per pair (2-universal collision probability
+    # is within o(1) of the fully-random bound).
+    a_b = [_minhash_coeffs(k) for k in range(num_hashes)]
     sig = per_doc.select(
-        "doc", F.expr("transform(shingles, s -> xxhash64(s))").alias("hs")
+        "doc",
+        F.expr(
+            f"transform(shingles, s -> pmod(xxhash64(s), {_MINHASH_PRIME}))"
+        ).alias("hs"),
     ).select(
         "doc",
         *[
-            F.expr(f"array_min(transform(hs, h -> xxhash64(h, {k})))").alias(f"h{k}")
-            for k in range(num_hashes)
+            F.expr(
+                f"array_min(transform(hs, x -> pmod({a} * x + {b},"
+                f" {_MINHASH_PRIME})))"
+            ).alias(f"h{k}")
+            for k, (a, b) in enumerate(a_b)
         ],
     )
     banded = sig.select(
