@@ -3,11 +3,14 @@ metadata, processed by Arrow-batched pandas iterators.
 
 The Spark-side architecture is real and tested — binary columns,
 `mapInPandas` with explicit result schemas, per-batch vectorized
-work — while the actual media codecs are stubbed: this container has
-no image/audio libraries, so `decode_image_batch` falls back to a
-clearly-marked deterministic fake when PIL is absent (and raises
-`NotImplementedError` from the real path). Swapping in a real decoder
-changes one function body, not the plan.
+work. As of round 6 the codec seam is FORMAT DISPATCH, not a dead
+end: uncompressed BMP (24-bit) and PCM WAV are decoded for real in
+pure numpy (`decode_bmp` / `decode_wav` — a header parse plus stride
+arithmetic needs no image library), `encode_bmp` closes the
+round-trip, and only genuinely-compressed codecs (JPEG/PNG/ffmpeg
+territory) remain behind `NotImplementedError`. Payloads that parse
+as neither fall back to the clearly-marked deterministic fake, so
+the text-derived test corpus keeps its stable metadata.
 
 Scale notes: mapInPandas streams Arrow batches — memory is bounded by
 batch size, not partition size; decode parallelism is the scan
@@ -16,9 +19,11 @@ parallelism (one task per input split). Nothing here shuffles.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -30,13 +35,125 @@ IMAGE_META_SCHEMA = (
 
 FRAME_SAMPLE_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_offset INT, frame_hash STRING"
 
+_BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte-padded strides) —
+    the format's reference layout, written with numpy only."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order, BGR channel order — the BMP on-disk layout
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    header = b"BM" + struct.pack(
+        "<IHHI", _BMP_HEADER_SIZE + len(data), 0, 0, _BMP_HEADER_SIZE
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Parse an uncompressed 24-bit BMP into ((h, w, 3) uint8 RGB,
+    metadata). Handles 4-byte row padding, bottom-up (positive
+    height) and top-down (negative height) layouts, and arbitrary
+    pixel-data offsets. Raises ValueError on anything that is not a
+    plain 24-bit uncompressed BMP."""
+    if len(payload) < _BMP_HEADER_SIZE or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp}, "
+            f"compression={compression}) — only plain 24-bit is decoded"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    need = pix_off + stride * h
+    if w <= 0 or h == 0 or len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    if h_signed > 0:
+        rgb = rgb[::-1]  # bottom-up → top-down
+    return np.ascontiguousarray(rgb), {
+        "width": int(w),
+        "height": int(h),
+        "format": "bmp/24",
+    }
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Parse a PCM WAV (RIFF/WAVE, fmt + data chunks) into
+    ((n_samples, channels) int array, metadata). 8/16/32-bit integer
+    PCM only; raises ValueError otherwise."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16, 32) or channels < 1:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    frame = channels * (bits // 8)
+    n = len(data) // frame
+    samples = np.frombuffer(data, dtype=dtype, count=n * channels).reshape(
+        n, channels
+    )
+    return samples, {
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "bits": int(bits),
+        "n_samples": int(n),
+        "format": f"wav/pcm{bits}",
+    }
+
 
 def _decode_real(payload: bytes) -> dict[str, Any]:
-    """Real decode path — requires an image library this container
-    doesn't ship. Kept separate so the stub boundary is explicit."""
+    """Real decode path: format dispatch on magic bytes. BMP and WAV
+    parse in pure numpy; compressed codecs (JPEG/PNG/video) genuinely
+    need libraries this container doesn't ship and stay behind
+    NotImplementedError."""
+    if payload[:2] == b"BM":
+        pixels, meta = decode_bmp(payload)
+        return {
+            "n_bytes": len(payload),
+            "first_byte": payload[0],
+            "width": meta["width"],
+            "height": meta["height"],
+            "format": meta["format"],
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _, meta = decode_wav(payload)
+        return {
+            "n_bytes": len(payload),
+            "first_byte": payload[0],
+            "width": meta["n_samples"],  # duration stands in for width
+            "height": meta["channels"],
+            "format": meta["format"],
+        }
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "install PIL/ffmpeg and implement _decode_real"
+        "compressed media codecs are not available in this environment; "
+        "only uncompressed BMP/WAV decode without libraries"
     )
 
 
@@ -54,18 +171,27 @@ def _decode_fake(payload: bytes) -> dict[str, Any]:
     }
 
 
-try:  # pragma: no cover - library absent in this container
-    import PIL.Image  # noqa: F401
-
-    _HAVE_CODEC = True
-except Exception:
-    _HAVE_CODEC = False
+def _is_media(payload: bytes) -> bool:
+    return payload[:2] == b"BM" or (
+        payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    )
 
 
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Vectorized decode of one Arrow batch of binary payloads."""
-    decode = _decode_real if _HAVE_CODEC else _decode_fake
-    return pd.DataFrame([decode(p if p is not None else b"") for p in payloads])
+    """Vectorized decode of one Arrow batch of binary payloads:
+    recognized media magic takes the real parser; anything else (the
+    text-derived test corpus) keeps the deterministic fake, so mixed
+    columns decode in one pass."""
+
+    def one(p: bytes) -> dict[str, Any]:
+        if _is_media(p):
+            try:
+                return _decode_real(p)
+            except (ValueError, NotImplementedError):
+                return _decode_fake(p)
+        return _decode_fake(p)
+
+    return pd.DataFrame([one(p if p is not None else b"") for p in payloads])
 
 
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -104,17 +230,28 @@ def extract_features(docs: DataFrame, dim: int = 16) -> DataFrame:
 
     The stand-in feature is a normalized byte histogram folded to
     ``dim`` buckets — deterministic, engine-portable, and nonzero for
-    any non-empty payload.
+    any non-empty payload. BMP payloads (r6) histogram their REAL
+    grayscale pixels instead of raw file bytes — the decode seam
+    feeding actual image content into the feature path.
     """
-    import numpy as np
-
     payloads = with_binary_payload(docs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                raw = bytes(payload or b"\x00")
+                if raw[:2] == b"BM":
+                    try:
+                        px, _ = decode_bmp(raw)
+                        # integer-luma grayscale of the decoded pixels
+                        arr = (
+                            px.astype(np.uint32).sum(axis=2) // 3
+                        ).astype(np.uint8).ravel()
+                    except ValueError:
+                        arr = np.frombuffer(raw, dtype=np.uint8)
+                else:
+                    arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
                 total = hist.sum()
                 feats.append((hist / total if total else hist).tolist())
@@ -123,10 +260,24 @@ def extract_features(docs: DataFrame, dim: int = 16) -> DataFrame:
     return payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_image_array(
+    pixels: np.ndarray, width: int, height: int
+) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, 3) array to
+    (height, width, 3) — pure index arithmetic (src = floor(dst ·
+    src_extent / dst_extent)), deterministic and library-free."""
+    h, w, _ = pixels.shape
+    ri = (np.arange(height) * h) // height
+    ci = (np.arange(width) * w) // width
+    return pixels[ri][:, ci]
+
+
 def resize_images(docs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize plumbing: emits a fixed-size payload per input (a real
-    resizer would decode → scale → re-encode; the stub truncates/pads
-    the byte stream to width*height deterministically)."""
+    """Resize to a fixed (width, height) per input. BMP payloads (r6)
+    take the REAL path: decode → nearest-neighbor resample →
+    re-encode as BMP. Non-media payloads keep the deterministic
+    byte-stream stub (truncate/pad to width·height), so the operator
+    is total over mixed columns."""
     payloads = with_binary_payload(docs)
     target = width * height
 
@@ -135,7 +286,19 @@ def resize_images(docs: DataFrame, width: int = 32, height: int = 32) -> DataFra
         for pdf in batches:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload or b"")
-                out = (p * (target // max(len(p), 1) + 1))[:target] if p else b"\x00" * target
+                out = None
+                if p[:2] == b"BM":
+                    try:
+                        px, _ = decode_bmp(p)
+                        out = encode_bmp(resize_image_array(px, width, height))
+                    except ValueError:
+                        out = None
+                if out is None:
+                    out = (
+                        (p * (target // max(len(p), 1) + 1))[:target]
+                        if p
+                        else b"\x00" * target
+                    )
                 rows.append(
                     {"doc_id": doc_id, "width": width, "height": height, "payload": out}
                 )
@@ -173,3 +336,64 @@ def sample_frames(docs: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, n_pixels BIGINT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, mean_b DOUBLE, "
+    "first_r BIGINT, first_g BIGINT, first_b BIGINT, last_b BIGINT"
+)
+
+
+def decode_stats(docs: DataFrame) -> DataFrame:
+    """End-to-end PROOF of the real BMP codec, shaped for the DuckDB
+    oracle: per doc_id, synthesize a gradient image whose channels
+    are closed-form functions of (doc_id, row, col) —
+    R=(7·id+r·c)%256, G=(3·id+r+c)%256, B=(id+r·w+c)%256 with
+    w=8+id%9, h=8+id%7 (varying widths exercise every stride-padding
+    case) — ENCODE it as a real 24-bit BMP, DECODE it back with the
+    numpy parser, and report channel sums / corner pixels computed
+    from the DECODED array. The oracle recomputes the same stats from
+    the closed forms over generate_series: any decoder defect (stride
+    arithmetic, BGR order, bottom-up flip, truncation) breaks the
+    hash match. Runs as mapInPandas over the doc_id projection —
+    scan-parallel, shuffle-free."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 8 + did % 9, 8 + did % 7
+                r = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c = np.arange(w, dtype=np.int64).reshape(1, -1)
+                img = np.stack(
+                    [
+                        (did * 7 + r * c) % 256,
+                        (did * 3 + r + c) % 256,
+                        (did + r * w + c) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                px, meta = decode_bmp(encode_bmp(img))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                n = meta["width"] * meta["height"]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_pixels": n,
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "mean_b": int(s[2]) / n,
+                        "first_r": int(px[0, 0, 0]),
+                        "first_g": int(px[0, 0, 1]),
+                        "first_b": int(px[0, 0, 2]),
+                        "last_b": int(px[-1, -1, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(run, schema=DECODE_STATS_SCHEMA)

@@ -60,6 +60,7 @@ _SWEEP_FIRST = [
     "seasonal_decompose_daily",  # r6: oracle hardened to sign-safe mod (ADVICE)
     "bloom_prefilter_audit",  # r6: NULLIF guard on fp_rate denominator (ADVICE)
     "rolling_active_users",  # r6: gap days densified to dau=0 rows (ADVICE)
+    "multimodal_decode_stats",  # r6: NEW — real BMP codec proof, oracle-checked
     # -- latest verdict is round 3 — the full 40-query refresh --
     "revenue_by_nation",
     "year_week_rollup_join",

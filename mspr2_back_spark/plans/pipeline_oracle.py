@@ -770,3 +770,41 @@ ORDER BY user_id, step
 
 
 PIPELINE_ORACLE_SQL["ml_forecast_ar_exact"] = _ar2_oracle_sql()
+
+
+# multimodal_decode_stats: the decoder-falsifying closed form. The
+# Spark side ENCODES a gradient BMP per doc_id and reports stats from
+# the DECODED pixel array; this oracle recomputes the same stats
+# straight from the channel definitions R=(7·id+r·c)%256,
+# G=(3·id+r+c)%256, B=(id+r·w+c)%256 — a stride/BGR/bottom-up bug in
+# the codec shifts at least one channel sum and breaks the hash.
+PIPELINE_ORACLE_SQL["multimodal_decode_stats"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 9 AS INT) AS width,
+         CAST(8 + doc_id % 7 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         (doc_id * 7 + r.k * c.k) % 256 AS pr,
+         (doc_id * 3 + r.k + c.k) % 256 AS pg,
+         (doc_id + r.k * width + c.k) % 256 AS pb
+  FROM d,
+       unnest(generate_series(0, height - 1)) AS r(k),
+       unnest(generate_series(0, width - 1)) AS c(k)
+)
+SELECT doc_id, width, height,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(pr) AS BIGINT) AS sum_r,
+       CAST(SUM(pg) AS BIGINT) AS sum_g,
+       CAST(SUM(pb) AS BIGINT) AS sum_b,
+       CAST(SUM(pb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_b,
+       CAST((doc_id * 7) % 256 AS BIGINT) AS first_r,
+       CAST((doc_id * 3) % 256 AS BIGINT) AS first_g,
+       CAST(doc_id % 256 AS BIGINT) AS first_b,
+       CAST((doc_id + width * height - 1) % 256 AS BIGINT) AS last_b
+FROM px
+GROUP BY 1, 2, 3
+ORDER BY 1
+"""

@@ -199,6 +199,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(load_table(spark, sf_dir, "documents"))
 
 
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec proof: synthesize a gradient BMP per doc_id, decode
+    it with the pure-numpy parser, report stats from the DECODED
+    pixels; the oracle recomputes them from the closed-form channel
+    definitions (operators/multimodal.decode_stats)."""
+    return multimodal.decode_stats(load_table(spark, sf_dir, "documents"))
+
+
 def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user autoregressive 7-day forecast via applyInPandas (no
     SQL oracle: the AR(14) ridge fit is a 15×15 linear solve, not
@@ -588,6 +596,7 @@ PIPELINE_QUERIES = {
     "text_fingerprints": text_fingerprints,
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
+    "multimodal_decode_stats": multimodal_decode_stats,
     "ml_forecast_ar": ml_forecast_ar,
     "ml_forecast_ar_exact": ml_forecast_ar_exact,
     "dedup_clusters": dedup_clusters,

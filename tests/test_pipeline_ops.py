@@ -1153,3 +1153,140 @@ def test_ml_forecast_ar_exact_degenerate_repeats_last(spark, tmp_path):
     assert len(out) == 14
     for r in out:
         assert r.forecast_value == (9.0 if r.user_id == 1 else 4.25)
+
+
+class TestBmpWavCodecs:
+    """Golden-byte tests for the r6 pure-numpy media codecs."""
+
+    def test_bmp_golden_pixels(self):
+        """Hand-assembled 2x2 24-bit BMP (stride 8, bottom-up, BGR):
+        the decoder must recover the exact logical RGB grid."""
+        import struct
+
+        import numpy as np
+
+        from mspr2_back_spark.operators.multimodal import decode_bmp
+
+        # logical image (top-down RGB):
+        #   (255,0,0) (0,255,0)
+        #   (0,0,255) (10,20,30)
+        # file stores rows bottom-up, channels BGR, rows padded to 8B
+        row_bottom = bytes([255, 0, 0, 30, 20, 10, 0, 0])  # B G R ...
+        row_top = bytes([0, 0, 255, 0, 255, 0, 0, 0])
+        data = row_bottom + row_top
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 0, 0, 0, 0)
+        px, meta = decode_bmp(hdr + info + data)
+        assert meta == {"width": 2, "height": 2, "format": "bmp/24"}
+        expect = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]],
+            dtype=np.uint8,
+        )
+        assert (px == expect).all()
+
+    def test_bmp_roundtrip_odd_widths(self):
+        """encode->decode is the identity for every stride-padding
+        class (w mod 4 in 0..3) and non-square shapes."""
+        import numpy as np
+
+        from mspr2_back_spark.operators.multimodal import decode_bmp, encode_bmp
+
+        rng = np.random.default_rng(7)
+        for w in (1, 2, 3, 4, 5, 7, 8, 13):
+            img = rng.integers(0, 256, size=(5, w, 3), dtype=np.uint8)
+            px, meta = decode_bmp(encode_bmp(img))
+            assert meta["width"] == w and meta["height"] == 5
+            assert (px == img).all()
+
+    def test_bmp_rejects_unsupported(self):
+        import pytest
+
+        from mspr2_back_spark.operators.multimodal import decode_bmp
+
+        with pytest.raises(ValueError):
+            decode_bmp(b"BMgarbage")
+        with pytest.raises(ValueError):
+            decode_bmp(b"PNGnope" * 20)
+
+    def test_wav_golden_samples(self):
+        """Minimal 16-bit stereo PCM WAV: exact sample recovery."""
+        import struct
+
+        import numpy as np
+
+        from mspr2_back_spark.operators.multimodal import decode_wav
+
+        samples = [(0, 100), (-32768, 32767), (42, -7)]
+        data = b"".join(struct.pack("<hh", a, b) for a, b in samples)
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+        payload = (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        arr, meta = decode_wav(payload)
+        assert meta == {
+            "channels": 2,
+            "sample_rate": 8000,
+            "bits": 16,
+            "n_samples": 3,
+            "format": "wav/pcm16",
+        }
+        assert arr.tolist() == [list(t) for t in samples]
+
+    def test_metadata_dispatches_real_bmp(self):
+        """decode_image_batch must route a real BMP to the real
+        parser (true dimensions) and text to the fake."""
+        import numpy as np
+        import pandas as pd
+
+        from mspr2_back_spark.operators.multimodal import (
+            decode_image_batch,
+            encode_bmp,
+        )
+
+        img = np.zeros((3, 5, 3), dtype=np.uint8)
+        out = decode_image_batch(pd.Series([encode_bmp(img), b"plain text"]))
+        assert out.loc[0, "format"] == "bmp/24"
+        assert (out.loc[0, "width"], out.loc[0, "height"]) == (5, 3)
+        assert out.loc[1, "format"] == "fake/deterministic"
+
+    def test_resize_real_pixels_nearest_neighbor(self):
+        """4x4 -> 2x2 nearest-neighbor must pick pixels (0,0), (0,2),
+        (2,0), (2,2) of the source — checked through the full
+        decode->resample->re-encode path."""
+        import numpy as np
+
+        from mspr2_back_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+            resize_image_array,
+        )
+
+        src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        small = resize_image_array(src, 2, 2)
+        assert (small == src[[0, 2]][:, [0, 2]]).all()
+        px, meta = decode_bmp(encode_bmp(small))
+        assert (px == small).all() and meta["width"] == 2
+
+    def test_extract_features_uses_decoded_pixels(self):
+        """A constant-color BMP must yield a one-hot luma histogram —
+        impossible from raw file bytes (headers would smear it). The
+        feature arithmetic (decode → integer luma → mod-dim bins) is
+        asserted on the same helpers the mapInPandas body calls."""
+        import numpy as np
+
+        from mspr2_back_spark.operators import multimodal
+
+        img = np.full((6, 6, 3), 200, dtype=np.uint8)  # luma 200
+        payload = multimodal.encode_bmp(img)
+        px, _ = multimodal.decode_bmp(payload)
+        luma = (px.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+        hist = np.bincount(luma.ravel() % 16, minlength=16)
+        assert hist[200 % 16] == 36 and hist.sum() == 36

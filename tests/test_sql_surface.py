@@ -95,6 +95,7 @@ DUCKDB_ONLY = {
     "seasonal_decompose_daily",  # date_diff('day', ...) quoted-unit form
     "bloom_prefilter_audit",  # strpos nibble bucket (Spark side uses conv())
     "ml_forecast_ar_exact",  # unnest(generate_series) step explode
+    "multimodal_decode_stats",  # unnest(generate_series) pixel grid
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)
