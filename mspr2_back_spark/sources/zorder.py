@@ -98,3 +98,44 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def files_needed(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> tuple[int, int]:
+    """Count the parquet files a stats-aware reader must open for a
+    conjunctive range query: a file can be skipped iff its footer
+    [min, max] box misses the predicate box on ANY column — the
+    file-level pruning rule Delta/Iceberg/DuckDB apply (and Spark's
+    parquet reader applies per row group). Returns (files_needed,
+    files_total) from the real footers, no engine in the loop —
+    the measurement that closes the Z-order loop: footer-span ratios
+    say files are TIGHT, this says how many a query actually READS.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    needed = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin: dict[str, float] = {}
+        fmax: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in predicates or col.statistics is None:
+                    continue
+                v_lo = float(col.statistics.min)
+                v_hi = float(col.statistics.max)
+                fmin[name] = min(fmin.get(name, v_lo), v_lo)
+                fmax[name] = max(fmax.get(name, v_hi), v_hi)
+        hit = all(
+            name in fmin and not (fmax[name] < lo or fmin[name] > hi)
+            for name, (lo, hi) in predicates.items()
+        )
+        needed += 1 if hit else 0
+    return needed, len(files)
