@@ -44,18 +44,34 @@ def binned_quantiles(
     value_col: str,
     ps: Sequence[float] = (0.25, 0.50, 0.75),
     bin_width: float = 50_000.0,
+    bin_width_by_group: dict[str, float] | None = None,
 ) -> DataFrame:
     """Exact discrete quantiles per group, one output column per p
     (``p25``/``p50``/``p75`` style), plus ``n_orders`` — matching the
-    rank-window formulation's output bit-for-bit on non-null data."""
+    rank-window formulation's output bit-for-bit on non-null data.
+
+    ``bin_width_by_group`` (r6) lets one call serve groups with
+    different value scales (e.g. an unpivoted metrics relation:
+    recency in days, spend in currency) — the bin width becomes a
+    per-group CASE expression while the refine pass still ranks RAW
+    values, so results stay exact regardless of width choice (width
+    only steers bin-pass selectivity). This is what lets a caller
+    replace N quantile passes with one pass over N× stacked rows.
+    """
     names = [f"p{round(p * 100)}" for p in ps]
     if len(set(names)) != len(ps):
         raise ValueError(f"ps map to colliding column names: {names}")
 
+    if bin_width_by_group:
+        width = F.lit(bin_width)
+        for g, w in bin_width_by_group.items():
+            width = F.when(F.col(group_col) == g, F.lit(w)).otherwise(width)
+    else:
+        width = F.lit(bin_width)
     binned = df.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("v"),
-        F.floor(F.col(value_col) / bin_width).cast("long").alias("bin"),
+        F.floor(F.col(value_col) / width).cast("long").alias("bin"),
     ).filter(F.col("v").isNotNull())
     # The (group, bin) count relation is the whole bin pass — tiny
     # (bins-sized) and consumed once per percentile plus once for the

@@ -61,6 +61,8 @@ _SWEEP_FIRST = [
     "bloom_prefilter_audit",  # r6: NULLIF guard on fp_rate denominator (ADVICE)
     "rolling_active_users",  # r6: gap days densified to dau=0 rows (ADVICE)
     "multimodal_decode_stats",  # r6: NEW — real BMP codec proof, oracle-checked
+    "rfm_segments",  # r6: one stacked quantile pass (same cutpoints, same oracle)
+    "funnel_latency",  # r6: converted relation persisted (same plan output)
     # -- latest verdict is round 3 — the full 40-query refresh --
     "revenue_by_nation",
     "year_week_rollup_join",

