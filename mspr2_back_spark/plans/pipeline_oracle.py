@@ -780,16 +780,20 @@ PIPELINE_ORACLE_SQL["ml_forecast_ar_exact"] = _ar2_oracle_sql()
 # the codec shifts at least one channel sum and breaks the hash.
 PIPELINE_ORACLE_SQL["multimodal_decode_stats"] = """
 WITH d AS (
+  -- sign-safe modulo throughout: SQL % returns negatives for
+  -- negative doc_ids where the Python side's % never does — the
+  -- corpus has no negative ids today, but the invariant should be
+  -- enforced, not assumed (same hardening as the weekday oracles)
   SELECT doc_id,
-         CAST(8 + doc_id % 9 AS INT) AS width,
-         CAST(8 + doc_id % 7 AS INT) AS height
+         CAST(8 + ((doc_id % 9) + 9) % 9 AS INT) AS width,
+         CAST(8 + ((doc_id % 7) + 7) % 7 AS INT) AS height
   FROM documents
 ),
 px AS (
   SELECT doc_id, width, height,
-         (doc_id * 7 + r.k * c.k) % 256 AS pr,
-         (doc_id * 3 + r.k + c.k) % 256 AS pg,
-         (doc_id + r.k * width + c.k) % 256 AS pb
+         (((doc_id * 7 + r.k * c.k) % 256) + 256) % 256 AS pr,
+         (((doc_id * 3 + r.k + c.k) % 256) + 256) % 256 AS pg,
+         (((doc_id + r.k * width + c.k) % 256) + 256) % 256 AS pb
   FROM d,
        unnest(generate_series(0, height - 1)) AS r(k),
        unnest(generate_series(0, width - 1)) AS c(k)
@@ -800,10 +804,11 @@ SELECT doc_id, width, height,
        CAST(SUM(pg) AS BIGINT) AS sum_g,
        CAST(SUM(pb) AS BIGINT) AS sum_b,
        CAST(SUM(pb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_b,
-       CAST((doc_id * 7) % 256 AS BIGINT) AS first_r,
-       CAST((doc_id * 3) % 256 AS BIGINT) AS first_g,
-       CAST(doc_id % 256 AS BIGINT) AS first_b,
-       CAST((doc_id + width * height - 1) % 256 AS BIGINT) AS last_b
+       CAST((((doc_id * 7) % 256) + 256) % 256 AS BIGINT) AS first_r,
+       CAST((((doc_id * 3) % 256) + 256) % 256 AS BIGINT) AS first_g,
+       CAST(((doc_id % 256) + 256) % 256 AS BIGINT) AS first_b,
+       CAST((((doc_id + width * height - 1) % 256) + 256) % 256
+            AS BIGINT) AS last_b
 FROM px
 GROUP BY 1, 2, 3
 ORDER BY 1
