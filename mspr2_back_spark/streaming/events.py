@@ -505,3 +505,79 @@ def hopping_event_rates(
             "total_value",
         )
     )
+
+
+def cms_cells_live(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Live count-min sketch: per-``window`` CMS cell counts over a
+    key column — the streaming twin of operators/sketches.cms_build.
+
+    Each event explodes into its ``depth`` (h, bucket) cells
+    scan-side (the identical md5 grid the batch sketch and the
+    DuckDB oracle use), then a windowed count per (window, h,
+    bucket). State is bounded by windows-in-flight × depth × width
+    cells (4,096 per window at the defaults) — NOT by key
+    cardinality, which is the whole point of sketching a stream.
+    Because cell counts are additive, the per-window grids MERGE by
+    summing cells: the parity test drains the full history, sums
+    the per-day grids, and must reproduce the batch corpus sketch
+    cell-for-cell — demonstrating time-partitioned mergeability, the
+    property that lets a year of daily sketches answer "how often
+    did k occur in March" without rescanning anything.
+    """
+    from mspr2_back_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cell_structs,
+    )
+
+    d = depth or CMS_DEPTH
+    w = width or CMS_WIDTH
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.explode(_cell_structs(F.col(key_col), d, w)).alias("e"),
+        )
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.col("e.h").alias("h"),
+            F.col("e.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"), "h", "bucket", "cnt"
+        )
+    )
+
+
+def dau_live(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Live daily active users: per-day approx-distinct user counts —
+    the streaming twin of the DAU half of
+    plans/timeseries.rolling_active_users.
+
+    Exact DISTINCT is not frame-decomposable and not supported in
+    streaming aggregation; the HLL sketch underneath
+    ``approx_count_distinct`` is both partial-aggregatable (works as
+    streaming state) and ORDER-INSENSITIVE (registers keep maxima),
+    so the drained estimate is bit-equal to the batch estimate over
+    the same rows — the parity test asserts exact equality, not a
+    tolerance. State per day window is one HLL register set
+    (~kilobytes at rsd=1%), evicted by the watermark.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.approx_count_distinct("user_id", rsd=rsd).alias("dau_est"))
+        .select(F.col("win.start").cast("date").alias("day"), "dau_est")
+    )

@@ -810,3 +810,77 @@ def test_streaming_hopping_windows_match_batch(spark, sf_dir, tmp_path):
     }
     assert final == batch
     shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_streaming_cms_cells_match_batch_sketch(spark, sf_dir, tmp_path):
+    """Per-day live CMS grids, drained over the full history and
+    MERGED by summing cells, must equal the batch corpus sketch
+    cell-for-cell — streaming parity AND time-partitioned
+    mergeability in one assertion."""
+    from mspr2_back_spark.operators.sketches import cms_build
+
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_cms")
+    src.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    live = stream_events.cms_cells_live(stream, key_col="user_id")
+    stream_events.run_to_memory(live, "cms_live", mode="update")
+
+    # update mode: last emitted value per (window, cell) is the final
+    # per-day count (counts only grow); merge = sum across days
+    per_key: dict = {}
+    for r in spark.table("cms_live").collect():
+        k = (r.window_start, r.h, r.bucket)
+        per_key[k] = max(per_key.get(k, 0), r.cnt)
+    merged: dict = {}
+    for (win, h, bucket), cnt in per_key.items():
+        merged[(h, bucket)] = merged.get((h, bucket), 0) + cnt
+
+    batch = {
+        (r.h, r.bucket): r.cnt
+        for r in cms_build(src, "user_id").collect()
+    }
+    assert merged == batch
+
+
+def test_streaming_dau_matches_batch_estimate(spark, sf_dir, tmp_path):
+    """Live per-day HLL DAU, drained, must equal the batch
+    approx_count_distinct per day EXACTLY (HLL registers are
+    order-insensitive), and land within the rsd guard of the true
+    distinct count."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_dau")
+    src.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    live = stream_events.dau_live(stream)
+    stream_events.run_to_memory(live, "dau_live", mode="update")
+
+    final: dict = {}
+    for r in spark.table("dau_live").collect():
+        final[r.day] = r.dau_est  # last emit per day wins; keep any —
+        # estimates only change while the day's window is open
+    batch = {
+        r.day: r.dau_est
+        for r in src.groupBy(
+            F.window("ts", "1 day").alias("win")
+        )
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("dau_est"))
+        .select(F.col("win.start").cast("date").alias("day"), "dau_est")
+        .collect()
+    }
+    assert final == batch
+    exact = {
+        r.day: r.d
+        for r in src.select(
+            F.col("ts").cast("date").alias("day"), "user_id"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for day, est in final.items():
+        assert abs(est - exact[day]) <= max(3, 0.05 * exact[day]), (
+            day, est, exact[day]
+        )
