@@ -6,11 +6,16 @@ The Spark-side architecture is real and tested — binary columns,
 work. As of round 6 the codec seam is FORMAT DISPATCH, not a dead
 end: uncompressed BMP (24-bit) and PCM WAV are decoded for real in
 pure numpy (`decode_bmp` / `decode_wav` — a header parse plus stride
-arithmetic needs no image library), `encode_bmp` closes the
-round-trip, and only genuinely-compressed codecs (JPEG/PNG/ffmpeg
-territory) remain behind `NotImplementedError`. Payloads that parse
-as neither fall back to the clearly-marked deterministic fake, so
-the text-derived test corpus keeps its stable metadata.
+arithmetic needs no image library), and round 7 adds PNG via the
+stdlib: `decode_png` is an IHDR/IDAT chunk walk + `zlib` inflate +
+per-row unfilter (all five filter types 0–4, Paeth included) for
+8-bit grayscale/truecolor/RGBA, with `encode_png` closing the
+round-trip (its `filter_type` knob lets tests exercise every
+unfilter path). Only codecs that genuinely need env-absent
+libraries (JPEG/ffmpeg territory) remain behind
+`NotImplementedError`. Payloads that parse as none of these fall
+back to the clearly-marked deterministic fake, so the text-derived
+test corpus keeps its stable metadata.
 
 Scale notes: mapInPandas streams Arrow batches — memory is bounded by
 batch size, not partition size; decode parallelism is the scan
@@ -104,6 +109,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # a declared chunk size larger than the remaining payload
+            # truncates the slice above — unpack_from would raise
+            # struct.error and crash the whole Arrow batch (r7 ADVICE)
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -128,11 +138,184 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type → channel count for the subset decoded here (8-bit,
+# non-interlaced): 0 grayscale, 2 truecolor RGB, 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    using only the stdlib (`zlib` deflate + CRC32). ``filter_type``
+    applies that scanline filter (0–4) to EVERY row — the knob the
+    golden-pixel tests turn to exercise each of the decoder's
+    unfilter paths, including Paeth."""
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    stride = w * 3
+    zero = np.zeros(stride, dtype=np.uint8)
+    scanlines = []
+    prev = zero
+    for y in range(h):
+        row = pixels[y].reshape(stride)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub: minus left neighbor (bpp back)
+            left = np.concatenate([np.zeros(3, np.uint8), row[:-3]])
+            filt = row - left  # uint8 wraps = mod-256, the PNG rule
+        elif filter_type == 2:  # Up
+            filt = row - prev
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.uint8), row[:-3]])
+            filt = row - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            out = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(row[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                cc = int(prev[x - 3]) if x >= 3 else 0
+                out[x] = (int(row[x]) - _paeth(a, b, cc)) & 0xFF
+            filt = out
+        scanlines.append(bytes([filter_type]) + filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Pure-stdlib PNG decode (r7, VERDICT task 3): chunk walk →
+    IHDR parse → concatenated-IDAT `zlib` inflate → per-scanline
+    unfilter (types 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) →
+    (h, w, 3) uint8 RGB. Supports 8-bit non-interlaced grayscale
+    (expanded to RGB), truecolor, and RGBA (alpha dropped — metadata
+    records it); raises ValueError on anything else (16-bit, palette,
+    Adam7). No image library — IDAT is DEFLATE, which is stdlib."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", body, 0)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if (
+        depth != 8
+        or color_type not in _PNG_CHANNELS
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+    ):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}, "
+            f"interlace={interlace}) — 8-bit non-interlaced gray/RGB/RGBA only"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = w * channels
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt deflate stream → total contract
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) < h * (stride + 1) or w == 0 or h == 0:
+        raise ValueError("truncated PNG scanline data")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
+        pos += stride
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            recon[y] = line
+        elif ftype == 2:
+            recon[y] = line + prev  # uint8 wrap = the mod-256 rule
+        elif ftype in (1, 3, 4):
+            row = recon[y]
+            for x in range(stride):
+                a = int(row[x - channels]) if x >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(prev[x])) // 2
+                else:
+                    cc = int(prev[x - channels]) if x >= channels else 0
+                    pred = _paeth(a, int(prev[x]), cc)
+                row[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ftype}")
+    px = recon.reshape(h, w, channels)
+    if channels == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        rgb = px[:, :, :3]
+    else:
+        rgb = px
+    fmt = {0: "png/gray8", 2: "png/rgb8", 6: "png/rgba8"}[color_type]
+    return np.ascontiguousarray(rgb), {
+        "width": int(w),
+        "height": int(h),
+        "format": fmt,
+    }
+
+
 def _decode_real(payload: bytes) -> dict[str, Any]:
     """Real decode path: format dispatch on magic bytes. BMP and WAV
-    parse in pure numpy; compressed codecs (JPEG/PNG/video) genuinely
-    need libraries this container doesn't ship and stay behind
-    NotImplementedError."""
+    parse in pure numpy, PNG in stdlib zlib (r7); codecs that
+    genuinely need libraries this container doesn't ship (JPEG/video)
+    stay behind NotImplementedError."""
+    if payload[:8] == _PNG_MAGIC:
+        _, meta = decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "first_byte": payload[0],
+            "width": meta["width"],
+            "height": meta["height"],
+            "format": meta["format"],
+        }
     if payload[:2] == b"BM":
         pixels, meta = decode_bmp(payload)
         return {
@@ -152,8 +335,8 @@ def _decode_real(payload: bytes) -> dict[str, Any]:
             "format": meta["format"],
         }
     raise NotImplementedError(
-        "compressed media codecs are not available in this environment; "
-        "only uncompressed BMP/WAV decode without libraries"
+        "this media codec needs libraries absent from the environment; "
+        "BMP/WAV (numpy) and PNG (stdlib zlib) decode without any"
     )
 
 
@@ -172,8 +355,10 @@ def _decode_fake(payload: bytes) -> dict[str, Any]:
 
 
 def _is_media(payload: bytes) -> bool:
-    return payload[:2] == b"BM" or (
-        payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    return (
+        payload[:2] == b"BM"
+        or payload[:8] == _PNG_MAGIC
+        or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
     )
 
 
@@ -187,7 +372,10 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         if _is_media(p):
             try:
                 return _decode_real(p)
-            except (ValueError, NotImplementedError):
+            # struct.error included (r7 ADVICE): a corrupt chunk whose
+            # declared size exceeds the actual bytes must fall back,
+            # not crash the whole mapInPandas task
+            except (ValueError, NotImplementedError, struct.error):
                 return _decode_fake(p)
         return _decode_fake(p)
 
@@ -339,25 +527,30 @@ def sample_frames(docs: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 DECODE_STATS_SCHEMA = (
-    "doc_id BIGINT, width INT, height INT, n_pixels BIGINT, "
+    "doc_id BIGINT, codec STRING, width INT, height INT, n_pixels BIGINT, "
     "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, mean_b DOUBLE, "
     "first_r BIGINT, first_g BIGINT, first_b BIGINT, last_b BIGINT"
 )
 
 
 def decode_stats(docs: DataFrame) -> DataFrame:
-    """End-to-end PROOF of the real BMP codec, shaped for the DuckDB
+    """End-to-end PROOF of the real codecs, shaped for the DuckDB
     oracle: per doc_id, synthesize a gradient image whose channels
     are closed-form functions of (doc_id, row, col) —
     R=(7·id+r·c)%256, G=(3·id+r+c)%256, B=(id+r·w+c)%256 with
     w=8+id%9, h=8+id%7 (varying widths exercise every stride-padding
-    case) — ENCODE it as a real 24-bit BMP, DECODE it back with the
-    numpy parser, and report channel sums / corner pixels computed
-    from the DECODED array. The oracle recomputes the same stats from
-    the closed forms over generate_series: any decoder defect (stride
-    arithmetic, BGR order, bottom-up flip, truncation) breaks the
-    hash match. Runs as mapInPandas over the doc_id projection —
-    scan-parallel, shuffle-free."""
+    case) — ENCODE it as a real file, DECODE it back with the numpy
+    parser, and report channel sums / corner pixels computed from the
+    DECODED array. Even doc_ids take the 24-bit BMP round-trip; odd
+    doc_ids (r7) take the PNG round-trip with scanline filter type
+    ``(id//2) % 5``, so all five PNG unfilter paths (None/Sub/Up/
+    Average/Paeth) are driver-verified. The oracle recomputes the
+    same stats from the closed forms over generate_series — the
+    pixels must come out bit-identical REGARDLESS of codec, so any
+    decoder defect (stride arithmetic, BGR order, bottom-up flip,
+    deflate framing, unfilter math) breaks the hash match. Runs as
+    mapInPandas over the doc_id projection — scan-parallel,
+    shuffle-free."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -375,12 +568,19 @@ def decode_stats(docs: DataFrame) -> DataFrame:
                     ],
                     axis=2,
                 ).astype(np.uint8)
-                px, meta = decode_bmp(encode_bmp(img))
+                if did % 2 == 0:
+                    px, meta = decode_bmp(encode_bmp(img))
+                    codec = "bmp24"
+                else:
+                    ftype = (did // 2) % 5
+                    px, meta = decode_png(encode_png(img, filter_type=ftype))
+                    codec = f"png/f{ftype}"
                 s = px.astype(np.int64).sum(axis=(0, 1))
                 n = meta["width"] * meta["height"]
                 rows.append(
                     {
                         "doc_id": did,
+                        "codec": codec,
                         "width": meta["width"],
                         "height": meta["height"],
                         "n_pixels": n,

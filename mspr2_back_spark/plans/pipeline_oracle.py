@@ -773,11 +773,14 @@ PIPELINE_ORACLE_SQL["ml_forecast_ar_exact"] = _ar2_oracle_sql()
 
 
 # multimodal_decode_stats: the decoder-falsifying closed form. The
-# Spark side ENCODES a gradient BMP per doc_id and reports stats from
-# the DECODED pixel array; this oracle recomputes the same stats
-# straight from the channel definitions R=(7·id+r·c)%256,
-# G=(3·id+r+c)%256, B=(id+r·w+c)%256 — a stride/BGR/bottom-up bug in
-# the codec shifts at least one channel sum and breaks the hash.
+# Spark side ENCODES a gradient image per doc_id (even ids → BMP, odd
+# ids → PNG with scanline filter (id//2)%5, covering every unfilter
+# path — r7) and reports stats from the DECODED pixel array; this
+# oracle recomputes the same stats straight from the channel
+# definitions R=(7·id+r·c)%256, G=(3·id+r+c)%256, B=(id+r·w+c)%256 —
+# a stride/BGR/bottom-up/deflate/unfilter bug in either codec shifts
+# at least one channel sum and breaks the hash. The codec label is
+# pure doc_id arithmetic on both sides.
 PIPELINE_ORACLE_SQL["multimodal_decode_stats"] = """
 WITH d AS (
   -- sign-safe modulo throughout: SQL % returns negatives for
@@ -785,12 +788,15 @@ WITH d AS (
   -- corpus has no negative ids today, but the invariant should be
   -- enforced, not assumed (same hardening as the weekday oracles)
   SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp24'
+              ELSE 'png/f' || CAST(((doc_id // 2) % 5 + 5) % 5 AS VARCHAR)
+         END AS codec,
          CAST(8 + ((doc_id % 9) + 9) % 9 AS INT) AS width,
          CAST(8 + ((doc_id % 7) + 7) % 7 AS INT) AS height
   FROM documents
 ),
 px AS (
-  SELECT doc_id, width, height,
+  SELECT doc_id, codec, width, height,
          (((doc_id * 7 + r.k * c.k) % 256) + 256) % 256 AS pr,
          (((doc_id * 3 + r.k + c.k) % 256) + 256) % 256 AS pg,
          (((doc_id + r.k * width + c.k) % 256) + 256) % 256 AS pb
@@ -798,7 +804,7 @@ px AS (
        unnest(generate_series(0, height - 1)) AS r(k),
        unnest(generate_series(0, width - 1)) AS c(k)
 )
-SELECT doc_id, width, height,
+SELECT doc_id, codec, width, height,
        CAST(COUNT(*) AS BIGINT) AS n_pixels,
        CAST(SUM(pr) AS BIGINT) AS sum_r,
        CAST(SUM(pg) AS BIGINT) AS sum_g,
@@ -810,6 +816,6 @@ SELECT doc_id, width, height,
        CAST((((doc_id + width * height - 1) % 256) + 256) % 256
             AS BIGINT) AS last_b
 FROM px
-GROUP BY 1, 2, 3
+GROUP BY 1, 2, 3, 4
 ORDER BY 1
 """

@@ -200,10 +200,12 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-codec proof: synthesize a gradient BMP per doc_id, decode
-    it with the pure-numpy parser, report stats from the DECODED
-    pixels; the oracle recomputes them from the closed-form channel
-    definitions (operators/multimodal.decode_stats)."""
+    """Real-codec proof: synthesize a gradient image per doc_id (even
+    ids → 24-bit BMP, odd ids → PNG cycling all five scanline filter
+    types — r7), decode it with the library-free parsers, report
+    stats from the DECODED pixels; the oracle recomputes them from
+    the closed-form channel definitions
+    (operators/multimodal.decode_stats)."""
     return multimodal.decode_stats(load_table(spark, sf_dir, "documents"))
 
 

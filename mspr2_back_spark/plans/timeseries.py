@@ -201,11 +201,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id for the LEAD window (per-user state =
     that user's events, the sessionization bound); the transition
     counts are a types² relation, so the probability window is work
-    over ~25 rows. (user_id, ts) is unique in the testdata, so the
-    ordering — and therefore every count — is deterministic.
+    over ~25 rows. Ordering is (ts, event_id) — the event_id
+    tie-break makes every count deterministic even under timestamp
+    collisions, enforced identically in the oracle (this retires the
+    former audited-but-unenforced no-collision invariant).
     """
     ev = load_table(spark, sf_dir, "events")
-    nxt = W.partitionBy("user_id").orderBy("ts")
+    nxt = W.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = ev.select(
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(nxt).alias("to_type"),
@@ -360,10 +362,12 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on (user, type) for the LAG window; the keep test is
     an interval comparison, so the whole operator is one window pass
-    over the scan — the 100 TB shape.
+    over the scan — the 100 TB shape. The LAG orders by
+    (ts, event_id) so the "previous raw event" is deterministic even
+    under timestamp collisions; the oracle pins the same tie-break.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy("ts")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     return (
         ev.withColumn("prev_ts", prev)

@@ -85,7 +85,8 @@ ORDER BY event_type, day
 TIMESERIES_ORACLE_SQL["event_transition_matrix"] = """
 WITH pairs AS (
   SELECT event_type AS from_type,
-         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
            AS to_type
   FROM events
 ),
@@ -209,7 +210,8 @@ ORDER BY dt.event_type, day
 TIMESERIES_ORACLE_SQL["event_debounce"] = f"""
 WITH l AS (
   SELECT event_id, user_id, event_type, ts,
-         LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts)
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)
            AS prev_ts
   FROM events
 )

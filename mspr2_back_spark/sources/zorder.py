@@ -123,19 +123,33 @@ def files_needed(
         md = pq.ParquetFile(f).metadata
         fmin: dict[str, float] = {}
         fmax: dict[str, float] = {}
+        # a column whose stats are missing/unusable in ANY row group
+        # cannot prune the file — a real reader must open what it
+        # cannot rule out, so such columns are excluded from the
+        # skip test below (r7, ADVICE fix: the old code counted a
+        # stats-less file as skippable, overstating pruning).
+        unusable: set[str] = set()
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
                 col = md.row_group(rg).column(ci)
                 name = col.path_in_schema
-                if name not in predicates or col.statistics is None:
+                if name not in predicates:
                     continue
-                v_lo = float(col.statistics.min)
-                v_hi = float(col.statistics.max)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    unusable.add(name)
+                    continue
+                v_lo = float(st.min)
+                v_hi = float(st.max)
                 fmin[name] = min(fmin.get(name, v_lo), v_lo)
                 fmax[name] = max(fmax.get(name, v_hi), v_hi)
-        hit = all(
-            name in fmin and not (fmax[name] < lo or fmin[name] > hi)
+        # skippable iff SOME predicate column with complete stats has
+        # a [min, max] box disjoint from its predicate range
+        skippable = any(
+            name in fmin
+            and name not in unusable
+            and (fmax[name] < lo or fmin[name] > hi)
             for name, (lo, hi) in predicates.items()
         )
-        needed += 1 if hit else 0
+        needed += 0 if skippable else 1
     return needed, len(files)

@@ -197,6 +197,45 @@ def _gold_bucket(keys: list[str], n_buckets: int):
     )
 
 
+def _gold_meta_path(spark, gold_path: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(gold_path, "_gold_meta.json")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def read_gold_meta(spark, gold_path: str) -> dict | None:
+    """Read the gold table's persisted merge contract (`n_buckets`,
+    `keys`) from ``_gold_meta.json`` (underscore prefix — invisible to
+    Spark's file listing). None if the table has never been created.
+    Goes through the Hadoop FileSystem API so any URI scheme works,
+    not just local paths."""
+    import json
+
+    fs, path = _gold_meta_path(spark, gold_path)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def write_gold_meta(spark, gold_path: str, meta: dict) -> None:
+    import json
+
+    fs, path = _gold_meta_path(spark, gold_path)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
 def run_upsert_to_gold(
     stream_df: DataFrame,
     gold_path: str,
@@ -249,11 +288,38 @@ def run_upsert_to_gold(
         ]
         if not touched:
             return
-        try:
+        # Explicit existence + contract check (r7, ADVICE fixes): a
+        # bare except here would treat a TRANSIENT read failure on a
+        # populated table as "table absent" and dynamically overwrite
+        # the touched buckets with batch-only rows — silent data
+        # loss. Now only genuine absence yields base=None; any real
+        # read error propagates and the streaming checkpoint retries
+        # the batch. The bucket count is part of the table's identity
+        # (a key's bucket must never move), so it is persisted at
+        # creation and asserted on every merge.
+        meta = read_gold_meta(spark, gold_path)
+        fs, _ = _gold_meta_path(spark, gold_path)
+        table_exists = fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(gold_path)
+        )
+        if meta is None and table_exists:
+            # pre-meta table (or meta lost): adopt it under the
+            # caller's contract rather than overwriting its buckets
+            meta = {"n_buckets": n_buckets, "keys": list(keys)}
+            write_gold_meta(spark, gold_path, meta)
+        if meta is not None:
+            if meta["n_buckets"] != n_buckets or meta["keys"] != list(keys):
+                raise ValueError(
+                    f"gold table at {gold_path} was created with "
+                    f"n_buckets={meta['n_buckets']}, keys={meta['keys']}; "
+                    f"merge called with n_buckets={n_buckets}, "
+                    f"keys={list(keys)} — rebucketing would strand "
+                    "existing keys in stale partitions"
+                )
             base = spark.read.parquet(gold_path).filter(
                 F.col("_bucket").isin(touched)
             )
-        except Exception:
+        else:
             base = None
         merged = (
             batch_b
@@ -267,6 +333,12 @@ def run_upsert_to_gold(
             .partitionBy("_bucket")
             .parquet(gold_path)
         )
+        if meta is None:
+            write_gold_meta(
+                spark,
+                gold_path,
+                {"n_buckets": n_buckets, "keys": list(keys)},
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -359,7 +431,10 @@ def funnel_stage_progress(
     def update(key, pdf_iter, state):
         reached, t0, tprev = state.get if state.exists else (0, 0, 0)
         rows = pd.concat(list(pdf_iter))
-        rows = rows.sort_values("ts")
+        # (ts, event_id) — ts alone can collide, which would make the
+        # greedy chain's first-match nondeterministic; same total
+        # order as the transition/EWMA twins and the batch query.
+        rows = rows.sort_values(["ts", "event_id"])
         ts_ns = rows["ts"].astype("int64")  # nanos since epoch (UTC)
         for t, et in zip(ts_ns, rows["event_type"]):
             if reached == 0:

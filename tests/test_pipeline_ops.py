@@ -1293,3 +1293,172 @@ class TestBmpWavCodecs:
         luma = (px.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
         hist = np.bincount(luma.ravel() % 16, minlength=16)
         assert hist[200 % 16] == 36 and hist.sum() == 36
+
+
+class TestPngCodec:
+    """Golden-byte tests for the r7 pure-stdlib PNG codec."""
+
+    def test_png_golden_pixels_handassembled(self):
+        """Hand-assembled 2x2 RGB PNG with per-row filters Up/Sub —
+        the decoder must reconstruct the exact logical grid (checked
+        against the filter math done by hand, not the encoder)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from mspr2_back_spark.operators.multimodal import decode_png
+
+        # target image (top-down RGB):
+        #   (10, 20, 30) (13, 24, 35)
+        #   (11, 22, 33) (14, 26, 38)
+        # row 0 filter 1 (Sub):  raw = [10,20,30, 13-10,24-20,35-30]
+        # row 1 filter 2 (Up):   raw = [11-10,22-20,33-30, 14-13,26-24,38-35]
+        scan = (
+            bytes([1, 10, 20, 30, 3, 4, 5])
+            + bytes([2, 1, 2, 3, 1, 2, 3])
+        )
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+        px, meta = decode_png(payload)
+        assert meta == {"width": 2, "height": 2, "format": "png/rgb8"}
+        expect = np.array(
+            [[[10, 20, 30], [13, 24, 35]], [[11, 22, 33], [14, 26, 38]]],
+            dtype=np.uint8,
+        )
+        assert (px == expect).all()
+
+    def test_png_roundtrip_every_filter_type(self):
+        """encode(filter_type=f) -> decode is the identity for every
+        scanline filter 0..4 (None/Sub/Up/Average/Paeth), odd widths
+        included — each f exercises a distinct unfilter path."""
+        import numpy as np
+
+        from mspr2_back_spark.operators.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(11)
+        for f in range(5):
+            for w in (1, 3, 8, 13):
+                img = rng.integers(0, 256, size=(6, w, 3), dtype=np.uint8)
+                px, meta = decode_png(encode_png(img, filter_type=f))
+                assert meta == {"width": w, "height": 6, "format": "png/rgb8"}
+                assert (px == img).all(), f"filter {f} width {w}"
+
+    def test_png_gray_and_rgba(self):
+        """Grayscale expands to RGB; RGBA drops alpha — both via
+        hand-built single-channel/4-channel scanlines."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from mspr2_back_spark.operators.multimodal import decode_png
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def png(w, h, color_type, scan):
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(
+                    b"IHDR",
+                    struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0),
+                )
+                + chunk(b"IDAT", zlib.compress(scan))
+                + chunk(b"IEND", b"")
+            )
+
+        gray = png(2, 1, 0, bytes([0, 7, 250]))
+        px, meta = decode_png(gray)
+        assert meta["format"] == "png/gray8"
+        assert px.tolist() == [[[7, 7, 7], [250, 250, 250]]]
+
+        rgba = png(1, 1, 6, bytes([0, 1, 2, 3, 99]))
+        px, meta = decode_png(rgba)
+        assert meta["format"] == "png/rgba8"
+        assert px.tolist() == [[[1, 2, 3]]]
+
+    def test_png_rejects_unsupported_and_corrupt(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from mspr2_back_spark.operators.multimodal import decode_png, encode_png
+
+        with pytest.raises(ValueError):
+            decode_png(b"not a png at all")
+        # 16-bit depth: flip the depth byte inside a valid file and
+        # re-CRC is unnecessary — the IHDR parse runs before any CRC
+        good = bytearray(
+            encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+        )
+        depth_off = good.index(b"IHDR") + 4 + 8
+        good[depth_off] = 16
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(bytes(good))
+        # corrupt deflate stream → ValueError (total contract)
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"\xff\xfe\xfd")
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IDAT"):
+            decode_png(bad)
+
+    def test_dispatch_routes_png_and_survives_corrupt_wav(self):
+        """decode_image_batch: a real PNG takes the real parser; a
+        WAV with a truncated fmt chunk (the r7 ADVICE struct.error
+        case) falls back to the deterministic fake instead of
+        crashing the Arrow batch."""
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        from mspr2_back_spark.operators.multimodal import (
+            decode_image_batch,
+            encode_png,
+        )
+
+        img = np.zeros((3, 5, 3), dtype=np.uint8)
+        # declared fmt size 16 but only 4 bytes present before 'data'
+        bad_wav = (
+            b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00"
+        )
+        out = decode_image_batch(
+            pd.Series([encode_png(img), bad_wav, b"plain text"])
+        )
+        assert out.loc[0, "format"] == "png/rgb8"
+        assert (out.loc[0, "width"], out.loc[0, "height"]) == (5, 3)
+        assert out.loc[1, "format"] == "fake/deterministic"
+        assert out.loc[2, "format"] == "fake/deterministic"

@@ -884,3 +884,49 @@ def test_streaming_dau_matches_batch_estimate(spark, sf_dir, tmp_path):
         assert abs(est - exact[day]) <= max(3, 0.05 * exact[day]), (
             day, est, exact[day]
         )
+
+
+def test_gold_upsert_meta_contract(spark, sf_dir, tmp_path):
+    """r7 (ADVICE): the gold table's bucket contract is persisted at
+    creation (`_gold_meta.json`, underscore-hidden from the parquet
+    reader), and a later merge with a different n_buckets — which
+    would hash existing keys into NEW partitions while their old rows
+    survive, i.e. silent duplicates — fails loudly instead."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "mgold_in"
+    stream_dir.mkdir()
+    gold = str(tmp_path / "mgold_out")
+    ckpt = str(tmp_path / "mgold_ckpt")
+
+    def land(df, name):
+        staging = tmp_path / f"mgstage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        for i, f in enumerate(staging.glob("part-*.parquet")):
+            f.rename(stream_dir / f"{name}_{i}.parquet")
+
+    def run(n_buckets):
+        stream = stream_events.read_event_stream(
+            spark, str(stream_dir), src.schema
+        )
+        counts = stream.groupBy("event_type").count()
+        stream_events.run_upsert_to_gold(
+            counts, gold, ckpt, keys=["event_type"], n_buckets=n_buckets
+        )
+
+    land(src.limit(200), "b1")
+    run(8)
+    meta = stream_events.read_gold_meta(spark, gold)
+    assert meta == {"n_buckets": 8, "keys": ["event_type"]}
+    # the meta file must be invisible to the table scan
+    n_rows = spark.read.parquet(gold).count()
+    assert n_rows > 0
+
+    land(src.limit(300), "b2")
+    with pytest.raises(Exception, match="n_buckets=8"):
+        run(4)
+    # the failed merge must not have altered the table
+    assert spark.read.parquet(gold).count() == n_rows
+
+    # same contract → merges fine
+    run(8)
+    assert spark.read.parquet(gold).count() >= n_rows

@@ -472,3 +472,142 @@ def test_rolling_active_users_densifies_gap_days(spark, tmp_path):
         assert r.wau == expect_wau
         if expect_wau == 0:
             assert r.stickiness is None
+
+
+def test_tiebreak_determinism_under_ts_collisions(spark, tmp_path):
+    """r7 (VERDICT r6 task 2): the (ts, event_id) tie-break is
+    ENFORCED, not audited. A fixture with deliberate (user, ts)
+    collisions — written in DESCENDING event_id physical order so any
+    ts-only sort that falls back to input order gets the WRONG answer
+    — must produce the hand-computed tie-broken result on Spark AND
+    bit-match the DuckDB oracle on the same parquet."""
+    import datetime
+    import os
+
+    import duckdb
+
+    from mspr2_back_spark.plans.timeseries import event_debounce
+    from mspr2_back_spark.plans.timeseries_oracle import TIMESERIES_ORACLE_SQL
+
+    T0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    H = datetime.timedelta(hours=1)
+    rows = [
+        # user 1 — transition collision: 'click'(1) and 'view'(2) share
+        # T0; tie-break order is click, view, purchase ⇒ transitions
+        # click→view and view→purchase. Input order (desc id) would
+        # instead give view→click, click→purchase.
+        (1, T0, 1, "click", 1.0, None),
+        (2, T0, 1, "view", 1.0, None),
+        (3, T0 + H, 1, "purchase", 5.0, None),
+        # user 2 — debounce collision: two 'click' at the same ts;
+        # tie-break keeps the LOWER event_id (10), drops 11; 12 is
+        # inside the 30-min debounce window, dropped either way.
+        (10, T0, 2, "click", 1.0, None),
+        (11, T0, 2, "click", 1.0, None),
+        (12, T0 + datetime.timedelta(minutes=10), 2, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "collide")
+    os.makedirs(sf, exist_ok=True)
+    # desc event_id + 1 file: the physical order is the adversary
+    df.orderBy(F.desc("event_id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "events.parquet"))
+
+    trans = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transition_matrix(spark, sf).collect()
+    }
+    # user 1 contributes the tie-broken pair; user 2's three clicks
+    # contribute click→click ×2 (order-invariant)
+    assert trans == {
+        ("click", "view"): 1,
+        ("view", "purchase"): 1,
+        ("click", "click"): 2,
+    }
+
+    keep = event_debounce(spark, sf).collect()
+    assert sorted(r.event_id for r in keep if r.user_id == 2) == [10]
+    assert sorted(r.event_id for r in keep if r.user_id == 1) == [1, 2, 3]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf, 'events.parquet')}/*.parquet'"
+    )
+    for name, got in (
+        ("event_transition_matrix", trans),
+        ("event_debounce", {r.event_id for r in keep}),
+    ):
+        oracle = con.sql(TIMESERIES_ORACLE_SQL[name]).fetchall()
+        if name == "event_transition_matrix":
+            assert {(r[0], r[1]): r[2] for r in oracle} == got
+        else:
+            assert {r[0] for r in oracle} == got
+    con.close()
+
+
+def test_streaming_funnel_parity_under_ts_collisions(spark, tmp_path):
+    """The streaming funnel state machine, drained over a fixture with
+    same-ts stage collisions (written in adversarial physical order),
+    must land every user on the stage the batch event_funnel counts —
+    the r7 enforcement of the (ts, event_id) micro-batch sort."""
+    import datetime
+    import os
+    import shutil
+
+    from mspr2_back_spark.plans.workloads import FUNNEL_STAGES, event_funnel
+    from mspr2_back_spark.streaming import events as stream_events
+
+    T0 = datetime.datetime(2024, 5, 1, 8, 0, 0)
+    H = datetime.timedelta(hours=1)
+    rows = [
+        # user 3: click(21) and view(22) collide at T0+1h — strict
+        # t > tprev means click can never fire at the view's own ts,
+        # so the user deterministically stops at stage 2 (view).
+        (20, T0, 3, "signup", 0.0, None),
+        (21, T0 + H, 3, "click", 0.0, None),
+        (22, T0 + H, 3, "view", 0.0, None),
+        # user 4: duplicate view at the same ts, then full conversion.
+        (30, T0, 4, "signup", 0.0, None),
+        (31, T0 + H, 4, "view", 0.0, None),
+        (32, T0 + H, 4, "view", 0.0, None),
+        (33, T0 + 2 * H, 4, "click", 0.0, None),
+        (34, T0 + 3 * H, 4, "purchase", 9.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "funnel_collide")
+    os.makedirs(sf, exist_ok=True)
+    df.orderBy(F.desc("event_id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "events.parquet"))
+
+    src = load_table(spark, sf, "events")
+    stream_dir = str(tmp_path / "funnel_collide_stream")
+    src.orderBy(F.desc("event_id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stream_dir)
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    prog = stream_events.funnel_stage_progress(stream)
+    stream_events.run_to_memory(prog, "funnel_collide", mode="update")
+
+    final: dict[int, int] = {}
+    for r in spark.table("funnel_collide").collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.stage_reached)
+    assert final == {3: 2, 4: 4}
+
+    batch = event_funnel(spark, sf).collect()[0]
+    stream_counts = [
+        sum(1 for v in final.values() if v >= k + 1)
+        for k in range(len(FUNNEL_STAGES))
+    ]
+    assert stream_counts == [batch[f"reached_{s}"] for s in FUNNEL_STAGES]
+    shutil.rmtree(stream_dir, ignore_errors=True)
