@@ -78,6 +78,12 @@ HEADLINE = [
     "event_association_rules",
     "gapfill_user_daily",
     "seasonal_decompose_daily",
+    # round-7 additions (VERDICT r6 task 4): the AR and DAU families
+    # plus the new skew demonstration get a per-round perf floor
+    "ml_forecast_ar_exact",
+    "rolling_active_users",
+    "event_weekday_contingency",
+    "skewed_join_topk",
 ]
 
 # Queries benched in the PREVIOUS round's headline set — their
@@ -113,6 +119,11 @@ PREV_ROUND_HEADLINE = [
     "attribution_last_touch",
     "cms_heavy_hitters",
     "tfidf_top_terms",
+    "funnel_latency",
+    "rfm_segments",
+    "event_association_rules",
+    "gapfill_user_daily",
+    "seasonal_decompose_daily",
 ]
 
 

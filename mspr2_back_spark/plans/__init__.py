@@ -38,72 +38,70 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-6 priorities (VERDICT r5
-# task 1 — verdict freshness):
-# 1. queries whose body or oracle changed in round 6 (any query
+# (rotation history in COVERAGE.md).  Round-7 priorities (VERDICT r6
+# task 1 — the steady-state freshness obligation):
+# 1. queries whose body or oracle changed in round 7 (any query
 #    registered or changed mid-round is inserted here in the SAME
 #    commit — registration and rotation are one atomic edit; this
 #    block is capped at 10 so the stale refresh below never gets
-#    crowded out again);
-# 2. ALL 40 queries whose latest driver verdict is round 3 — the
-#    full deferred backlog, so after this round every registered
-#    query's latest verdict is ≤ 2 rounds old.
-# Everything swept in round 4/5 keeps its green (r4 verdicts are 2
-# rounds old at the r6 sweep — inside the freshness bar).
-# Every key listed here must still exist in QUERIES.
+#    crowded out);
+# 2. ALL 45 queries whose latest driver verdict is round 4 — the
+#    full backlog, so after this round every registered query's
+#    latest verdict is ≤ 2 rounds old (r5 or newer).
+# 4 + 45 = 49 ≤ 50: registration stayed sparse this round on
+# purpose. Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- new / changed in round 6 (cap 10) --
-    "ml_forecast_ar",  # r6: refreshed rows-only signal (AR(14) pandas path)
-    "ml_forecast_ar_exact",  # r6: NEW — closed-form AR(2), fully oracle-checked
-    "dedup_minhash_lsh",  # r6: 2-universal signature derivation rework
-    "event_weekday_contingency",  # r6: oracle hardened to sign-safe mod (ADVICE)
-    "seasonal_decompose_daily",  # r6: oracle hardened to sign-safe mod (ADVICE)
-    "bloom_prefilter_audit",  # r6: NULLIF guard on fp_rate denominator (ADVICE)
-    "rolling_active_users",  # r6: gap days densified to dau=0 rows (ADVICE)
-    "multimodal_decode_stats",  # r6: NEW — real BMP codec proof, oracle-checked
-    "rfm_segments",  # r6: one stacked quantile pass (same cutpoints, same oracle)
-    "funnel_latency",  # r6: converted relation persisted (same plan output)
-    # -- latest verdict is round 3 — the full 40-query refresh --
-    "revenue_by_nation",
-    "year_week_rollup_join",
-    "urgent_semijoin",
-    "props_extract",
-    "pct_negative_acctbal",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "repeated_spans",
-    "contamination_screen",
-    "pii_scrub",
-    "dedup_incremental",
-    "source_mixture_sample",
-    "quality_filter",
-    "dedup_gate",
-    "dedup_corpus_summary",
-    "sessionize_events",
-    "ann_ivf_topk",
-    "user_event_sequences",
-    "percentile_prices_refined",
-    "chunk_documents",
-    "approx_distinct_users",  # rows-only — refresh keeps the rows signal current
-    "top3_orders_per_segment",
-    "shipping_priority",
-    "local_supplier_volume",
-    "above_avg_orders",
-    "window_frame_metrics",
-    "order_rank_metrics",
-    "status_pivot",
-    "pack_documents",
-    "scaled_user_values",
-    "price_histogram",
-    "hot_shingles",
-    "props_variant_stats",
-    "profile_orders",
-    "set_ops_nations",
-    "customer_order_coverage",
-    "customers_no_jumbo_order",
-    "crud_upsert",
-    "crud_delete",
-    "crud_point_lookup",
+    # -- new / changed in round 7 (cap 10) --
+    "event_transition_matrix",  # r7: (ts, event_id) tie-break enforced both engines
+    "event_debounce",  # r7: (ts, event_id) tie-break enforced both engines
+    "multimodal_decode_stats",  # r7: PNG round-trip on odd ids, all 5 filters
+    "skewed_join_topk",  # r7: NEW — salted join + two-phase distinct vs plain SQL
+    # -- latest verdict is round 4 — the full 45-query refresh --
+    "ann_lsh_topk",
+    "ann_topk",
+    "asof_event_value",
+    "bigram_pmi",
+    "brand_supplier_counts",
+    "brand_surrogate_ids",
+    "corpus_shuffle",
+    "cube_order_stats",
+    "customer_order_histogram",
+    "date_spine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_norm_stats",
+    "events_filtered",
+    "events_in_windows",
+    "grouping_sets_sales",
+    "hourly_events",
+    "ivf_cell_stats",
+    "latest_order_per_customer",
+    "metric_projection",
+    "min_cost_supplier_per_part",
+    "multimodal_frames",
+    "multimodal_meta",
+    "or_of_ands_revenue",
+    "orders_page",
+    "pagination_meta",
+    "percentile_prices",
+    "region_yearly_lag",
+    "revenue_share_by_nation",
+    "rolling_sum3",
+    "rollup_revenue",
+    "segment_decode",
+    "status_priority_rollup",
+    "table_preview",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "token_budget_sample",
+    "top5_customers",
+    "value_lag_diff",
+    "word_counts",
+    "yearly_orders_lag",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

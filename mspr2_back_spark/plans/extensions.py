@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mspr2_back_spark.functions.numeric import dsum
+from mspr2_back_spark.functions.numeric import METRIC, dsum
 from mspr2_back_spark.operators.crud import delete_where, point_lookup, upsert
 from mspr2_back_spark.sources.readers import load_table
 
@@ -750,6 +750,65 @@ def crud_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Skew handling (operators/skew.py) as an oracle-checked query
+# ---------------------------------------------------------------------------
+
+# ~70% of events collapse onto seg_id 0 — the deliberately hot key
+SKEW_SEGMENTS = ((0, "organic"), (1, "paid"), (2, "referral"), (3, "social"))
+
+
+def skewed_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact–dim join + hot-group distinct count, ranked
+    by revenue (r7 — the driver-checked demonstration for
+    operators/skew.py). seg_id = pmod(user_id, 10) folded so ~70% of
+    events land on segment 0: the canonical hot key that stalls one
+    shuffle partition at 100 TB. The segment-name attach goes through
+    ``salted_join`` (dim hinted to MERGE so the salted exchange is
+    real, not a broadcast that hides the skew — at scale the dim that
+    needs salting is the one too big to broadcast), and per-segment
+    distinct users go through ``salted_count_distinct`` (two-phase:
+    salt-spread partial dedup, then merge). Both outputs must equal
+    plain unsalted join/aggregate semantics — which is exactly what
+    the DuckDB oracle computes. Revenue sums in DECIMAL
+    (order-independent) per the money contract.
+    """
+    from mspr2_back_spark.operators.skew import (
+        salted_count_distinct,
+        salted_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    seg = ev.select(
+        F.when(F.pmod(F.col("user_id"), F.lit(10)) < 7, F.lit(0))
+        .otherwise(F.pmod(F.col("user_id"), F.lit(10)) - 6)
+        .cast("int")
+        .alias("seg_id"),
+        "user_id",
+        "value",
+    )
+    dim = spark.createDataFrame(
+        list(SKEW_SEGMENTS), "seg_id int, seg_name string"
+    )
+    named = salted_join(seg, dim.hint("merge"), on=["seg_id"], n_salt=8)
+    rev = named.groupBy("seg_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", METRIC).alias("total_value"),
+    )
+    users = salted_count_distinct(seg, "seg_id", "user_id", n_salt=8)
+    users_named = users.join(F.broadcast(dim), on="seg_id").drop("seg_id")
+    return (
+        rev.join(F.broadcast(users_named), on="seg_name")
+        .select(
+            "seg_name",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+            F.col("n_distinct").alias("n_users"),
+        )
+        .orderBy(F.desc("total_value"), "seg_name")
+    )
+
+
 EXTENSION_QUERIES = {
     "rollup_revenue": rollup_revenue,
     "cube_order_stats": cube_order_stats,
@@ -782,4 +841,5 @@ EXTENSION_QUERIES = {
     "crud_upsert": crud_upsert,
     "crud_delete": crud_delete,
     "crud_point_lookup": crud_point_lookup,
+    "skewed_join_topk": skewed_join_topk,
 }

@@ -542,3 +542,32 @@ SELECT doc_id,
            AS chunk_hash
 FROM ex
 """
+
+
+# skewed_join_topk (r7): the oracle is the PLAIN unsalted join +
+# aggregate — salting must be a pure physical-plan rewrite, so any
+# divergence (dropped salt column, replicated-dim dup, partial-merge
+# bug in the two-phase distinct) breaks the hash. Sign-safe modulo on
+# user_id mirrors the Spark side's pmod.
+EXTENSION_ORACLE_SQL["skewed_join_topk"] = """
+WITH seg AS (
+  SELECT CASE WHEN ((user_id % 10) + 10) % 10 < 7 THEN 0
+              ELSE ((user_id % 10) + 10) % 10 - 6 END AS seg_id,
+         user_id, value
+  FROM events
+),
+dim(seg_id, seg_name) AS (
+  VALUES (0, 'organic'), (1, 'paid'), (2, 'referral'), (3, 'social')
+),
+agg AS (
+  SELECT seg_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_value,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seg GROUP BY 1
+)
+SELECT d.seg_name, n_events, total_value, n_users
+FROM agg JOIN dim d ON agg.seg_id = d.seg_id
+ORDER BY total_value DESC, d.seg_name
+"""
