@@ -326,8 +326,15 @@ def run_upsert_to_gold(
             if base is None
             else upsert(base, batch_b.select(*base.columns), keys)
         )
+        # repartition by _bucket before the overwrite: every touched
+        # bucket's rows land in ONE task, so each dynamic-partition
+        # overwrite writes exactly one file per bucket — repeated
+        # micro-batches can never fragment a bucket into small files
+        # (r7 soak contract; the shuffle this adds is bounded by
+        # batch + touched-bucket data, which the merge already reads)
         (
-            merged.localCheckpoint(eager=True)
+            merged.repartition(max(len(touched), 1), "_bucket")
+            .localCheckpoint(eager=True)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket")

@@ -930,3 +930,98 @@ def test_gold_upsert_meta_contract(spark, sf_dir, tmp_path):
     # same contract → merges fine
     run(8)
     assert spark.read.parquet(gold).count() >= n_rows
+
+
+def test_gold_upsert_soak_bounded_files_and_bytes(spark, sf_dir, tmp_path):
+    """r7 soak (VERDICT r6 stretch): 50 micro-batches of upserts into
+    a 16-bucket gold table must keep (a) at most ONE parquet file per
+    bucket partition after every batch (no small-file explosion from
+    repeated dynamic overwrites — the pre-write _bucket repartition's
+    contract), (b) every untouched bucket byte-identical across each
+    batch (bytes moved stays O(touched buckets)), and (c) the final
+    table equal to the batch-computed aggregate over the full input."""
+    import hashlib
+    from collections import defaultdict
+    from pathlib import Path
+
+    src = load_table(spark, sf_dir, "events")
+    types = [r[0] for r in src.select("event_type").distinct().collect()]
+    stream_dir = tmp_path / "soak_in"
+    stream_dir.mkdir()
+    gold = str(tmp_path / "soak_out")
+    ckpt = str(tmp_path / "soak_ckpt")
+    n_buckets = 16
+
+    rows = src.limit(600).collect()
+    chunk = len(rows) // 50
+
+    def land(batch_rows, name):
+        df = spark.createDataFrame(batch_rows, src.schema)
+        staging = tmp_path / f"soakstage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        for i, f in enumerate(staging.glob("part-*.parquet")):
+            f.rename(stream_dir / f"{name}_{i}.parquet")
+
+    def run():
+        stream = stream_events.read_event_stream(
+            spark, str(stream_dir), src.schema
+        )
+        counts = stream.groupBy("event_type").count()
+        stream_events.run_upsert_to_gold(
+            counts, gold, ckpt, keys=["event_type"], n_buckets=n_buckets
+        )
+
+    def inventory():
+        by_bucket: dict[str, list[tuple[str, str]]] = defaultdict(list)
+        for p in Path(gold).rglob("*.parquet"):
+            rel = str(p.relative_to(gold))
+            bucket = rel.split("/")[0]
+            by_bucket[bucket].append(
+                (rel, hashlib.md5(p.read_bytes()).hexdigest())
+            )
+        return by_bucket
+
+    bucket_of = {
+        t: spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .first()[0]
+        for t in types
+    }
+
+    prev = None
+    for b in range(50):
+        batch_rows = rows[b * chunk : (b + 1) * chunk]
+        if not batch_rows:
+            break
+        land(batch_rows, f"b{b:03d}")
+        run()
+        inv = inventory()
+        # (a) one file per bucket, always
+        for bucket, files in inv.items():
+            assert len(files) == 1, (b, bucket, [f for f, _ in files])
+        # (b) buckets this batch did not touch are byte-identical
+        touched = {
+            f"_bucket={bucket_of[r.event_type]}" for r in batch_rows
+        }
+        if prev is not None:
+            for bucket, files in prev.items():
+                if bucket not in touched:
+                    assert inv.get(bucket) == files, (b, bucket)
+        prev = inv
+
+    # (c) final semantics = batch aggregate over everything landed
+    n_landed = 50 * chunk
+    expected = {
+        r.event_type: r["count"]
+        for r in spark.createDataFrame(rows[:n_landed], src.schema)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    got = {
+        r.event_type: r["count"]
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert got == expected
