@@ -48,14 +48,17 @@ ORACLE_SQL = {
 # 2. ALL 45 queries whose latest driver verdict is round 4 — the
 #    full backlog, so after this round every registered query's
 #    latest verdict is ≤ 2 rounds old (r5 or newer).
-# 4 + 45 = 49 ≤ 50: registration stayed sparse this round on
-# purpose. Every key listed here must still exist in QUERIES.
+# 5 + 45 = 50 exactly: registration stayed sparse this round on
+# purpose (two new queries; pricing_summary's r5 verdict, 2 rounds
+# old, yields the 50th slot). Every key listed here must still
+# exist in QUERIES.
 _SWEEP_FIRST = [
     # -- new / changed in round 7 (cap 10) --
     "event_transition_matrix",  # r7: (ts, event_id) tie-break enforced both engines
     "event_debounce",  # r7: (ts, event_id) tie-break enforced both engines
     "multimodal_decode_stats",  # r7: PNG round-trip on odd ids, all 5 filters
     "skewed_join_topk",  # r7: NEW — salted join + two-phase distinct vs plain SQL
+    "zorder_locality_audit",  # r7: NEW — Morton interleave vs unrolled SQL bit math
     # -- latest verdict is round 4 — the full 45-query refresh --
     "ann_lsh_topk",
     "ann_topk",

@@ -809,6 +809,79 @@ def skewed_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout (sources/zorder.py) as an oracle-checked query
+# ---------------------------------------------------------------------------
+
+ZAUDIT_BITS = 16  # 2 cols × 16 bits = 32-bit z-code
+ZAUDIT_SEG_SHIFT = 2 * ZAUDIT_BITS - 6  # top 6 bits → 64 curve segments
+
+
+def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked proof of the Morton interleave (r7 — the
+    Z-order module's first oracle-gated query). Events are gridded on
+    (user_id, value) against global min/max exactly as
+    ``sources/zorder.zorder_write`` does (same ``_grid`` /
+    ``morton_code`` expressions — pure codegen bit shuffling, no
+    UDF), the 32-bit z-code's top 6 bits bucket rows into 64 curve
+    segments, and each segment reports its row count plus its
+    bounding box as a fraction of each column's full range. The
+    box fractions ARE the layout property Z-order exists for: a
+    curve segment covering a small (user × value) rectangle is what
+    makes per-file footer stats tight on BOTH columns. The oracle
+    recomputes the identical grid + a 32-term unrolled shift/mask
+    interleave in DuckDB — one bit position wrong anywhere and the
+    segment populations change. One scan + one 1-row broadcast +
+    one 64-group aggregate; the 100 TB shape of a layout audit."""
+    from mspr2_back_spark.sources.zorder import _grid, morton_code
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    stats = ev.agg(
+        F.min(F.col("user_id").cast("double")).alias("mn_u"),
+        F.max(F.col("user_id").cast("double")).alias("mx_u"),
+        F.min(F.col("value").cast("double")).alias("mn_v"),
+        F.max(F.col("value").cast("double")).alias("mx_v"),
+    )
+    key = F.spark_partition_id() * 0 + 1  # non-foldable constant key
+    joined = ev.withColumn("_k", key).join(
+        F.broadcast(stats.withColumn("_k", key)), "_k"
+    )
+    gu = _grid(F.col("user_id"), F.col("mn_u"), F.col("mx_u"), ZAUDIT_BITS)
+    gv = _grid(F.col("value"), F.col("mn_v"), F.col("mx_v"), ZAUDIT_BITS)
+    zed = joined.select(
+        "user_id",
+        "value",
+        "mn_u",
+        "mx_u",
+        "mn_v",
+        "mx_v",
+        F.shiftright(morton_code([gu, gv], ZAUDIT_BITS), ZAUDIT_SEG_SHIFT)
+        .cast("int")
+        .alias("z_segment"),
+    )
+    return (
+        zed.groupBy("z_segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                (
+                    (F.max("user_id") - F.min("user_id")).cast("double")
+                    / F.nullif(F.first("mx_u") - F.first("mn_u"), F.lit(0.0))
+                ),
+                6,
+            ).alias("user_box_frac"),
+            F.round(
+                (
+                    (F.max("value") - F.min("value"))
+                    / F.nullif(F.first("mx_v") - F.first("mn_v"), F.lit(0.0))
+                ),
+                6,
+            ).alias("value_box_frac"),
+        )
+        .orderBy("z_segment")
+    )
+
+
 EXTENSION_QUERIES = {
     "rollup_revenue": rollup_revenue,
     "cube_order_stats": cube_order_stats,
@@ -842,4 +915,5 @@ EXTENSION_QUERIES = {
     "crud_delete": crud_delete,
     "crud_point_lookup": crud_point_lookup,
     "skewed_join_topk": skewed_join_topk,
+    "zorder_locality_audit": zorder_locality_audit,
 }

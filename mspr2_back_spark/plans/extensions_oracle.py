@@ -571,3 +571,55 @@ SELECT d.seg_name, n_events, total_value, n_users
 FROM agg JOIN dim d ON agg.seg_id = d.seg_id
 ORDER BY total_value DESC, d.seg_name
 """
+
+
+def _morton_sql(gx: str, gy: str, bits: int) -> str:
+    """The same bit interleave sources/zorder.morton_code generates,
+    unrolled as DuckDB shift/mask arithmetic: column 0's bit i lands
+    at position 2i, column 1's at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({gx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({gy} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+# zorder_locality_audit (r7): the oracle recomputes the grid scaling
+# and the FULL 32-term Morton interleave in SQL — a single misplaced
+# bit position reshuffles rows across curve segments and breaks the
+# hash. FLOOR on both engines (CAST rounds in DuckDB, truncates in
+# Spark — the documented trap); grid levels = 2^16 - 1.
+_Z_LEVELS = 65535
+EXTENSION_ORACLE_SQL["zorder_locality_audit"] = f"""
+WITH src AS (
+  SELECT CAST(user_id AS DOUBLE) AS u, CAST(value AS DOUBLE) AS v,
+         user_id, value
+  FROM events
+),
+stats AS (
+  SELECT MIN(u) AS mn_u, MAX(u) AS mx_u,
+         MIN(v) AS mn_v, MAX(v) AS mx_v
+  FROM src
+),
+gridded AS (
+  SELECT user_id, value, mn_u, mx_u, mn_v, mx_v,
+         CASE WHEN mx_u - mn_u = 0 THEN 0
+              ELSE CAST(FLOOR((u - mn_u) / (mx_u - mn_u) * {_Z_LEVELS}
+                              + 0.5) AS BIGINT) END AS gu,
+         CASE WHEN mx_v - mn_v = 0 THEN 0
+              ELSE CAST(FLOOR((v - mn_v) / (mx_v - mn_v) * {_Z_LEVELS}
+                              + 0.5) AS BIGINT) END AS gv
+  FROM src, stats
+)
+SELECT CAST(({_morton_sql("gu", "gv", 16)}) >> 26 AS INT) AS z_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(MAX(user_id) - MIN(user_id) AS DOUBLE)
+             / NULLIF(ANY_VALUE(mx_u) - ANY_VALUE(mn_u), 0.0), 6)
+           AS user_box_frac,
+       ROUND((MAX(value) - MIN(value))
+             / NULLIF(ANY_VALUE(mx_v) - ANY_VALUE(mn_v), 0.0), 6)
+           AS value_box_frac
+FROM gridded
+GROUP BY 1
+ORDER BY 1
+"""

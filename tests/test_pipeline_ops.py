@@ -507,6 +507,8 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "rfm_segments": 1,              # (a) r6: empty-groupBy pivot of
                                         # the 3-row cutpoint relation to
                                         # the 1-row broadcast side
+        "zorder_locality_audit": 1,     # (a) global min/max stats row
+                                        # for the grid scaling (r7)
     }
     # the iterative/expensive constructors run real jobs at plan time;
     # plan hygiene for them is covered by their dedicated tests
