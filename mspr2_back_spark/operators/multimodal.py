@@ -145,16 +145,6 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
-
-
 def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
     using only the stdlib (`zlib` deflate + CRC32). ``filter_type``
@@ -194,14 +184,23 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             filt = row - (
                 (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
             ).astype(np.uint8)
-        else:  # Paeth
-            out = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(row[x - 3]) if x >= 3 else 0
-                b = int(prev[x])
-                cc = int(prev[x - 3]) if x >= 3 else 0
-                out[x] = (int(row[x]) - _paeth(a, b, cc)) & 0xFF
-            filt = out
+        else:  # Paeth — vectorizable at ENCODE time: the predictor
+            # reads only raw bytes (left/up/up-left of the original
+            # image), so there is no sequential dependency here;
+            # only the decoder's reconstruction chain is sequential
+            a = np.concatenate([np.zeros(3, np.uint8), row[:-3]]).astype(
+                np.int16
+            )
+            b = prev.astype(np.int16)
+            cc = np.concatenate([np.zeros(3, np.uint8), prev[:-3]]).astype(
+                np.int16
+            )
+            p = a + b - cc
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc)
+            )
+            filt = (row.astype(np.int16) - pred).astype(np.uint8)
         scanlines.append(bytes([filter_type]) + filt.tobytes())
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
@@ -273,18 +272,39 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             recon[y] = line
         elif ftype == 2:
             recon[y] = line + prev  # uint8 wrap = the mod-256 rule
-        elif ftype in (1, 3, 4):
-            row = recon[y]
+        elif ftype == 1:
+            # Sub's recurrence r[k] = f[k] + r[k-bpp] is a per-channel
+            # prefix sum — cumsum over the (w, channels) view mod 256
+            recon[y] = (
+                np.cumsum(
+                    line.reshape(-1, channels).astype(np.int64), axis=0
+                )
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ftype in (3, 4):
+            # genuinely sequential (each byte needs the RECONSTRUCTED
+            # left neighbor); run the chain over plain Python ints —
+            # several times faster than indexing numpy scalars
+            line_l = line.tolist()
+            prev_l = prev.tolist()
+            out = [0] * stride
             for x in range(stride):
-                a = int(row[x - channels]) if x >= channels else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + int(prev[x])) // 2
+                a = out[x - channels] if x >= channels else 0
+                b = prev_l[x]
+                if ftype == 3:
+                    pred = (a + b) // 2
                 else:
-                    cc = int(prev[x - channels]) if x >= channels else 0
-                    pred = _paeth(a, int(prev[x]), cc)
-                row[x] = (int(line[x]) + pred) & 0xFF
+                    cc = prev_l[x - channels] if x >= channels else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else cc)
+                    )
+                out[x] = (line_l[x] + pred) & 0xFF
+            recon[y] = out
         else:
             raise ValueError(f"bad PNG filter byte {ftype}")
     px = recon.reshape(h, w, channels)
