@@ -342,3 +342,51 @@ def test_refined_percentiles_equal_rank_window_form(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_zorder_locality_audit_degenerate_column(spark, tmp_path):
+    """A constant predicate column (span 0) must land every row on
+    grid cell 0 and yield NULL box fractions — pinned against the
+    DuckDB oracle on the same fixture, since the NULLIF/CASE guards
+    live in both engines."""
+    import datetime
+    import os
+
+    import duckdb
+
+    from mspr2_back_spark.plans.extensions import zorder_locality_audit
+    from mspr2_back_spark.plans.extensions_oracle import EXTENSION_ORACLE_SQL
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+         100 + i, "view", 7.5, None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "zdeg")
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    out = zorder_locality_audit(spark, sf).collect()
+    # constant value ⇒ gv = 0 for every row; z spreads only on user
+    assert all(r.value_box_frac is None for r in out)
+    assert sum(r.n_events for r in out) == 40
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf, 'events.parquet')}/*.parquet'"
+    )
+    oracle = con.sql(EXTENSION_ORACLE_SQL["zorder_locality_audit"]).fetchall()
+    con.close()
+    got = sorted(
+        (r.z_segment, r.n_events, r.user_box_frac, r.value_box_frac)
+        for r in out
+    )
+    want = sorted((r[0], r[1], r[2], r[3]) for r in oracle)
+    assert got == want
