@@ -1,0 +1,579 @@
+"""Baseline JPEG (ITU-T T.81) encode/decode in numpy + stdlib — no
+image library.
+
+Round 7 closes the last "env-blocked" codec the multimodal dispatch
+seam (operators/multimodal.py) listed: baseline sequential JPEG is
+Huffman coding (pure Python bit I/O) over quantized 8×8 DCT blocks
+(one numpy einsum per plane), and neither needs anything outside the
+stdlib. Supported profile:
+
+- encode: 8-bit RGB, 4:4:4 (no chroma subsampling), standard Annex K
+  quantization tables scaled by the libjpeg quality formula, standard
+  Annex K Huffman tables, no restart markers;
+- decode: baseline DCT (SOF0), 8-bit, 1 component (grayscale) or
+  3 components with 4:4:4 sampling, interleaved single scan, restart
+  markers honored (DRI), 0xFF00 byte stuffing unwound. Progressive
+  (SOF2), 12-bit, arithmetic coding, and subsampled chroma raise
+  ValueError — the dispatch's total-over-mixed-columns contract turns
+  that into the deterministic fake, same as any other unsupported
+  variant.
+
+JPEG is lossy, so unlike BMP/PNG there is no bit-exact oracle twin:
+correctness is pinned by bounded-error round-trips (flat blocks ±1,
+Q=100 random blocks ±4 — the DCT+YCbCr rounding floor), an
+IDCT∘FDCT≈identity property test, and self-consistency of the
+Huffman tables (encode→decode reproduces the coefficient stream
+exactly; the loss is ONLY quantization + color rounding).
+
+Scale note: the codec runs inside Arrow-batched mapInPandas like its
+siblings — per-doc constant cost, scan-parallel, shuffle-free.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# (BITS[1..16], HUFFVAL) per table — Annex K defaults
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# orthonormal DCT-II basis: dct = C @ block @ C.T, idct = C.T @ c @ C
+_k = np.arange(8).reshape(1, 8)
+_n = np.arange(8).reshape(8, 1)
+DCT_C = np.sqrt(2.0 / 8.0) * np.cos((2 * _k + 1) * _n * np.pi / 16.0)
+DCT_C[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality→table scaling (quality 100 ⇒ all-ones)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (table * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol → (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for the bit-serial decoder."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: byte-align and reset handled by caller
+                    self.pos += 1
+                    self.acc = 0
+                    self.nbits = 0
+                    raise _Restart()
+                else:
+                    # EOI or next segment — treat as end of entropy data
+                    self.pos -= 1
+                    byte = 0  # spec: pad with zeros past the end
+                    self.acc = (self.acc << 8) | byte
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 0  # zero-pad past end
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+class _Restart(Exception):
+    """Internal signal: a restart marker interrupted the bit stream."""
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Value → (size category, offset code) per T.81 F.1.2.1."""
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted blocks → DCT coefficients (one einsum)."""
+    return np.einsum("ij,njk,lk->nil", DCT_C, plane, DCT_C)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("ji,njk,kl->nil", DCT_C, coefs, DCT_C)
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a (h, w) plane to 8-multiples by edge replication and cut
+    into (n_blocks, 8, 8) in raster order."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    return blocks, ph // 8, pw // 8
+
+
+def _from_blocks(blocks: np.ndarray, by: int, bx: int, h: int, w: int) -> np.ndarray:
+    full = (
+        blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    )
+    return full[:h, :w]
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 JPEG,
+    or an (h, w) uint8 array as a single-component grayscale JPEG
+    (SOF0, Annex K quant + Huffman tables, no subsampling, no restart
+    markers)."""
+    gray = pixels.ndim == 2
+    if gray:
+        h, w = pixels.shape
+    else:
+        h, w, c = pixels.shape
+        assert c == 3
+    assert pixels.dtype == np.uint8
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        qtabs = [qy]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[:, :, i] for i in range(3)]
+        qtabs = [qy, qc, qc]
+    ncomp = len(planes)
+    quantized: list[np.ndarray] = []
+    by = bx = 0
+    for plane, q in zip(planes, qtabs):
+        blocks, by, bx = _to_blocks(plane - 128.0)
+        coefs = _fdct_blocks(blocks)
+        quantized.append(
+            np.round(coefs / q[None, :, :]).astype(np.int64)
+        )
+
+    dc_codes = (
+        [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+        + [_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+    )[:ncomp]
+    ac_codes = (
+        [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+        + [_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)] * 2
+    )[:ncomp]
+
+    writer = _BitWriter()
+    prev_dc = [0] * ncomp
+    n_blocks = quantized[0].shape[0]
+    flat = [qz.reshape(qz.shape[0], 64)[:, ZIGZAG] for qz in quantized]
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            zz = flat[ci][bi]
+            # DC
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size, mag = _magnitude(diff) if diff else (0, 0)
+            code, length = dc_codes[ci][size]
+            writer.write(code, length)
+            if size:
+                writer.write(mag, size)
+            # AC with run-length + EOB/ZRL
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[ci][0xF0]
+                    writer.write(code, length)
+                    run -= 16
+                size, mag = _magnitude(v)
+                code, length = ac_codes[ci][(run << 4) | size]
+                writer.write(code, length)
+                writer.write(mag, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[ci][0x00]  # EOB
+                writer.write(code, length)
+    entropy = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, qy), (1, qc)):
+        out += seg(
+            0xFFDB,
+            bytes([tid]) + bytes(int(x) for x in q.reshape(64)[ZIGZAG]),
+        )
+    comp_defs = (((1, 0),) if gray else ((1, 0), (2, 1), (3, 1)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for cid, qid in comp_defs:
+        sof += bytes([cid, 0x11, qid])
+    out += seg(0xFFC0, sof)
+    huff_defs = [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+    ]
+    if not gray:
+        huff_defs += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in huff_defs:
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for cid, tabs in (((1, 0x00),) if gray else ((1, 0x00), (2, 0x11), (3, 0x11))):
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Decode a baseline JPEG (SOF0, 8-bit, grayscale or 4:4:4) into
+    ((h, w, 3) uint8 RGB, metadata). Raises ValueError on any profile
+    outside that (progressive, 12-bit, subsampled chroma, arithmetic
+    coding)."""
+    if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None
+    scan = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.int64)
+                table = np.zeros(64, dtype=np.int64)
+                table[ZIGZAG] = vals
+                qtabs[tq] = table.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                tab = _decode_table(bits, vals)
+                (ac_tabs if tc else dc_tabs)[th] = tab
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            fh, fw = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp, qid))
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3) or any(s != 0x11 for _, s, _ in comps):
+                raise ValueError("only grayscale or 4:4:4 JPEG supported")
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i : 3 + 2 * i]
+                sel.append((cid, tabs >> 4, tabs & 0xF))
+            scan = sel
+            pos = pos + 2 + size
+            break
+        pos = pos + 2 + size
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    fh, fw, comps = frame
+    by, bx = -(-fh // 8), -(-fw // 8)
+    n_blocks = by * bx
+    ncomp = len(comps)
+    comp_q = [qtabs[qid] for _, _, qid in comps]
+    comp_dc = [dc_tabs[d] for _, d, _ in scan]
+    comp_ac = [ac_tabs[a] for _, _, a in scan]
+
+    reader = _BitReader(payload[pos:])
+    coefs = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    bi = 0
+    mcu_since_restart = 0
+    while bi < n_blocks:
+        try:
+            for ci in range(ncomp):
+                zz = coefs[ci][bi]
+                zz[:] = 0  # clear any partial fill from a restart abort
+                size = reader.read_symbol(comp_dc[ci])
+                diff = _extend(reader.read_bits(size), size)
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(comp_ac[ci])
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+            bi += 1
+            mcu_since_restart += 1
+            if restart_interval and mcu_since_restart == restart_interval and bi < n_blocks:
+                # the next _fill() will consume the RSTn marker and
+                # raise _Restart; swallow it here deterministically
+                try:
+                    reader._fill()
+                except _Restart:
+                    pass
+                prev_dc = [0] * ncomp
+                mcu_since_restart = 0
+        except _Restart:
+            prev_dc = [0] * ncomp
+            mcu_since_restart = 0
+
+    planes = []
+    for ci in range(ncomp):
+        dez = np.zeros((n_blocks, 64), dtype=np.int64)
+        dez[:, ZIGZAG] = coefs[ci]
+        blocks = _idct_blocks(
+            dez.reshape(n_blocks, 8, 8).astype(np.float64)
+            * comp_q[ci][None, :, :]
+        )
+        planes.append(_from_blocks(blocks + 128.0, by, bx, fh, fw))
+    if ncomp == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        fmt = "jpeg/gray8"
+    else:
+        rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        fmt = "jpeg/baseline"
+    return rgb, {"width": int(fw), "height": int(fh), "format": fmt}

@@ -11,8 +11,10 @@ stdlib: `decode_png` is an IHDR/IDAT chunk walk + `zlib` inflate +
 per-row unfilter (all five filter types 0–4, Paeth included) for
 8-bit grayscale/truecolor/RGBA, with `encode_png` closing the
 round-trip (its `filter_type` knob lets tests exercise every
-unfilter path). Only codecs that genuinely need env-absent
-libraries (JPEG/ffmpeg territory) remain behind
+unfilter path), and `operators/jpeg.py` decodes/encodes baseline
+sequential JPEG (Annex K Huffman + numpy DCT — bounded-error
+round-trip since JPEG is lossy). Only codecs that genuinely need
+env-absent libraries (video/ffmpeg territory) remain behind
 `NotImplementedError`. Payloads that parse as none of these fall
 back to the clearly-marked deterministic fake, so the text-derived
 test corpus keeps its stable metadata.
@@ -324,9 +326,21 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
 
 def _decode_real(payload: bytes) -> dict[str, Any]:
     """Real decode path: format dispatch on magic bytes. BMP and WAV
-    parse in pure numpy, PNG in stdlib zlib (r7); codecs that
-    genuinely need libraries this container doesn't ship (JPEG/video)
-    stay behind NotImplementedError."""
+    parse in pure numpy, PNG in stdlib zlib, and baseline JPEG in
+    numpy Huffman+DCT (both r7); only codecs that genuinely need
+    libraries this container doesn't ship (video) stay behind
+    NotImplementedError."""
+    if payload[:3] == b"\xff\xd8\xff":
+        from mspr2_back_spark.operators.jpeg import decode_jpeg
+
+        _, meta = decode_jpeg(payload)
+        return {
+            "n_bytes": len(payload),
+            "first_byte": payload[0],
+            "width": meta["width"],
+            "height": meta["height"],
+            "format": meta["format"],
+        }
     if payload[:8] == _PNG_MAGIC:
         _, meta = decode_png(payload)
         return {
@@ -356,7 +370,8 @@ def _decode_real(payload: bytes) -> dict[str, Any]:
         }
     raise NotImplementedError(
         "this media codec needs libraries absent from the environment; "
-        "BMP/WAV (numpy) and PNG (stdlib zlib) decode without any"
+        "BMP/WAV (numpy), PNG (stdlib zlib), and baseline JPEG "
+        "(numpy Huffman+DCT) decode without any"
     )
 
 
@@ -378,6 +393,7 @@ def _is_media(payload: bytes) -> bool:
     return (
         payload[:2] == b"BM"
         or payload[:8] == _PNG_MAGIC
+        or payload[:3] == b"\xff\xd8\xff"
         or (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE")
     )
 
@@ -392,10 +408,16 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         if _is_media(p):
             try:
                 return _decode_real(p)
-            # struct.error included (r7 ADVICE): a corrupt chunk whose
-            # declared size exceeds the actual bytes must fall back,
-            # not crash the whole mapInPandas task
-            except (ValueError, NotImplementedError, struct.error):
+            # struct.error/IndexError included (r7 ADVICE): a corrupt
+            # chunk whose declared size exceeds the actual bytes (or a
+            # truncated marker segment) must fall back, not crash the
+            # whole mapInPandas task
+            except (
+                ValueError,
+                NotImplementedError,
+                struct.error,
+                IndexError,
+            ):
                 return _decode_fake(p)
         return _decode_fake(p)
 

@@ -1464,3 +1464,128 @@ class TestPngCodec:
         assert (out.loc[0, "width"], out.loc[0, "height"]) == (5, 3)
         assert out.loc[1, "format"] == "fake/deterministic"
         assert out.loc[2, "format"] == "fake/deterministic"
+
+
+class TestJpegCodec:
+    """Bounded-error tests for the r7 numpy+stdlib baseline JPEG
+    codec — JPEG is lossy, so unlike BMP/PNG the pin is an error
+    BOUND (quantization + color rounding), not bit equality."""
+
+    def test_idct_fdct_identity(self):
+        """The DCT pair must invert to well under the rounding floor —
+        isolates transform bugs from quantization loss."""
+        import numpy as np
+
+        from mspr2_back_spark.operators.jpeg import _fdct_blocks, _idct_blocks
+
+        rng = np.random.default_rng(3)
+        blocks = rng.uniform(-128, 127, size=(32, 8, 8))
+        back = _idct_blocks(_fdct_blocks(blocks))
+        assert np.abs(back - blocks).max() < 1e-9
+
+    def test_flat_image_roundtrip_exact(self):
+        """A flat block is pure DC; it must survive encode->decode
+        exactly at q=90 (DC quantizer 16·scale divides cleanly after
+        rounding)."""
+        import numpy as np
+
+        from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        img = np.full((16, 24, 3), 130, dtype=np.uint8)
+        px, meta = decode_jpeg(encode_jpeg(img, quality=90))
+        assert meta == {"width": 24, "height": 16, "format": "jpeg/baseline"}
+        assert np.array_equal(px, img)
+
+    def test_gradient_and_random_error_bounds(self):
+        """Smooth gradients at q=95 reconstruct within ±1; full-range
+        random noise at q=100 (all-ones quant tables) within ±4 — the
+        YCbCr + coefficient rounding floor. Non-multiple-of-8 shapes
+        exercise the edge-replication padding."""
+        import numpy as np
+
+        from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        r = np.arange(16).reshape(-1, 1, 1)
+        c = np.arange(24).reshape(1, -1, 1)
+        grad = np.clip(
+            4 * r + 3 * c + np.array([0, 40, 80]).reshape(1, 1, 3), 0, 255
+        ).astype(np.uint8)
+        px, _ = decode_jpeg(encode_jpeg(grad, quality=95))
+        assert np.abs(px.astype(int) - grad.astype(int)).max() <= 1
+
+        rng = np.random.default_rng(9)
+        noise = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+        px2, _ = decode_jpeg(encode_jpeg(noise, quality=100))
+        assert np.abs(px2.astype(int) - noise.astype(int)).max() <= 4
+
+    def test_quality_monotonic_loss(self):
+        """Lower quality must not reconstruct better than higher
+        quality on the same image (sanity on the quant scaling)."""
+        import numpy as np
+
+        from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+
+        def err(q):
+            px, _ = decode_jpeg(encode_jpeg(img, quality=q))
+            return float(np.abs(px.astype(int) - img.astype(int)).mean())
+
+        e10, e50, e95 = err(10), err(50), err(95)
+        assert e95 <= e50 <= e10
+        assert e95 < 10 and e10 > e95
+
+    def test_rejects_non_baseline_and_corrupt(self):
+        import numpy as np
+        import pytest
+
+        from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG not a jpeg")
+        # flip SOF0 -> SOF2 (progressive) in a valid stream
+        buf = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+        sof = buf.find(b"\xff\xc0")
+        buf[sof + 1] = 0xC2
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bytes(buf))
+
+    def test_dispatch_routes_jpeg(self):
+        """decode_image_batch must route a real JPEG to the real
+        parser and report its true dimensions."""
+        import numpy as np
+        import pandas as pd
+
+        from mspr2_back_spark.operators.jpeg import encode_jpeg
+        from mspr2_back_spark.operators.multimodal import decode_image_batch
+
+        img = np.full((6, 10, 3), 77, dtype=np.uint8)
+        out = decode_image_batch(
+            pd.Series([encode_jpeg(img), b"\xff\xd8\xffcorrupt tail"])
+        )
+        assert out.loc[0, "format"] == "jpeg/baseline"
+        assert (out.loc[0, "width"], out.loc[0, "height"]) == (10, 6)
+        assert out.loc[1, "format"] == "fake/deterministic"
+
+
+def test_jpeg_grayscale_roundtrip():
+    """Single-component JPEG: the decoder's ncomp==1 branch expands
+    gray to RGB; a flat gray image survives exactly and a gradient
+    within the rounding bound (no chroma loss in this path)."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((12, 20), 90, dtype=np.uint8)
+    px, meta = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert meta["format"] == "jpeg/gray8"
+    assert np.array_equal(px, np.repeat(flat[:, :, None], 3, axis=2))
+
+    grad = np.clip(
+        np.arange(12).reshape(-1, 1) * 9 + np.arange(20).reshape(1, -1) * 4,
+        0,
+        255,
+    ).astype(np.uint8)
+    px2, _ = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert np.abs(px2[:, :, 0].astype(int) - grad.astype(int)).max() <= 1
