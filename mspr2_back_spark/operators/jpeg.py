@@ -7,16 +7,19 @@ Huffman coding (pure Python bit I/O) over quantized 8×8 DCT blocks
 (one numpy einsum per plane), and neither needs anything outside the
 stdlib. Supported profile:
 
-- encode: 8-bit RGB, 4:4:4 (no chroma subsampling), standard Annex K
-  quantization tables scaled by the libjpeg quality formula, standard
-  Annex K Huffman tables, no restart markers;
-- decode: baseline DCT (SOF0), 8-bit, 1 component (grayscale) or
-  3 components with 4:4:4 sampling, interleaved single scan, restart
-  markers honored (DRI), 0xFF00 byte stuffing unwound. Progressive
-  (SOF2), 12-bit, arithmetic coding, and subsampled chroma raise
-  ValueError — the dispatch's total-over-mixed-columns contract turns
-  that into the deterministic fake, same as any other unsupported
-  variant.
+- encode: 8-bit RGB as 4:4:4 or 4:2:0 (2×2-mean chroma downsample,
+  MCU-interleaved), or grayscale; standard Annex K quantization
+  tables scaled by the libjpeg quality formula, standard Annex K
+  Huffman tables, no restart markers;
+- decode: baseline DCT (SOF0), 8-bit, grayscale or 3 components with
+  sampling factors up to 2×2 (4:4:4, 4:2:2, and the ubiquitous
+  4:2:0 — chroma nearest-neighbor upsampled), MCU-interleaved single
+  scan, restart markers honored (DRI), 0xFF00 byte stuffing unwound.
+  Progressive (SOF2), 12-bit, arithmetic coding, and >2×2 sampling
+  raise ValueError — the dispatch's total-over-mixed-columns contract
+  turns that into the deterministic fake, same as any other
+  unsupported variant. Interop is tested against real-world encoder
+  output (system libjpeg-era fixtures), not just self-consistency.
 
 JPEG is lossy, so unlike BMP/PNG there is no bit-exact oracle twin:
 correctness is pinned by bounded-error round-trips (flat blocks ±1,
@@ -320,11 +323,14 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 JPEG,
-    or an (h, w) uint8 array as a single-component grayscale JPEG
-    (SOF0, Annex K quant + Huffman tables, no subsampling, no restart
-    markers)."""
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JPEG
+    (``subsampling="444"`` for no chroma subsampling or ``"420"`` for
+    the ubiquitous 2×2-downsampled-chroma profile), or an (h, w)
+    uint8 array as a single-component grayscale JPEG (SOF0, Annex K
+    quant + Huffman tables, no restart markers)."""
     gray = pixels.ndim == 2
     if gray:
         h, w = pixels.shape
@@ -332,25 +338,58 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         h, w, c = pixels.shape
         assert c == 3
     assert pixels.dtype == np.uint8
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     qy = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
 
     if gray:
         planes = [pixels.astype(np.float64)]
         qtabs = [qy]
+        samp = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(pixels)
         planes = [ycc[:, :, i] for i in range(3)]
         qtabs = [qy, qc, qc]
+        if subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            # 2×2-mean chroma downsample (pad to even by edge
+            # replication first so the means stay in-gamut)
+            for i in (1, 2):
+                p = planes[i]
+                p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                planes[i] = 0.25 * (
+                    p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+                )
+        else:
+            samp = [(1, 1)] * 3
     ncomp = len(planes)
-    quantized: list[np.ndarray] = []
-    by = bx = 0
-    for plane, q in zip(planes, qtabs):
-        blocks, by, bx = _to_blocks(plane - 128.0)
-        coefs = _fdct_blocks(blocks)
-        quantized.append(
-            np.round(coefs / q[None, :, :]).astype(np.int64)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_x = -(-w // (8 * hmax))
+    mcu_y = -(-h // (8 * vmax))
+
+    # per component: edge-pad to its MCU-aligned grid, block, FDCT,
+    # quantize, zigzag — kept as a (bh, bw, 64) grid for MCU emission
+    flat: list[np.ndarray] = []
+    comp_bw: list[int] = []
+    comp_bh: list[int] = []
+    for (hi, vi), plane, q in zip(samp, planes, qtabs):
+        th, tw = mcu_y * 8 * vi, mcu_x * 8 * hi
+        ph, pw = plane.shape
+        padded = np.pad(
+            plane, ((0, th - ph), (0, tw - pw)), mode="edge"
         )
+        blocks = (
+            padded.reshape(th // 8, 8, tw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coefs = _fdct_blocks(blocks - 128.0)
+        qz = np.round(coefs / q[None, :, :]).astype(np.int64)
+        flat.append(qz.reshape(qz.shape[0], 64)[:, ZIGZAG])
+        comp_bh.append(th // 8)
+        comp_bw.append(tw // 8)
 
     dc_codes = (
         [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
@@ -363,39 +402,44 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     writer = _BitWriter()
     prev_dc = [0] * ncomp
-    n_blocks = quantized[0].shape[0]
-    flat = [qz.reshape(qz.shape[0], 64)[:, ZIGZAG] for qz in quantized]
-    for bi in range(n_blocks):
-        for ci in range(ncomp):
-            zz = flat[ci][bi]
-            # DC
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            size, mag = _magnitude(diff) if diff else (0, 0)
-            code, length = dc_codes[ci][size]
+
+    def write_block(ci: int, zz: np.ndarray) -> None:
+        diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
+        size, mag = _magnitude(diff) if diff else (0, 0)
+        code, length = dc_codes[ci][size]
+        writer.write(code, length)
+        if size:
+            writer.write(mag, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[ci][0xF0]
+                writer.write(code, length)
+                run -= 16
+            size, mag = _magnitude(v)
+            code, length = ac_codes[ci][(run << 4) | size]
             writer.write(code, length)
-            if size:
-                writer.write(mag, size)
-            # AC with run-length + EOB/ZRL
+            writer.write(mag, size)
             run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[ci][0xF0]
-                    writer.write(code, length)
-                    run -= 16
-                size, mag = _magnitude(v)
-                code, length = ac_codes[ci][(run << 4) | size]
-                writer.write(code, length)
-                writer.write(mag, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[ci][0x00]  # EOB
-                writer.write(code, length)
+        if last_nz < 63:
+            code, length = ac_codes[ci][0x00]  # EOB
+            writer.write(code, length)
+
+    for mcu in range(mcu_x * mcu_y):
+        my, mx = divmod(mcu, mcu_x)
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            for byi in range(vi):
+                for bxi in range(hi):
+                    row = my * vi + byi
+                    col = mx * hi + bxi
+                    write_block(ci, flat[ci][row * comp_bw[ci] + col])
     entropy = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -410,8 +454,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         )
     comp_defs = (((1, 0),) if gray else ((1, 0), (2, 1), (3, 1)))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for cid, qid in comp_defs:
-        sof += bytes([cid, 0x11, qid])
+    for (cid, qid), (hi, vi) in zip(comp_defs, samp):
+        sof += bytes([cid, (hi << 4) | vi, qid])
     out += seg(0xFFC0, sof)
     huff_defs = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -435,10 +479,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
-    """Decode a baseline JPEG (SOF0, 8-bit, grayscale or 4:4:4) into
+    """Decode a baseline JPEG (SOF0, 8-bit, grayscale or 3-component
+    with sampling factors up to 2×2 — 4:4:4, 4:2:2, and the
+    ubiquitous 4:2:0, chroma nearest-neighbor-upsampled) into
     ((h, w, 3) uint8 RGB, metadata). Raises ValueError on any profile
-    outside that (progressive, 12-bit, subsampled chroma, arithmetic
-    coding)."""
+    outside that (progressive, 12-bit, arithmetic coding, >2×2
+    sampling)."""
     if len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -489,8 +535,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                 comps.append((cid, samp, qid))
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
-            if nc not in (1, 3) or any(s != 0x11 for _, s, _ in comps):
-                raise ValueError("only grayscale or 4:4:4 JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError("only grayscale or 3-component JPEG supported")
             frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG (progressive/arithmetic)")
@@ -510,65 +556,104 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         raise ValueError("JPEG missing SOF0/SOS")
 
     fh, fw, comps = frame
-    by, bx = -(-fh // 8), -(-fw // 8)
-    n_blocks = by * bx
     ncomp = len(comps)
+    hs = [s >> 4 for _, s, _ in comps]
+    vs = [s & 0xF for _, s, _ in comps]
+    if any(not 1 <= f <= 2 for f in hs + vs):
+        raise ValueError("sampling factors beyond 2x2 unsupported")
+    hmax, vmax = max(hs), max(vs)
+    mcu_x = -(-fw // (8 * hmax))
+    mcu_y = -(-fh // (8 * vmax))
+    n_mcus = mcu_x * mcu_y
+    comp_bw = [mcu_x * h for h in hs]
+    comp_bh = [mcu_y * v for v in vs]
     comp_q = [qtabs[qid] for _, _, qid in comps]
-    comp_dc = [dc_tabs[d] for _, d, _ in scan]
-    comp_ac = [ac_tabs[a] for _, _, a in scan]
+    # scan order may differ from frame order — map tables by comp id
+    dcmap = {cid: dc_tabs[d] for cid, d, _ in scan}
+    acmap = {cid: ac_tabs[a] for cid, _, a in scan}
+    comp_dc = [dcmap[cid] for cid, _, _ in comps]
+    comp_ac = [acmap[cid] for cid, _, _ in comps]
 
     reader = _BitReader(payload[pos:])
-    coefs = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in range(ncomp)]
+    coefs = [
+        np.zeros((comp_bh[i] * comp_bw[i], 64), dtype=np.int64)
+        for i in range(ncomp)
+    ]
     prev_dc = [0] * ncomp
-    bi = 0
+
+    def read_block(ci: int, zz: np.ndarray) -> None:
+        zz[:] = 0  # clear any partial fill from a restart abort
+        size = reader.read_symbol(comp_dc[ci])
+        prev_dc[ci] += _extend(reader.read_bits(size), size)
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = reader.read_symbol(comp_ac[ci])
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(reader.read_bits(size), size)
+            k += 1
+
+    mcu = 0
     mcu_since_restart = 0
-    while bi < n_blocks:
+    while mcu < n_mcus:
+        my, mx = divmod(mcu, mcu_x)
         try:
+            # MCU-interleaved order (T.81 A.2.3): every component
+            # contributes its v_i × h_i block grid per MCU
             for ci in range(ncomp):
-                zz = coefs[ci][bi]
-                zz[:] = 0  # clear any partial fill from a restart abort
-                size = reader.read_symbol(comp_dc[ci])
-                diff = _extend(reader.read_bits(size), size)
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.read_symbol(comp_ac[ci])
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-            bi += 1
+                for byi in range(vs[ci]):
+                    for bxi in range(hs[ci]):
+                        row = my * vs[ci] + byi
+                        col = mx * hs[ci] + bxi
+                        read_block(ci, coefs[ci][row * comp_bw[ci] + col])
+            mcu += 1
             mcu_since_restart += 1
-            if restart_interval and mcu_since_restart == restart_interval and bi < n_blocks:
+            if (
+                restart_interval
+                and mcu_since_restart == restart_interval
+                and mcu < n_mcus
+            ):
                 # the next _fill() will consume the RSTn marker and
                 # raise _Restart; swallow it here deterministically
                 try:
                     reader._fill()
                 except _Restart:
                     pass
-                prev_dc = [0] * ncomp
+                prev_dc[:] = [0] * ncomp
                 mcu_since_restart = 0
         except _Restart:
-            prev_dc = [0] * ncomp
+            prev_dc[:] = [0] * ncomp
             mcu_since_restart = 0
 
     planes = []
     for ci in range(ncomp):
-        dez = np.zeros((n_blocks, 64), dtype=np.int64)
+        nb = comp_bh[ci] * comp_bw[ci]
+        dez = np.zeros((nb, 64), dtype=np.int64)
         dez[:, ZIGZAG] = coefs[ci]
         blocks = _idct_blocks(
-            dez.reshape(n_blocks, 8, 8).astype(np.float64)
-            * comp_q[ci][None, :, :]
+            dez.reshape(nb, 8, 8).astype(np.float64) * comp_q[ci][None, :, :]
         )
-        planes.append(_from_blocks(blocks + 128.0, by, bx, fh, fw))
+        plane = (
+            blocks.reshape(comp_bh[ci], comp_bw[ci], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(comp_bh[ci] * 8, comp_bw[ci] * 8)
+            + 128.0
+        )
+        # subsampled chroma → nearest-neighbor upsample to full res
+        ry, rx = vmax // vs[ci], hmax // hs[ci]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:fh, :fw])
     if ncomp == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         rgb = np.repeat(gray[:, :, None], 3, axis=2)

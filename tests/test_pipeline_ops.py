@@ -1589,3 +1589,62 @@ def test_jpeg_grayscale_roundtrip():
     ).astype(np.uint8)
     px2, _ = decode_jpeg(encode_jpeg(grad, quality=95))
     assert np.abs(px2[:, :, 0].astype(int) - grad.astype(int)).max() <= 1
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 — the dominant real-world JPEG profile: MCU-interleaved
+    encode (4 Y + Cb + Cr per MCU, 2x2-mean chroma downsample) must
+    round-trip within the rounding bound on smooth-chroma images,
+    including non-MCU-aligned dimensions."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    r = np.arange(20).reshape(-1, 1, 1)
+    c = np.arange(30).reshape(1, -1, 1)
+    img = np.clip(
+        4 * r + 3 * c + np.array([10, 50, 90]).reshape(1, 1, 3), 0, 255
+    ).astype(np.uint8)
+    for shape in [(20, 30), (13, 17)]:
+        im = img[: shape[0], : shape[1]]
+        px, meta = decode_jpeg(encode_jpeg(im, quality=95, subsampling="420"))
+        assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+        assert np.abs(px.astype(int) - im.astype(int)).max() <= 1
+    # on chroma-busy input the halved chroma resolution must save
+    # bytes (on tiny smooth images the MCU padding can mask it)
+    rng = np.random.default_rng(6)
+    busy = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    b420 = len(encode_jpeg(busy, quality=90, subsampling="420"))
+    b444 = len(encode_jpeg(busy, quality=90, subsampling="444"))
+    assert b420 < b444
+
+
+def test_jpeg_decodes_real_world_files():
+    """Interop: the decoder must read JPEGs produced by real
+    encoders (libjpeg-era system test files), covering grayscale,
+    4:4:4, and 4:2:0 — this is what validates the Annex K tables and
+    marker handling beyond self-consistency. Skips gracefully when
+    the files aren't present."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg
+
+    candidates = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+        "test/test_email/data/python.jpg",  # 16x16 4:2:0
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+        "site-packages/IPython/core/tests/2x2.jpg",  # grayscale
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+        "doc/rust/html/embedded-book/assets/verify.jpeg",  # 720x477
+    ]
+    present = [p for p in candidates if os.path.exists(p)]
+    if not present:
+        pytest.skip("no system JPEG fixtures on this machine")
+    for p in present:
+        px, meta = decode_jpeg(open(p, "rb").read())
+        assert px.dtype == np.uint8 and px.ndim == 3 and px.shape[2] == 3
+        assert px.shape[0] == meta["height"] and px.shape[1] == meta["width"]
+        assert meta["width"] > 0 and meta["height"] > 0
