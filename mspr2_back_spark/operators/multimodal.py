@@ -375,6 +375,27 @@ def _decode_real(payload: bytes) -> dict[str, Any]:
     )
 
 
+def decode_image(payload: bytes) -> tuple[np.ndarray, dict[str, Any]] | None:
+    """Unified image decode across the real codecs (r7): returns
+    ((h, w, 3) uint8 RGB, metadata) for BMP/PNG/baseline-JPEG
+    payloads, None for anything else (audio, text, unsupported
+    variants) — the single seam `resize_images`/`extract_features`
+    and any model-preprocessing pipeline consume, so adding a codec
+    here upgrades every downstream operator at once."""
+    try:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:8] == _PNG_MAGIC:
+            return decode_png(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            from mspr2_back_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+    except (ValueError, struct.error, IndexError):
+        return None
+    return None
+
+
 def _decode_fake(payload: bytes) -> dict[str, Any]:
     """Deterministic stand-in for a decoder: derives pseudo-dimensions
     from the payload bytes. Stable across engines and reruns."""
@@ -460,9 +481,10 @@ def extract_features(docs: DataFrame, dim: int = 16) -> DataFrame:
 
     The stand-in feature is a normalized byte histogram folded to
     ``dim`` buckets — deterministic, engine-portable, and nonzero for
-    any non-empty payload. BMP payloads (r6) histogram their REAL
-    grayscale pixels instead of raw file bytes — the decode seam
-    feeding actual image content into the feature path.
+    any non-empty payload. Image payloads (BMP r6; PNG/JPEG r7 via
+    the unified `decode_image` seam) histogram their REAL grayscale
+    pixels instead of raw file bytes — the decode seam feeding actual
+    image content into the feature path.
     """
     payloads = with_binary_payload(docs)
 
@@ -471,15 +493,13 @@ def extract_features(docs: DataFrame, dim: int = 16) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 raw = bytes(payload or b"\x00")
-                if raw[:2] == b"BM":
-                    try:
-                        px, _ = decode_bmp(raw)
-                        # integer-luma grayscale of the decoded pixels
-                        arr = (
-                            px.astype(np.uint32).sum(axis=2) // 3
-                        ).astype(np.uint8).ravel()
-                    except ValueError:
-                        arr = np.frombuffer(raw, dtype=np.uint8)
+                decoded = decode_image(raw)
+                if decoded is not None:
+                    px, _ = decoded
+                    # integer-luma grayscale of the decoded pixels
+                    arr = (
+                        px.astype(np.uint32).sum(axis=2) // 3
+                    ).astype(np.uint8).ravel()
                 else:
                     arr = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
@@ -503,11 +523,13 @@ def resize_image_array(
 
 
 def resize_images(docs: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize to a fixed (width, height) per input. BMP payloads (r6)
-    take the REAL path: decode → nearest-neighbor resample →
-    re-encode as BMP. Non-media payloads keep the deterministic
-    byte-stream stub (truncate/pad to width·height), so the operator
-    is total over mixed columns."""
+    """Resize to a fixed (width, height) per input. Image payloads
+    (BMP r6; PNG/JPEG r7 via the unified `decode_image` seam) take
+    the REAL path: decode → nearest-neighbor resample → re-encode in
+    the SAME format family (BMP→BMP, PNG→PNG, JPEG→JPEG q90).
+    Non-media payloads keep the deterministic byte-stream stub
+    (truncate/pad to width·height), so the operator is total over
+    mixed columns."""
     payloads = with_binary_payload(docs)
     target = width * height
 
@@ -517,12 +539,18 @@ def resize_images(docs: DataFrame, width: int = 32, height: int = 32) -> DataFra
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload or b"")
                 out = None
-                if p[:2] == b"BM":
-                    try:
-                        px, _ = decode_bmp(p)
-                        out = encode_bmp(resize_image_array(px, width, height))
-                    except ValueError:
-                        out = None
+                decoded = decode_image(p)
+                if decoded is not None:
+                    px, _ = decoded
+                    small = resize_image_array(px, width, height)
+                    if p[:2] == b"BM":
+                        out = encode_bmp(small)
+                    elif p[:8] == _PNG_MAGIC:
+                        out = encode_png(small)
+                    else:
+                        from mspr2_back_spark.operators.jpeg import encode_jpeg
+
+                        out = encode_jpeg(small, quality=90)
                 if out is None:
                     out = (
                         (p * (target // max(len(p), 1) + 1))[:target]
