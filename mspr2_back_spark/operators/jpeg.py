@@ -497,6 +497,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
