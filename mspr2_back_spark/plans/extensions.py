@@ -859,6 +859,8 @@ def zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("z_segment"),
     )
+    # F.first over mn_u/mx_u/mn_v/mx_v is deterministic here: the
+    # broadcast attach gave every row the SAME 1-row stats values
     return (
         zed.groupBy("z_segment")
         .agg(

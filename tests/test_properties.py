@@ -400,3 +400,81 @@ def test_bloom_filter_properties(spark, members, probes):
     )
     direct = sorted(map(tuple, bits.collect()))
     assert merged == direct
+
+
+# --- codec round-trip properties (r7) -------------------------------------
+# pure-Python/numpy — no Spark job per example, so examples are cheap
+
+_img_shapes = st.tuples(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(shape=_img_shapes, seed=st.integers(0, 2**31 - 1),
+       ftype=st.integers(0, 4))
+def test_png_roundtrip_property(shape, seed, ftype):
+    """encode_png(filter_type=f) ∘ decode_png is the IDENTITY for any
+    image shape and any scanline filter — PNG is lossless, so this is
+    bit-equality, not a bound."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    px, meta = decode_png(encode_png(img, filter_type=ftype))
+    assert meta["width"] == shape[1] and meta["height"] == shape[0]
+    assert np.array_equal(px, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(shape=_img_shapes, seed=st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_property(shape, seed):
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    px, meta = decode_bmp(encode_bmp(img))
+    assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+    assert np.array_equal(px, img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(shape=_img_shapes, seed=st.integers(0, 2**31 - 1),
+       sub=st.sampled_from(["444", "420"]))
+def test_jpeg_q100_bounded_error_property(shape, seed, sub):
+    """JPEG at quality=100 (all-ones quant tables) must reconstruct
+    ANY image within the DCT + YCbCr rounding floor — a lossy codec's
+    strongest checkable property. 4:2:0 averages chroma 2×2, so only
+    the luma-ish bound holds there; check the exact bound for 4:4:4
+    and a luma-projected bound for 4:2:0."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    if sub == "444":
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        px, meta = decode_jpeg(encode_jpeg(img, quality=100, subsampling=sub))
+        assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 4
+    else:
+        # 4:2:0 averages chroma 2×2, so per-pixel RGB is NOT preserved
+        # on noise; what IS preserved is luma — but only away from the
+        # gamut boundary (clipping of out-of-gamut RGB after chroma
+        # averaging distorts the luma projection), so generate
+        # in-gamut pixels and check the Rec.601 projection bound
+        img = rng.integers(64, 192, size=(*shape, 3), dtype=np.uint8)
+        px, meta = decode_jpeg(encode_jpeg(img, quality=100, subsampling=sub))
+        assert (meta["width"], meta["height"]) == (shape[1], shape[0])
+
+        def luma(a):
+            return (
+                0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+            )
+
+        assert np.abs(luma(px.astype(float)) - luma(img.astype(float))).max() <= 6
