@@ -50,8 +50,14 @@ ORACLE_SQL = {
 #    latest verdict is ≤ 2 rounds old (r5 or newer).
 # 5 + 45 = 50 exactly: registration stayed sparse this round on
 # purpose (two new queries; pricing_summary's r5 verdict, 2 rounds
-# old, yields the 50th slot). Every key listed here must still
-# exist in QUERIES.
+# old, yields the 50th slot). One deliberate exception to the
+# changed-block rule: cms_heavy_hitters's r7 edit is PLAN-ONLY
+# (probe set now reuses the exact relation's keys — output
+# bit-identical, oracle untouched, re-verified by the in-repo parity
+# gate and the full driver simulator); its r5 verdict is within the
+# freshness bar, and inserting it would push a stale query to
+# 3-rounds-old, which task 1 exists to prevent. Every key listed
+# here must still exist in QUERIES.
 _SWEEP_FIRST = [
     # -- new / changed in round 7 (cap 10) --
     "event_transition_matrix",  # r7: (ts, event_id) tie-break enforced both engines
