@@ -537,6 +537,11 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINTs through shared fixed-order templates.
     """
     ev = load_table(spark, sf_dir, "events")
+    # NOT persisted, on evidence (r7): the four consumers (total,
+    # marginals, a, b) share the distinct's exchange via
+    # ReusedExchange, so an explicit persist only adds a blocking
+    # materialization job — A/B measured 0.84→0.82 s at sf0.1 and
+    # 7.77→7.96 s at 256x (PLANS.md, rejected experiments).
     baskets = ev.select(
         "user_id",
         F.col("ts").cast("date").alias("day"),
@@ -690,6 +695,9 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     work.
     """
     ev = load_table(spark, sf_dir, "events")
+    # NOT persisted, on evidence (r7): ReusedExchange shares the
+    # distinct across dau / WAU targets / spine; a persist measured
+    # WORSE at every scale (0.29→0.43 s sf0.1, 0.38→0.69 s 256x).
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("day")
     ).distinct()
