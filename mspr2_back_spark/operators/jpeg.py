@@ -190,10 +190,19 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        """Byte-align, then write a raw (unstuffed) marker pair."""
+        self.align()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -213,10 +222,18 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1  # stuffed 0xFF
                 elif 0xD0 <= nxt <= 0xD7:
-                    # restart marker: byte-align and reset handled by caller
+                    # Restart marker. If entropy bits are still
+                    # buffered the decoder has NOT finished the data
+                    # preceding the marker — back up to the 0xFF and
+                    # stop refilling so the caller drains them first
+                    # (at most the <8 pad bits survive to the next
+                    # _fill, where nbits==0 lets the marker fire).
+                    # Discarding them here corrupted every DRI stream
+                    # whose buffered window straddled a marker.
+                    if self.nbits > 0:
+                        self.pos -= 1
+                        return
                     self.pos += 1
-                    self.acc = 0
-                    self.nbits = 0
                     raise _Restart()
                 else:
                     # EOI or next segment — treat as end of entropy data
@@ -324,13 +341,18 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JPEG
     (``subsampling="444"`` for no chroma subsampling or ``"420"`` for
     the ubiquitous 2×2-downsampled-chroma profile), or an (h, w)
     uint8 array as a single-component grayscale JPEG (SOF0, Annex K
-    quant + Huffman tables, no restart markers)."""
+    quant + Huffman tables). ``restart_interval`` > 0 emits a DRI
+    segment and an RST0–7 marker (byte-aligned, DC predictors reset)
+    every that many MCUs."""
     gray = pixels.ndim == 2
     if gray:
         h, w = pixels.shape
@@ -432,6 +454,9 @@ def encode_jpeg(
             writer.write(code, length)
 
     for mcu in range(mcu_x * mcu_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.emit_marker(0xD0 + ((mcu // restart_interval - 1) & 7))
+            prev_dc[:] = [0] * ncomp
         my, mx = divmod(mcu, mcu_x)
         for ci in range(ncomp):
             hi, vi = samp[ci]
@@ -468,6 +493,8 @@ def encode_jpeg(
         ]
     for tc_th, bits, vals in huff_defs:
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for cid, tabs in (((1, 0x00),) if gray else ((1, 0x00), (2, 0x11), (3, 0x11))):
         sos += bytes([cid, tabs])
@@ -565,12 +592,35 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     vs = [s & 0xF for _, s, _ in comps]
     if any(not 1 <= f <= 2 for f in hs + vs):
         raise ValueError("sampling factors beyond 2x2 unsupported")
+    if ncomp == 1:
+        # T.81 A.2: a single-component scan is non-interleaved — one
+        # data unit per MCU in raster order, regardless of the
+        # sampling factors the frame header declares (encoders may
+        # declare 2x2 for the sole component; honoring it would
+        # scramble block order).
+        hs = [1]
+        vs = [1]
     hmax, vmax = max(hs), max(vs)
     mcu_x = -(-fw // (8 * hmax))
     mcu_y = -(-fh // (8 * vmax))
     n_mcus = mcu_x * mcu_y
     comp_bw = [mcu_x * h for h in hs]
     comp_bh = [mcu_y * v for v in vs]
+    # Validate every table/component reference before use: a payload
+    # with JPEG magic whose SOF/SOS name undefined tables must raise
+    # ValueError (the codec-dispatch fallback contract), not KeyError.
+    for _, _, qid in comps:
+        if qid not in qtabs:
+            raise ValueError(f"SOF references undefined quant table {qid}")
+    for cid, d, a in scan:
+        if d not in dc_tabs:
+            raise ValueError(f"SOS references undefined DC table {d}")
+        if a not in ac_tabs:
+            raise ValueError(f"SOS references undefined AC table {a}")
+    scan_ids = {cid for cid, _, _ in scan}
+    for cid, _, _ in comps:
+        if cid not in scan_ids:
+            raise ValueError(f"frame component {cid} missing from scan")
     comp_q = [qtabs[qid] for _, _, qid in comps]
     # scan order may differ from frame order — map tables by comp id
     dcmap = {cid: dc_tabs[d] for cid, d, _ in scan}
@@ -625,8 +675,12 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                 and mcu_since_restart == restart_interval
                 and mcu < n_mcus
             ):
-                # the next _fill() will consume the RSTn marker and
-                # raise _Restart; swallow it here deterministically
+                # Byte-align by dropping the <8 pad bits the encoder
+                # wrote before the marker (all real entropy bits were
+                # consumed by the MCUs of this interval), then let
+                # _fill consume the RSTn and raise _Restart.
+                reader.acc = 0
+                reader.nbits = 0
                 try:
                     reader._fill()
                 except _Restart:

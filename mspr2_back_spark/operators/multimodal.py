@@ -391,7 +391,7 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, dict[str, Any]] | None:
             from mspr2_back_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
-    except (ValueError, struct.error, IndexError):
+    except (ValueError, struct.error, IndexError, KeyError):
         return None
     return None
 
@@ -432,12 +432,16 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
             # struct.error/IndexError included (r7 ADVICE): a corrupt
             # chunk whose declared size exceeds the actual bytes (or a
             # truncated marker segment) must fall back, not crash the
-            # whole mapInPandas task
+            # whole mapInPandas task. KeyError (r8 ADVICE): decode_jpeg
+            # now validates table ids and raises ValueError itself, but
+            # any residual mapping miss must also fall back, not crash
+            # the Arrow batch.
             except (
                 ValueError,
                 NotImplementedError,
                 struct.error,
                 IndexError,
+                KeyError,
             ):
                 return _decode_fake(p)
         return _decode_fake(p)

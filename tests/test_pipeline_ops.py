@@ -1619,6 +1619,106 @@ def test_jpeg_420_subsampling_roundtrip():
     assert b420 < b444
 
 
+def test_jpeg_dri_restart_roundtrip_bit_identical():
+    """r8 ADVICE (high): _BitReader._fill used to discard up to 3
+    buffered entropy bytes when its refill window straddled an RSTn,
+    corrupting every DRI stream (mean pixel error ~70 on this very
+    construction). A DRI stream must now decode BIT-IDENTICALLY to
+    the same image encoded without restart markers, across gray /
+    4:4:4 / 4:2:0 and intervals down to 1 MCU (marker after every
+    MCU maximizes straddle opportunities)."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    gray = (np.add.outer(np.arange(48), np.arange(56)) * 2 % 256).astype(
+        np.uint8
+    )
+    color = (rng.integers(0, 256, (50, 62, 3)) // 8 * 8).astype(np.uint8)
+    cases = [
+        (gray, {}),
+        (color, {"subsampling": "444"}),
+        (color, {"subsampling": "420"}),
+    ]
+    for img, kw in cases:
+        plain = encode_jpeg(img, quality=90, **kw)
+        base, _ = decode_jpeg(plain)
+        for interval in (1, 2, 3, 5):
+            dri = encode_jpeg(img, quality=90, restart_interval=interval, **kw)
+            assert b"\xff\xdd" in dri  # DRI segment present
+            assert any(
+                bytes([0xFF, 0xD0 + n]) in dri for n in range(8)
+            )  # at least one RSTn in the entropy stream
+            px, _ = decode_jpeg(dri)
+            assert np.array_equal(px, base), (kw, interval)
+
+
+def test_jpeg_undefined_table_raises_value_error_and_batch_falls_back():
+    """r8 ADVICE (medium): a payload with JPEG magic whose SOF/SOS
+    reference undefined quant/Huffman tables must raise ValueError
+    (not KeyError) so decode_image returns None and the mapInPandas
+    batch falls back to the deterministic fake instead of crashing."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from mspr2_back_spark.operators.multimodal import (
+        decode_image,
+        decode_image_batch,
+    )
+
+    img = (np.add.outer(np.arange(24), np.arange(32)) * 3 % 256).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img)
+    sof = enc.find(b"\xff\xc0")
+    qid_off = sof + 4 + 5 + 1 + 2  # SOF0 body: prec,h,w,nc then cid,samp,qid
+    assert enc[qid_off] == 0
+    bad_q = enc[:qid_off] + b"\x03" + enc[qid_off + 1 :]
+    with pytest.raises(ValueError, match="undefined quant table"):
+        decode_jpeg(bad_q)
+
+    sos = enc.find(b"\xff\xda")
+    tabs_off = sos + 4 + 1 + 1  # SOS body: ns then cid,tabs
+    bad_h = enc[:tabs_off] + b"\x57" + enc[tabs_off + 1 :]
+    with pytest.raises(ValueError, match="undefined"):
+        decode_jpeg(bad_h)
+
+    assert decode_image(bad_q) is None
+    out = decode_image_batch(pd.Series([bad_q, bad_h, enc]))
+    assert list(out["format"]) == [
+        "fake/deterministic",
+        "fake/deterministic",
+        "jpeg/gray8",
+    ]
+
+
+def test_jpeg_single_component_scan_is_non_interleaved():
+    """r8 ADVICE (low): T.81 A.2 — a single-component scan is
+    non-interleaved (one data unit per MCU, raster order) regardless
+    of the sampling factors the frame header declares. A grayscale
+    stream whose SOF declares 2x2 for the sole component must decode
+    identically to the same stream declaring 1x1."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.add.outer(np.arange(40), np.arange(48)) * 3 % 256).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img)
+    base, _ = decode_jpeg(enc)
+    sof = enc.find(b"\xff\xc0")
+    samp_off = sof + 4 + 5 + 1 + 1
+    assert enc[samp_off] == 0x11
+    patched = enc[:samp_off] + b"\x22" + enc[samp_off + 1 :]
+    px, meta = decode_jpeg(patched)
+    assert meta["format"] == "jpeg/gray8"
+    assert np.array_equal(px, base)
+
+
 def test_jpeg_decodes_real_world_files():
     """Interop: the decoder must read JPEGs produced by real
     encoders (libjpeg-era system test files), covering grayscale,
