@@ -84,6 +84,12 @@ HEADLINE = [
     "rolling_active_users",
     "event_weekday_contingency",
     "skewed_join_topk",
+    # round-8 additions (VERDICT r7 task 5 + task 3): the remaining
+    # r7 registration gets its floor, and the new JPEG marker-path
+    # query is benched from birth (its pure-Python Huffman decode is
+    # the documented hot path — SCALING.md "JPEG decode throughput")
+    "zorder_locality_audit",
+    "multimodal_jpeg_meta",
 ]
 
 # Queries benched in the PREVIOUS round's headline set — their
@@ -124,6 +130,10 @@ PREV_ROUND_HEADLINE = [
     "event_association_rules",
     "gapfill_user_daily",
     "seasonal_decompose_daily",
+    "ml_forecast_ar_exact",
+    "rolling_active_users",
+    "event_weekday_contingency",
+    "skewed_join_topk",
 ]
 
 

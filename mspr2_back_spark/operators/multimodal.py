@@ -671,3 +671,145 @@ def decode_stats(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
+JPEG_META_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, format STRING, dri INT, "
+    "n_mcus BIGINT, n_rst BIGINT, dri_parity BOOLEAN, err_ok BOOLEAN"
+)
+
+# Ringing bound for the wrap-gradient test images at quality 95: the
+# mod-256 wrap creates step edges whose DCT ringing measures ≤8 over
+# a 3k-id sweep (≤7 on scattered large ids); a restart-marker defect
+# measures ~70–250 mean error, so 24 separates cleanly.
+JPEG_ERR_BOUND = 24
+
+
+def _parse_jpeg_markers(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Independent marker walk over an encoded payload: returns
+    (sof_width, sof_height, n_mcus, dri_interval, n_rst). Reads the
+    SOF0 dimensions + sampling factors, the DRI segment, and counts
+    RSTn pairs in the entropy region (byte stuffing guarantees any
+    0xFF D0–D7 pair there IS a marker). This is the falsifier for
+    ``encode_jpeg``'s header emission — it trusts only the bytes."""
+    pos = 2
+    sof_w = sof_h = 0
+    hmax = vmax = 1
+    dri = 0
+    while pos + 4 <= len(payload):
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xC0:
+            sof_h, sof_w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            samps = [body[6 + 3 * i + 1] for i in range(nc)]
+            if nc == 1:
+                hmax = vmax = 1  # single-component scans decode 1x1
+            else:
+                hmax = max(s >> 4 for s in samps)
+                vmax = max(s & 0xF for s in samps)
+        elif marker == 0xDD:
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            pos = pos + 2 + size
+            break
+        pos = pos + 2 + size
+    n_rst = 0
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and 0xD0 <= payload[pos + 1] <= 0xD7:
+            n_rst += 1
+            pos += 2
+        elif payload[pos] == 0xFF and payload[pos + 1] == 0xD9:
+            break
+        else:
+            pos += 1
+    n_mcus = (-(-sof_w // (8 * hmax))) * (-(-sof_h // (8 * vmax)))
+    return sof_w, sof_h, n_mcus, dri, n_rst
+
+
+def jpeg_meta_stats(docs: DataFrame) -> DataFrame:
+    """Driver-gated proof of the whole JPEG marker path (r8, VERDICT
+    r7 task 3): per doc_id, synthesize a luma wrap-gradient image
+    v=(3·id+2·r+5·c)%256 with closed-form dims w=13+id%23,
+    h=9+id%17, profile id%3 (0→grayscale, 1→4:4:4, 2→4:2:0; color
+    profiles replicate v across RGB so chroma is exactly constant)
+    and restart interval id%4 (0→none). ENCODE it with
+    ``encode_jpeg``, re-PARSE the emitted bytes independently
+    (SOF0 dims/sampling, DRI segment, RSTn census — byte stuffing
+    makes the count exact), DECODE it, and report:
+
+    - width/height/format from the DECODER's metadata,
+    - dri / n_mcus / n_rst from the MARKER WALK over the bytes,
+    - ``dri_parity``: the DRI stream decodes bit-identically to the
+      same image encoded without restart markers (pins the r8
+      _BitReader._fill fix under the driver hash),
+    - ``err_ok``: max abs pixel error vs the source ≤
+      JPEG_ERR_BOUND (lossy codecs oracle as bounds, not values).
+
+    The oracle recomputes every column closed-form — n_rst =
+    floor((n_mcus−1)/dri) falls straight out of the MCU grid, so a
+    missing/extra/misplaced restart marker, a wrong SOF dimension,
+    or any stuffing defect breaks the hash. mapInPandas over the
+    doc_id projection, REPARTITIONED to the cluster's parallelism
+    first: the projection of a small parquet file is one split, and
+    at ~3.6 ms/doc of pure-Python Huffman work the codec — not the
+    scan — is the bottleneck, so this is the one mapInPandas query
+    where a (doc_id-only, 8-bytes-a-row) shuffle buys full CPU
+    fan-out (measured 18.1 s → 1.2 s at sf0.1 on local[32]; at
+    100 TB the scan has thousands of splits and AQE coalescing makes
+    the repartition a no-op-sized rebalance)."""
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 13 + did % 23, 9 + did % 17
+                mode = did % 3
+                dri = did % 4
+                r = np.arange(h, dtype=np.int64).reshape(-1, 1)
+                c = np.arange(w, dtype=np.int64).reshape(1, -1)
+                v = ((3 * did + 2 * r + 5 * c) % 256).astype(np.uint8)
+                if mode == 0:
+                    img = v
+                    kw = {}
+                else:
+                    img = np.repeat(v[:, :, None], 3, axis=2)
+                    kw = {"subsampling": "444" if mode == 1 else "420"}
+                enc = encode_jpeg(img, quality=95, restart_interval=dri, **kw)
+                pw, ph, n_mcus, p_dri, n_rst = _parse_jpeg_markers(enc)
+                px, meta = decode_jpeg(enc)
+                src = np.repeat(v[:, :, None], 3, axis=2)
+                err = int(np.abs(px.astype(np.int64) - src).max())
+                if dri:
+                    plain, _ = decode_jpeg(
+                        encode_jpeg(img, quality=95, **kw)
+                    )
+                    parity = bool(np.array_equal(px, plain))
+                else:
+                    parity = True
+                rows.append(
+                    {
+                        "doc_id": did,
+                        # cross-checked: decoder meta vs marker walk
+                        "width": meta["width"] if meta["width"] == pw else -1,
+                        "height": (
+                            meta["height"] if meta["height"] == ph else -1
+                        ),
+                        "format": meta["format"],
+                        "dri": p_dri,
+                        "n_mcus": n_mcus,
+                        "n_rst": n_rst,
+                        "dri_parity": parity,
+                        "err_ok": err <= JPEG_ERR_BOUND,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = docs.select("doc_id")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(par).mapInPandas(run, schema=JPEG_META_SCHEMA)

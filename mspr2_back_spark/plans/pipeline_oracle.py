@@ -819,3 +819,45 @@ FROM px
 GROUP BY 1, 2, 3, 4
 ORDER BY 1
 """
+
+# multimodal_jpeg_meta (r8): the JPEG marker-path falsifier. The
+# Spark side encodes a closed-form image per doc_id (profile id%3,
+# restart interval id%4), re-parses the emitted bytes (SOF0 dims,
+# DRI segment, RSTn census) and decodes; this oracle recomputes the
+# dims, the MCU grid (4:2:0 halves both axes → 16-px MCUs), and the
+# restart-marker count n_rst = floor((n_mcus-1)/dri) straight from
+# the arithmetic. dri_parity/err_ok assert the decode invariants
+# (DRI streams decode bit-identically to plain ones; lossy pixels
+# stay within the documented ringing bound) — closed-form TRUE.
+PIPELINE_ORACLE_SQL["multimodal_jpeg_meta"] = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(13 + ((doc_id % 23) + 23) % 23 AS INT) AS width,
+         CAST(9 + ((doc_id % 17) + 17) % 17 AS INT) AS height,
+         ((doc_id % 3) + 3) % 3 AS mode,
+         CAST(((doc_id % 4) + 4) % 4 AS INT) AS dri
+  FROM documents
+),
+g AS (
+  SELECT doc_id, width, height, mode, dri,
+         CASE WHEN mode = 2
+              THEN CAST(FLOOR((width + 15) / 16.0) AS BIGINT)
+                   * CAST(FLOOR((height + 15) / 16.0) AS BIGINT)
+              ELSE CAST(FLOOR((width + 7) / 8.0) AS BIGINT)
+                   * CAST(FLOOR((height + 7) / 8.0) AS BIGINT)
+         END AS n_mcus
+  FROM d
+)
+SELECT doc_id, width, height,
+       CASE WHEN mode = 0 THEN 'jpeg/gray8'
+            ELSE 'jpeg/baseline' END AS format,
+       dri,
+       CAST(n_mcus AS BIGINT) AS n_mcus,
+       CAST(CASE WHEN dri = 0 THEN 0
+                 ELSE FLOOR((n_mcus - 1) / CAST(dri AS DOUBLE))
+            END AS BIGINT) AS n_rst,
+       TRUE AS dri_parity,
+       TRUE AS err_ok
+FROM g
+ORDER BY doc_id
+"""

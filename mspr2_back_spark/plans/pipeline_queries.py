@@ -209,6 +209,17 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_stats(load_table(spark, sf_dir, "documents"))
 
 
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated JPEG marker path (r8, VERDICT r7 task 3): per
+    doc_id encode a closed-form gray/4:4:4/4:2:0 wrap-gradient image
+    with restart interval id%4, independently re-parse the bytes
+    (SOF0 dims, DRI, RSTn census), decode, and report metadata +
+    DRI-vs-plain bit parity + a pixel error bound; the oracle
+    recomputes all of it from the MCU-grid closed forms
+    (operators/multimodal.jpeg_meta_stats)."""
+    return multimodal.jpeg_meta_stats(load_table(spark, sf_dir, "documents"))
+
+
 def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user autoregressive 7-day forecast via applyInPandas (no
     SQL oracle: the AR(14) ridge fit is a 15×15 linear solve, not
@@ -599,6 +610,7 @@ PIPELINE_QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
     "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_jpeg_meta": multimodal_jpeg_meta,
     "ml_forecast_ar": ml_forecast_ar,
     "ml_forecast_ar_exact": ml_forecast_ar_exact,
     "dedup_clusters": dedup_clusters,
