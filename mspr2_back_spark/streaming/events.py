@@ -303,8 +303,35 @@ def run_upsert_to_gold(
             spark._jvm.org.apache.hadoop.fs.Path(gold_path)
         )
         if meta is None and table_exists:
-            # pre-meta table (or meta lost): adopt it under the
-            # caller's contract rather than overwriting its buckets
+            # Pre-meta table (or meta lost): adopting it under the
+            # CALLER's n_buckets re-opened the silent key-split the
+            # meta contract exists to prevent (r8, VERDICT r7 task
+            # 2) — a 16-bucket table adopted as 64 strands old rows
+            # in old buckets while new rows hash elsewhere. Validate
+            # the caller's contract against the table itself before
+            # adopting: recompute the bucket function over every
+            # existing row and require its stored _bucket to match.
+            # One O(gold) scan, paid exactly once at adoption (a
+            # migration event, not steady state); any mismatch
+            # refuses the merge and demands an explicit rebucket.
+            existing = spark.read.parquet(gold_path)
+            bad = (
+                existing.withColumn(
+                    "_expect", _gold_bucket(keys, n_buckets)
+                )
+                .filter(F.col("_bucket") != F.col("_expect"))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot adopt pre-meta gold table at {gold_path} "
+                    f"under n_buckets={n_buckets}, keys={list(keys)}: "
+                    "existing rows live in buckets that contract "
+                    "would not map them to (the table was built with "
+                    "a different bucket count or key set) — rewrite "
+                    "the table under the new contract explicitly"
+                )
             meta = {"n_buckets": n_buckets, "keys": list(keys)}
             write_gold_meta(spark, gold_path, meta)
         if meta is not None:

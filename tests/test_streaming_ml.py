@@ -932,6 +932,66 @@ def test_gold_upsert_meta_contract(spark, sf_dir, tmp_path):
     assert spark.read.parquet(gold).count() >= n_rows
 
 
+def test_gold_upsert_adoption_validates_bucket_layout(spark, sf_dir, tmp_path):
+    """r8 (VERDICT r7 task 2): adopting a PRE-META gold table (meta
+    file lost/never written) under the caller's n_buckets re-opened
+    the silent key-split hazard — a 16-bucket table adopted as 64
+    strands old rows in old buckets while new rows hash elsewhere.
+    Adoption now recomputes the bucket function over the existing
+    rows and refuses when any stored _bucket disagrees; a matching
+    contract still adopts (and re-persists the meta)."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "agold_in"
+    stream_dir.mkdir()
+    gold = str(tmp_path / "agold_out")
+
+    def land(df, name):
+        staging = tmp_path / f"agstage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        for i, f in enumerate(staging.glob("part-*.parquet")):
+            f.rename(stream_dir / f"{name}_{i}.parquet")
+
+    def run(n_buckets, ckpt_name):
+        stream = stream_events.read_event_stream(
+            spark, str(stream_dir), src.schema
+        )
+        counts = stream.groupBy("event_type").count()
+        stream_events.run_upsert_to_gold(
+            counts,
+            gold,
+            str(tmp_path / ckpt_name),
+            keys=["event_type"],
+            n_buckets=n_buckets,
+        )
+
+    # build a 16-bucket table, then simulate meta loss
+    land(src.limit(200), "b1")
+    run(16, "ck1")
+    meta = stream_events.read_gold_meta(spark, gold)
+    assert meta == {"n_buckets": 16, "keys": ["event_type"]}
+    fs, meta_path = stream_events._gold_meta_path(spark, gold)
+    fs.delete(meta_path, False)
+    assert stream_events.read_gold_meta(spark, gold) is None
+    before = spark.read.parquet(gold).count()
+
+    # adoption under a DIFFERENT bucket count must refuse (today's
+    # hazard: it silently split keys)
+    land(src.limit(300), "b2")
+    with pytest.raises(Exception, match="cannot adopt"):
+        run(64, "ck2")
+    assert spark.read.parquet(gold).count() == before
+    assert stream_events.read_gold_meta(spark, gold) is None
+
+    # adoption under the ORIGINAL contract validates and proceeds,
+    # re-persisting the meta
+    run(16, "ck3")
+    assert stream_events.read_gold_meta(spark, gold) == {
+        "n_buckets": 16,
+        "keys": ["event_type"],
+    }
+    assert spark.read.parquet(gold).count() >= before
+
+
 def test_gold_upsert_soak_bounded_files_and_bytes(spark, sf_dir, tmp_path):
     """r7 soak (VERDICT r6 stretch): 50 micro-batches of upserts into
     a 16-bucket gold table must keep (a) at most ONE parquet file per
