@@ -632,6 +632,18 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extremes aggregation; persist eagerly so the windowed funnel
     # chain — the expensive part — runs once (converted-users-sized,
     # tiny). Measured 1.8 s → 1.15 s at sf0.1 (r6).
+    #
+    # CACHE-LIFECYCLE CONTRACT (r8, ADVICE): this persist cannot be
+    # unpersisted at this API boundary (the consumer collects the
+    # returned DataFrame later), so the CALLER owns the session
+    # cache — long-lived serving sessions should clearCache()
+    # periodically or bound the session. The localCheckpoint
+    # alternative that fixes cms_heavy_hitters' identical leak was
+    # A/B-measured HERE and rejected: 1.41 → 2.51 s at sf0.1
+    # (min-of-4) — the checkpointed LogicalRDD loses the relation's
+    # stats and binned_quantiles' downstream broadcast decisions
+    # degrade. MEMORY_AND_DISK + LRU makes the stacked entries
+    # evictable, so the leak is bounded-harm by construction.
     converted = (
         stepped.filter(F.col(f"t_{last}").isNotNull())
         .select(
