@@ -14,9 +14,17 @@ from mspr2_back_spark.sources.catalog import read_jdbc_partitioned, write_jdbc_a
 
 
 @pytest.fixture(scope="module")
-def derby_url(tmp_path_factory):
-    db = tmp_path_factory.mktemp("derby") / "testdb"
-    return f"jdbc:derby:{db};create=true"
+def derby_url(tmp_path_factory, spark):
+    db_dir = tmp_path_factory.mktemp("derby")
+    # Derby writes derby.log into derby.system.home (default: the
+    # JVM's cwd, i.e. the repo root under pytest). Point it at the
+    # test temp dir BEFORE the engine boots — a runtime setProperty
+    # works because the property is read at first connection, not at
+    # class load (r8, VERDICT r7 task 7: keep the working tree clean).
+    spark.sparkContext._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(db_dir)
+    )
+    return f"jdbc:derby:{db_dir / 'testdb'};create=true"
 
 
 def _have_derby(spark) -> bool:

@@ -611,3 +611,64 @@ def test_streaming_funnel_parity_under_ts_collisions(spark, tmp_path):
     ]
     assert stream_counts == [batch[f"reached_{s}"] for s in FUNNEL_STAGES]
     shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_batch_funnel_oracle_parity_under_ts_collisions(spark, tmp_path):
+    """r8 (VERDICT r7 task 6): the r7 collision fixture pinned the
+    STREAMING funnel; this pins the BATCH side of the parity pair —
+    event_funnel on the same descending-event_id-physical-order
+    fixture (equal-ts stage collisions, duplicate same-ts stages)
+    must hand-compute correctly on Spark AND match the DuckDB oracle
+    over the identical parquet, so neither engine can fall back to
+    input order."""
+    import datetime
+    import os
+
+    import duckdb
+
+    from mspr2_back_spark.plans.workloads import FUNNEL_STAGES, event_funnel
+    from mspr2_back_spark.plans.workloads_oracle import WORKLOAD_ORACLE_SQL
+
+    T0 = datetime.datetime(2024, 5, 1, 8, 0, 0)
+    H = datetime.timedelta(hours=1)
+    rows = [
+        # user 3: click(21) and view(22) collide at T0+1h — strict
+        # t > tprev stops the user at stage 2 (view) regardless of
+        # physical order.
+        (20, T0, 3, "signup", 0.0, None),
+        (21, T0 + H, 3, "click", 0.0, None),
+        (22, T0 + H, 3, "view", 0.0, None),
+        # user 4: duplicate view at the same ts, then full conversion.
+        (30, T0, 4, "signup", 0.0, None),
+        (31, T0 + H, 4, "view", 0.0, None),
+        (32, T0 + H, 4, "view", 0.0, None),
+        (33, T0 + 2 * H, 4, "click", 0.0, None),
+        (34, T0 + 3 * H, 4, "purchase", 9.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "bfunnel_collide")
+    os.makedirs(sf, exist_ok=True)
+    df.orderBy(F.desc("event_id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "events.parquet"))
+
+    batch = event_funnel(spark, sf).collect()[0]
+    # signup: 3,4; view: user 3 stops here, user 4 passes on
+    expected = {"n_users": 2, "reached_signup": 2, "reached_view": 2,
+                "reached_click": 1, "reached_purchase": 1}
+    got = {c: batch[c] for c in expected}
+    assert got == expected
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf, 'events.parquet')}/*.parquet'"
+    )
+    orow = con.execute(WORKLOAD_ORACLE_SQL["event_funnel"]).fetchall()[0]
+    ocols = [d[0] for d in con.description]
+    assert dict(zip(ocols, orow)) == {c: batch[c] for c in ocols}
+    con.close()
