@@ -35,6 +35,7 @@ siblings — per-doc constant cost, scan-parallel, shuffle-free.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from typing import Any
 
 import numpy as np
@@ -153,7 +154,16 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman assignment (T.81 C.2): symbol → (code, length)."""
+    """Canonical Huffman assignment (T.81 C.2): symbol → (code, length).
+    Cached on the table definition — the Annex K tables recur on
+    every encode call."""
+    return _canonical_codes_cached(tuple(bits), tuple(vals))
+
+
+@lru_cache(maxsize=64)
+def _canonical_codes_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     idx = 0
@@ -166,12 +176,61 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol, for the bit-serial decoder."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, vals).items()
-    }
+class _HuffTable:
+    """Decoder-side Huffman table: the bit-serial ``(length, code) →
+    symbol`` map (exact semantics at stream tails / restart
+    boundaries) plus a 16-bit-peek LUT — ``lut[next16bits]`` packs
+    ``(code_length << 8) | symbol`` (0 = invalid prefix), so the hot
+    path decodes any symbol with one list index instead of up to 16
+    ``read_bit`` calls. Canonical codes are ≤ 16 bits (T.81 C.2), so
+    the peek window is total."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, map: dict[tuple[int, int], int], lut: list[int]):
+        self.map = map
+        self.lut = lut
+
+
+@lru_cache(maxsize=64)
+def _huff_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> list[int]:
+    """Build the 65536-entry peek LUT for one DHT definition. Cached
+    on the segment contents: every Annex-K-encoded corpus shares 4
+    tables, so this builds a handful of times per executor ever."""
+    arr = np.zeros(65536, dtype=np.int32)
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            arr[base : base + (1 << (16 - length))] = (length << 8) | vals[idx]
+            code += 1
+            idx += 1
+        code <<= 1
+    return arr.tolist()
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """Huffman table for the decoder (bit-serial map + peek LUT).
+    Cached on the DHT contents: rebuilding the map + LUT per decoded
+    document measured ~350 µs/doc on small images — a third of the
+    whole decode."""
+    return _decode_table_cached(tuple(bits), tuple(vals))
+
+
+@lru_cache(maxsize=64)
+def _decode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> _HuffTable:
+    return _HuffTable(
+        {
+            (length, code): sym
+            for sym, (code, length) in _canonical_codes_cached(
+                bits, vals
+            ).items()
+        },
+        _huff_lut(bits, vals),
+    )
 
 
 class _BitWriter:
@@ -189,6 +248,11 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # Drop the emitted high bits: without this the accumulator
+        # keeps every bit ever written and the left-shift above goes
+        # quadratic in stream length (measured: 143 ms to encode a
+        # 128×96 block at ~30 KB of entropy output).
+        self.acc &= (1 << self.nbits) - 1
 
     def align(self) -> None:
         """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
@@ -214,6 +278,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # Truncate consumed high bits first: the accumulator otherwise
+        # keeps every bit ever read and the shift below goes quadratic
+        # in stream length (measured: 12 s to decode a 100 KB scan).
+        self.acc &= (1 << self.nbits) - 1
         while self.nbits <= 24 and self.pos < len(self.data):
             byte = self.data[self.pos]
             self.pos += 1
@@ -254,16 +322,35 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
+        if self.nbits < n:
+            self._fill()
+        if self.nbits >= n:
+            self.nbits -= n
+            return (self.acc >> self.nbits) & ((1 << n) - 1)
+        # stream tail: bit-serial zero-pad semantics
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+    def read_symbol(self, table: _HuffTable) -> int:
+        if self.nbits < 16:
+            self._fill()
+        n = self.nbits
+        if n >= 16:
+            v = table.lut[(self.acc >> (n - 16)) & 0xFFFF]
+            length = v >> 8
+            if not length:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            self.nbits = n - length
+            return v & 0xFF
+        # < 16 buffered bits: a restart marker or the stream end is
+        # adjacent — fall back to exact bit-serial decoding (zero-pad
+        # past the end, _Restart only once the buffer is drained).
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+            sym = table.map.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")
@@ -426,17 +513,25 @@ def encode_jpeg(
     prev_dc = [0] * ncomp
 
     def write_block(ci: int, zz: np.ndarray) -> None:
-        diff = int(zz[0]) - prev_dc[ci]
-        prev_dc[ci] = int(zz[0])
+        # one tolist() then plain-int work: per-element numpy scalar
+        # indexing dominated the encode profile
+        vals = zz.tolist()
+        dc = vals[0]
+        diff = dc - prev_dc[ci]
+        prev_dc[ci] = dc
         size, mag = _magnitude(diff) if diff else (0, 0)
         code, length = dc_codes[ci][size]
         writer.write(code, length)
         if size:
             writer.write(mag, size)
         run = 0
-        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-        for k in range(1, 64):
-            v = int(zz[k])
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if vals[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = vals[k]
             if v == 0:
                 run += 1
                 continue
@@ -636,10 +731,14 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     prev_dc = [0] * ncomp
 
     def read_block(ci: int, zz: np.ndarray) -> None:
-        zz[:] = 0  # clear any partial fill from a restart abort
+        # decode into a plain list, one vectorized row-assign at the
+        # end — per-coefficient numpy scalar stores dominated the
+        # profile; a _Restart abort leaves the row untouched and the
+        # retry overwrites it whole
+        vals = [0] * 64
         size = reader.read_symbol(comp_dc[ci])
         prev_dc[ci] += _extend(reader.read_bits(size), size)
-        zz[0] = prev_dc[ci]
+        vals[0] = prev_dc[ci]
         k = 1
         while k < 64:
             rs = reader.read_symbol(comp_ac[ci])
@@ -652,8 +751,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             k += run
             if k > 63:
                 raise ValueError("AC coefficient index overflow")
-            zz[k] = _extend(reader.read_bits(size), size)
+            vals[k] = _extend(reader.read_bits(size), size)
             k += 1
+        zz[:] = vals
 
     mcu = 0
     mcu_since_restart = 0
