@@ -265,6 +265,46 @@ PIPELINE_ORACLE_SQL["dedup_clusters"] = (
     "FROM lab\n"
 )
 
+# leakage_safe_splits: the dedup_clusters component labels (LEFT
+# join so singletons label themselves), then the SAME md5-nibble
+# bucket arithmetic as the Spark side (first 4 nibbles mod 20 →
+# 18/1/1 train/val/test) on the cluster label — a pure function of
+# the label, so the no-cluster-spans-splits invariant holds in the
+# oracle by the same construction.
+PIPELINE_ORACLE_SQL["leakage_safe_splits"] = (
+    PIPELINE_ORACLE_SQL["dedup_clusters"].replace(
+        "SELECT node AS doc_id, cluster AS cluster_id,\n"
+        "       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size\n"
+        "FROM lab\n",
+        "",
+    )
+    + """,
+assigned AS (
+  SELECT d.doc_id,
+         COALESCE(lab.cluster, d.doc_id) AS cluster_id,
+         d.text
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+),
+bk AS (
+  SELECT doc_id, cluster_id, text,
+         ((strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1)) % 20
+           AS bucket
+  FROM assigned
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 18 THEN 'train'
+            WHEN bucket = 18 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS INT) AS n_tokens
+FROM bk
+ORDER BY doc_id
+"""
+)
+
 _EX_CTE = """
 WITH words AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

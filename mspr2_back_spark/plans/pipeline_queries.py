@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mspr2_back_spark.functions.text import (
+    WORDS,
     fingerprints,
     predicted_lang,
     quality_features,
@@ -391,6 +392,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can never leak a near-dup pair
+    across splits: docs are split at the DEDUP-CLUSTER level, not the
+    document level. Every doc gets its connected-component label from
+    the MinHash-verified pair graph (singletons label themselves),
+    and the split is a pure function of that label — portable md5
+    arithmetic, first 4 nibbles mod 20 → 18/1/1 train/val/test — so
+    all members of a cluster travel together by construction; the
+    standard random-split mistake (a val doc whose near-twin is in
+    train) is structurally impossible.
+
+    Scale shape: the only heavy work is the clustering itself (same
+    plan as ``dedup_clusters``); the assignment adds one LEFT join
+    doc→label on doc_id (labels ≪ docs — only docs with a near-dup
+    edge appear) and a map-side hash of the label. No extra shuffle,
+    no sort: split quotas hold in expectation per cluster, exactly
+    what a 100 TB corpus wants (exact quotas would force a global
+    sort on a value the clusters must be allowed to straddle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.near_dup_clusters(
+        dedup.minhash_lsh_pairs(docs, MINHASH_THRESHOLD)
+    )
+    d = docs.select("doc_id", "text")
+    assigned = (
+        d.join(labels, d.doc_id == labels.node, "left")
+        .select(
+            d.doc_id,
+            F.coalesce(labels.cluster, d.doc_id).alias("cluster_id"),
+            F.col("text"),
+        )
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 4),"
+        " 16, 10) AS INT) % 20"
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 18, F.lit("train"))
+        .when(bucket == 18, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        F.size(F.expr(WORDS)).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: per-document fraction of word-
     3-gram spans shared with any other document."""
@@ -614,6 +661,7 @@ PIPELINE_QUERIES = {
     "ml_forecast_ar": ml_forecast_ar,
     "ml_forecast_ar_exact": ml_forecast_ar_exact,
     "dedup_clusters": dedup_clusters,
+    "leakage_safe_splits": leakage_safe_splits,
     "repeated_spans": repeated_spans,
     "contamination_screen": contamination_screen,
     "pii_scrub": pii_scrub,

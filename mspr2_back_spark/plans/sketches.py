@@ -398,8 +398,130 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_SUFFIX_NIBBLES = 12  # 48-bit rho window after the register byte
+HLL_RHO_MAX = 4 * HLL_SUFFIX_NIBBLES + 1
+# 2^(RHO_MAX) scaling turns SUM(2^-M_j) into an exact BIGINT:
+# each register contributes 2^(RHO_MAX - M_j), empty ones 2^RHO_MAX.
+HLL_SCALE = 1 << HLL_RHO_MAX
+
+
+def hll_estimate_sql() -> str:
+    """HyperLogLog estimate over columns ``sum_scaled`` (the exact
+    integer SUM(2^(49-M_j)) incl. empty registers) and ``zero_regs``.
+    One template evaluated verbatim by both engines: alpha_256 ·
+    m² · 2^49 / sum_scaled, replaced by linear counting
+    m·ln(m/zero_regs) in the small range (raw ≤ 2.5m, zeros
+    present) per Flajolet et al. §4. Identical literals → identical
+    IEEE doubles → the ROUND(…, 3) is hash-stable."""
+    alpha = (
+        "(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+        " + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))"
+    )
+    raw = (
+        f"({alpha} * CAST(65536 AS DOUBLE)"
+        f" * CAST({HLL_SCALE} AS DOUBLE) / CAST(sum_scaled AS DOUBLE))"
+    )
+    return (
+        f"ROUND(CASE WHEN {raw} <= CAST(640 AS DOUBLE)"
+        " AND zero_regs > 0"
+        " THEN CAST(256 AS DOUBLE)"
+        " * ln(CAST(256 AS DOUBLE) / CAST(zero_regs AS DOUBLE))"
+        f" ELSE {raw} END, 3)"
+    )
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event
+    type, register-exact in both engines — the hash-green twin of
+    ``approx_distinct_users`` (whose ``approx_count_distinct``
+    sketch is implementation-defined and therefore rows-only at the
+    driver).
+
+    Register assignment is portable md5 arithmetic (the same
+    engine-neutral trick as the CMS grid): md5(user_id) hex nibbles
+    1–2 pick one of 256 registers, nibbles 3–14 form a 48-bit window
+    whose leading-zero count (+1) is the register's rho. The
+    per-type register state folds to ONE exact integer —
+    sum_scaled = SUM over registers of 2^(49−M_j) (2^49 for empty
+    ones) — so the driver hash pins every register value, not just
+    the float estimate; the estimate column applies the shared
+    alpha/linear-counting template (``hll_estimate_sql``) to that
+    integer, rounded at 3 dp.
+
+    This is the 100 TB distinct-count shape: partial aggregation
+    collapses each map task to ≤ 256 rows per event type before the
+    exchange (the HLL merge IS max-per-register, which Spark's
+    two-phase MAX performs for free), so the shuffle carries
+    O(types × 256) rows no matter how many billions of events are
+    scanned — unlike exact countDistinct, whose expand-based plan
+    ships every distinct (type, user) pair. The exact count is
+    joined alongside here to make the estimate's error visible and
+    oracle-checkable at test scale."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+    )
+    nib = ev.select(
+        "event_type",
+        F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)").alias("reg"),
+        F.expr(f"substring(h, 3, {HLL_SUFFIX_NIBBLES})").alias("sfx"),
+    )
+    lz = nib.select(
+        "event_type",
+        "reg",
+        "sfx",
+        F.expr("length(regexp_extract(sfx, '^(0*)', 1))").alias("lz"),
+    )
+    rho = lz.select(
+        "event_type",
+        "reg",
+        F.expr(
+            f"CASE WHEN lz >= {HLL_SUFFIX_NIBBLES} THEN {HLL_RHO_MAX} "
+            "ELSE lz * 4 + (CASE "
+            "WHEN CAST(conv(substring(sfx, lz + 1, 1), 16, 10) AS INT) >= 8 THEN 0 "
+            "WHEN CAST(conv(substring(sfx, lz + 1, 1), 16, 10) AS INT) >= 4 THEN 1 "
+            "WHEN CAST(conv(substring(sfx, lz + 1, 1), 16, 10) AS INT) >= 2 THEN 2 "
+            "ELSE 3 END) + 1 END"
+        ).alias("rho"),
+    )
+    regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
+    agg = regs.groupBy("event_type").agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("int").alias("zero_regs"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - mj)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(HLL_SCALE)
+        )
+        .cast("long")
+        .alias("sum_scaled"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        agg.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "zero_regs",
+            "sum_scaled",
+            F.expr(hll_estimate_sql()).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SKETCH_QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
+    "hll_distinct_users": hll_distinct_users,
     "tfidf_top_terms": tfidf_top_terms,
     "dedup_edit_distance": dedup_edit_distance,
     "bloom_prefilter_audit": bloom_prefilter_audit,

@@ -280,3 +280,66 @@ ORDER BY b.source
 
 
 SKETCH_ORACLE_SQL["corpus_datacard"] = _datacard_oracle_sql()
+
+
+def _hll_oracle_sql() -> str:
+    """Register-for-register HLL twin: the same md5-nibble register
+    pick and leading-zero rho as plans/sketches.hll_distinct_users,
+    the same exact-integer register fold, and the SAME estimate
+    template string (hll_estimate_sql) verbatim."""
+    from mspr2_back_spark.plans.sketches import (
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_SCALE,
+        HLL_SUFFIX_NIBBLES,
+        hll_estimate_sql,
+    )
+
+    nv = "(strpos('0123456789abcdef', substring(sfx, lz + 1, 1)) - 1)"
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+nib AS (
+  SELECT event_type,
+         (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS reg,
+         substring(h, 3, {HLL_SUFFIX_NIBBLES}) AS sfx
+  FROM h
+),
+lzc AS (
+  SELECT event_type, reg, sfx,
+         length(regexp_extract(sfx, '^(0*)', 1)) AS lz
+  FROM nib
+),
+rho AS (
+  SELECT event_type, reg,
+         CASE WHEN lz >= {HLL_SUFFIX_NIBBLES} THEN {HLL_RHO_MAX}
+              ELSE lz * 4 + (CASE WHEN {nv} >= 8 THEN 0
+                                  WHEN {nv} >= 4 THEN 1
+                                  WHEN {nv} >= 2 THEN 2
+                                  ELSE 3 END) + 1 END AS rho
+  FROM lzc
+),
+regs AS (SELECT event_type, reg, MAX(rho) AS mj FROM rho GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         CAST({HLL_M} - COUNT(*) AS INT) AS zero_regs,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - mj))
+              + ({HLL_M} - COUNT(*)) * CAST({HLL_SCALE} AS BIGINT)
+              AS BIGINT) AS sum_scaled
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT agg.event_type, ex.exact_users, agg.zero_regs, agg.sum_scaled,
+       {hll_estimate_sql()} AS hll_estimate
+FROM agg JOIN ex ON agg.event_type = ex.event_type
+ORDER BY agg.event_type
+"""
+
+
+SKETCH_ORACLE_SQL["hll_distinct_users"] = _hll_oracle_sql()

@@ -1795,3 +1795,48 @@ def test_unified_decode_seam_feeds_resize_and_features(spark, tmp_path):
     out = multimodal.decode_image_batch(pd.Series([png_p, jpg_p]))
     assert out.loc[0, "format"].startswith("png")
     assert out.loc[1, "format"].startswith("jpeg")
+
+
+def test_leakage_safe_splits_invariants(spark, sf_dir):
+    """Split assignment is cluster-atomic (no cluster spans two
+    splits — the leakage invariant), total, deterministic, and
+    roughly 90/5/5; singletons get their own label; every member of
+    a multi-doc cluster carries the same split as its cluster rep."""
+    from mspr2_back_spark.plans.pipeline_queries import (
+        dedup_clusters,
+        leakage_safe_splits,
+    )
+
+    out = leakage_safe_splits(spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == docs_n  # total: every doc assigned exactly once
+    # cluster-atomicity: one split per cluster_id
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the cluster labels agree with dedup_clusters for clustered docs
+    clustered = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    assigned = {r.doc_id: r.cluster_id for r in out}
+    for doc_id, cl in clustered.items():
+        assert assigned[doc_id] == cl
+    # singletons label themselves
+    for doc_id, cl in assigned.items():
+        if doc_id not in clustered:
+            assert cl == doc_id
+    # quotas: hash mod 20 -> 18/1/1; allow generous binomial slack
+    n = len(out)
+    frac = {
+        s: sum(1 for r in out if r.split == s) / n
+        for s in ("train", "val", "test")
+    }
+    assert frac["train"] > 0.8
+    assert 0 < frac["val"] < 0.15
+    assert 0 < frac["test"] < 0.15
+    # at least one multi-doc cluster exercised the atomicity clause
+    assert any(len([r for r in out if r.cluster_id == c]) > 1 for c in by_cluster)
+    # deterministic: a second run is identical
+    again = {r.doc_id: (r.cluster_id, r.split) for r in leakage_safe_splits(spark, sf_dir).collect()}
+    assert again == {r.doc_id: (r.cluster_id, r.split) for r in out}

@@ -248,3 +248,62 @@ def test_datacard_accounting_is_consistent(spark, sf_dir):
         assert 0.0 < r.top_lang_share <= 1.0
         assert 0.0 <= r.dup_candidate_rate <= 1.0
         assert r.median_tokens > 0 and r.total_tokens >= r.median_tokens
+
+
+def test_hll_registers_match_reference_python(spark, sf_dir):
+    """The Spark HLL register fold reproduces a straightforward
+    Python HLL (md5 → register/rho → max) register-for-register:
+    sum_scaled and zero_regs are exact integers, and the estimate
+    column applies the shared template to them."""
+    import hashlib
+    import math
+
+    from mspr2_back_spark.plans.sketches import (
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_SCALE,
+        HLL_SUFFIX_NIBBLES,
+        hll_distinct_users,
+    )
+
+    out = {r.event_type: r for r in hll_distinct_users(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for r in ev:
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()
+        reg = int(h[:2], 16)
+        sfx = h[2 : 2 + HLL_SUFFIX_NIBBLES]
+        v = int(sfx, 16)
+        rho = (
+            HLL_RHO_MAX
+            if v == 0
+            else 4 * HLL_SUFFIX_NIBBLES - v.bit_length() + 1
+        )
+        by = regs.setdefault(r.event_type, {})
+        by[reg] = max(by.get(reg, 0), rho)
+        exact.setdefault(r.event_type, set()).add(r.user_id)
+    assert set(out) == set(regs)
+    for et, by in regs.items():
+        zero = HLL_M - len(by)
+        sum_scaled = (
+            sum(1 << (HLL_RHO_MAX - mj) for mj in by.values())
+            + zero * HLL_SCALE
+        )
+        row = out[et]
+        assert row.zero_regs == zero
+        assert row.sum_scaled == sum_scaled
+        assert row.exact_users == len(exact[et])
+        alpha = 0.7213 / (1 + 1.079 / 256)
+        raw = alpha * 65536.0 * float(HLL_SCALE) / float(sum_scaled)
+        est = 256.0 * math.log(256.0 / zero) if (raw <= 640.0 and zero > 0) else raw
+        assert abs(row.hll_estimate - round(est, 3)) < 1e-9
+        # m=256 ⇒ RSE ≈ 6.5%; assert a loose 4-sigma envelope so the
+        # estimate is demonstrably an estimate OF the exact count
+        assert abs(row.hll_estimate - row.exact_users) < 0.26 * row.exact_users + 3

@@ -96,6 +96,8 @@ DUCKDB_ONLY = {
     "bloom_prefilter_audit",  # strpos nibble bucket (Spark side uses conv())
     "ml_forecast_ar_exact",  # unnest(generate_series) step explode
     "multimodal_decode_stats",  # unnest(generate_series) pixel grid
+    "hll_distinct_users",  # strpos nibble registers (Spark side uses conv())
+    "leakage_safe_splits",  # WITH RECURSIVE closure + strpos nibble bucket
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)
