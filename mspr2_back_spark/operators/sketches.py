@@ -37,6 +37,44 @@ from mspr2_back_spark.operators.sampling import portable_hash_bucket
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
+# Deterministic HyperLogLog geometry, shared by the batch query
+# (plans/sketches.hll_distinct_users), the streaming twin
+# (streaming/events.hll_registers_live), and the DuckDB oracle.
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_SUFFIX_NIBBLES = 12  # 48-bit rho window after the register byte
+HLL_RHO_MAX = 4 * HLL_SUFFIX_NIBBLES + 1
+# 2^RHO_MAX scaling turns SUM(2^-M_j) into an exact BIGINT: each
+# register contributes 2^(RHO_MAX - M_j), empty ones 2^RHO_MAX.
+HLL_SCALE = 1 << HLL_RHO_MAX
+
+
+def hll_register_cols(key: Column) -> tuple[Column, Column]:
+    """(register, rho) columns for the deterministic HLL: md5(key)
+    hex nibbles 1–2 pick one of 256 registers; nibbles 3–14 form a
+    48-bit window whose leading-zero count (+1) is rho. Engine-
+    portable md5 arithmetic — the DuckDB oracle mirrors it with
+    strpos nibble decoding, and a streaming MAX over (window, reg)
+    is exactly the HLL merge, so per-window register sets drained
+    from a stream max-merge into the corpus registers."""
+    h = F.md5(key.cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    sfx = F.substring(h, 3, HLL_SUFFIX_NIBBLES)
+    lz = F.length(F.regexp_extract(sfx, "^(0*)", 1))
+    fnz = F.conv(sfx.substr(lz + F.lit(1), F.lit(1)), 16, 10).cast("int")
+    clz = (
+        F.when(fnz >= 8, F.lit(0))
+        .when(fnz >= 4, F.lit(1))
+        .when(fnz >= 2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rho = (
+        F.when(lz >= HLL_SUFFIX_NIBBLES, F.lit(HLL_RHO_MAX))
+        .otherwise(lz * 4 + clz + 1)
+        .cast("int")
+    )
+    return reg, rho
+
 
 def _cell_structs(key: Column, depth: int, width: int) -> Column:
     """Array of (h, bucket) structs — one per hash row — for a key."""

@@ -398,13 +398,17 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HLL_P = 8  # 2^8 = 256 registers
-HLL_M = 1 << HLL_P
-HLL_SUFFIX_NIBBLES = 12  # 48-bit rho window after the register byte
-HLL_RHO_MAX = 4 * HLL_SUFFIX_NIBBLES + 1
-# 2^(RHO_MAX) scaling turns SUM(2^-M_j) into an exact BIGINT:
-# each register contributes 2^(RHO_MAX - M_j), empty ones 2^RHO_MAX.
-HLL_SCALE = 1 << HLL_RHO_MAX
+# HLL geometry + register/rho arithmetic live beside the CMS grid in
+# operators/sketches.py (shared with the streaming twin); re-exported
+# here for the oracle and tests.
+from mspr2_back_spark.operators.sketches import (  # noqa: E402
+    HLL_M,
+    HLL_P,
+    HLL_RHO_MAX,
+    HLL_SCALE,
+    HLL_SUFFIX_NIBBLES,
+    hll_register_cols,
+)
 
 
 def hll_estimate_sql() -> str:
@@ -459,36 +463,15 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships every distinct (type, user) pair. The exact count is
     joined alongside here to make the estimate's error visible and
     oracle-checkable at test scale."""
-    ev = (
+    reg_col, rho_col = hll_register_cols(F.col("user_id"))
+    rho = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select(
             "event_type",
-            F.md5(F.col("user_id").cast("string")).alias("h"),
+            reg_col.alias("reg"),
+            rho_col.alias("rho"),
         )
-    )
-    nib = ev.select(
-        "event_type",
-        F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)").alias("reg"),
-        F.expr(f"substring(h, 3, {HLL_SUFFIX_NIBBLES})").alias("sfx"),
-    )
-    lz = nib.select(
-        "event_type",
-        "reg",
-        "sfx",
-        F.expr("length(regexp_extract(sfx, '^(0*)', 1))").alias("lz"),
-    )
-    rho = lz.select(
-        "event_type",
-        "reg",
-        F.expr(
-            f"CASE WHEN lz >= {HLL_SUFFIX_NIBBLES} THEN {HLL_RHO_MAX} "
-            "ELSE lz * 4 + (CASE "
-            "WHEN CAST(conv(substring(sfx, lz + 1, 1), 16, 10) AS INT) >= 8 THEN 0 "
-            "WHEN CAST(conv(substring(sfx, lz + 1, 1), 16, 10) AS INT) >= 4 THEN 1 "
-            "WHEN CAST(conv(substring(sfx, lz + 1, 1), 16, 10) AS INT) >= 2 THEN 2 "
-            "ELSE 3 END) + 1 END"
-        ).alias("rho"),
     )
     regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("mj"))
     agg = regs.groupBy("event_type").agg(

@@ -666,6 +666,42 @@ def cms_cells_live(
     )
 
 
+def hll_registers_live(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Live deterministic-HLL register state: per-``window`` maximum
+    rho per register over a key column — the streaming twin of
+    plans/sketches.hll_distinct_users, sharing its md5 register/rho
+    arithmetic (operators/sketches.hll_register_cols).
+
+    Where ``dau_live`` leans on Spark's opaque
+    ``approx_count_distinct`` sketch, this exposes the register set
+    ITSELF as rows, which buys two things a black-box estimate
+    can't: (1) cross-engine determinism — the registers equal the
+    batch query's and the DuckDB oracle's value-for-value; (2)
+    time-partitioned mergeability — registers merge by MAX, so a
+    year of drained per-day register sets folds into any coarser
+    period's distinct estimate without rescanning events (the HLL
+    analogue of the CMS grid's sum-merge). State per in-flight
+    window is ≤ 256 rows regardless of key cardinality; a windowed
+    MAX is streaming-legal under the watermark because max is
+    order-insensitive and monotone under late arrivals."""
+    from mspr2_back_spark.operators.sketches import hll_register_cols
+
+    reg, rho = hll_register_cols(F.col(key_col))
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .select("ts", reg.alias("reg"), rho.alias("rho"))
+        .groupBy(F.window("ts", window).alias("win"), "reg")
+        .agg(F.max("rho").alias("mj"))
+        .select(F.col("win.start").cast("date").alias("day"), "reg", "mj")
+    )
+
+
 def dau_live(
     events: DataFrame,
     watermark: str = "2 hours",

@@ -1085,3 +1085,75 @@ def test_gold_upsert_soak_bounded_files_and_bytes(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(gold).collect()
     }
     assert got == expected
+
+
+def test_hll_registers_live_parity_and_max_merge(spark, sf_dir, tmp_path):
+    """The streaming HLL register state (1) reproduces the batch
+    per-day registers EXACTLY — same md5 register/rho arithmetic,
+    order-insensitive MAX state; (2) max-merges across days into the
+    corpus register set, the time-partitioned mergeability the CMS
+    sum-merge test pins for counts; (3) the merged registers fold
+    through the shared estimate template to within the m=256 error
+    envelope of true distinct."""
+    import math
+
+    from mspr2_back_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_SCALE,
+        hll_register_cols,
+    )
+
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_stream_hll")
+    src.write.mode("overwrite").parquet(stream_dir)
+    stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+    live = stream_events.hll_registers_live(stream)
+    stream_events.run_to_memory(live, "hll_live", mode="update")
+
+    got = {}
+    for r in spark.table("hll_live").collect():
+        # update mode re-emits a (day, reg) on every raise; keep max
+        k = (r.day, r.reg)
+        got[k] = max(got.get(k, 0), r.mj)
+    reg, rho = hll_register_cols(F.col("user_id"))
+    batch = {
+        (r.day, r.reg): r.mj
+        for r in src.filter(F.col("user_id").isNotNull())
+        .select(F.col("ts").cast("date").alias("day"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("mj"))
+        .collect()
+    }
+    assert got == batch
+
+    # max-merge the drained days -> corpus registers
+    merged: dict[int, int] = {}
+    for (_, r), mj in got.items():
+        merged[r] = max(merged.get(r, 0), mj)
+    corpus = {
+        r.reg: r.mj
+        for r in src.filter(F.col("user_id").isNotNull())
+        .select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mj"))
+        .collect()
+    }
+    assert merged == corpus
+
+    # fold merged registers through the estimate and bound vs truth
+    zero = HLL_M - len(merged)
+    sum_scaled = (
+        sum(1 << (HLL_RHO_MAX - mj) for mj in merged.values()) + zero * HLL_SCALE
+    )
+    alpha = 0.7213 / (1 + 1.079 / 256)
+    raw = alpha * 65536.0 * float(HLL_SCALE) / float(sum_scaled)
+    est = 256.0 * math.log(256.0 / zero) if (raw <= 640.0 and zero > 0) else raw
+    exact = (
+        src.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) < 0.26 * exact + 3
+    shutil.rmtree(stream_dir, ignore_errors=True)
