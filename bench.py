@@ -90,6 +90,10 @@ HEADLINE = [
     # the documented hot path — SCALING.md "JPEG decode throughput")
     "zorder_locality_audit",
     "multimodal_jpeg_meta",
+    # late round 8: the deterministic HLL's flat-exchange claim gets a
+    # per-round floor (SCALING.md shows it flat across 64x data; the
+    # bench guards the constant factor)
+    "hll_distinct_users",
 ]
 
 # Queries benched in the PREVIOUS round's headline set — their
