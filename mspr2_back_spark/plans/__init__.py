@@ -49,26 +49,28 @@ ORACLE_SQL = {
 #    JPEG marker path under the driver hash, VERDICT r7 task 3);
 #    multimodal_meta's decode dispatch gained KeyError fallback
 #    (r8 ADVICE medium) — behavior on the corpus is unchanged but
-#    the code path is, so it re-verifies; late-r8 adds two more NEW
+#    the code path is, so it re-verifies; late-r8 adds three more NEW
 #    registrations — hll_distinct_users (deterministic HLL, the
-#    hash-green twin of the rows-only approx_distinct_users) and
-#    leakage_safe_splits (cluster-level train/val/test assignment);
+#    hash-green twin of the rows-only approx_distinct_users),
+#    leakage_safe_splits (cluster-level train/val/test assignment),
+#    and split_contamination_audit (the residual span-level leakage
+#    the cluster-atomic split does NOT close, measured);
 # 3. ALL 42 queries whose latest driver verdict is round 5 — the
 #    full backlog COVERAGE.md precomputed at r7 close (minus
 #    cms_heavy_hitters already at slot 1, minus nothing else), so
 #    after this round every registered query's latest verdict is
-#    <= 2 rounds old. cms(1) + changed(4) + stale(41) = 46;
-# 4. the remaining 4 slots are spent DELIBERATELY on r6-verdict
+#    <= 2 rounds old. cms(1) + changed(5) + stale(41) = 47;
+# 4. the remaining 3 slots are spent DELIBERATELY on r6-verdict
 #    queries (dict order would waste 3 of them on already-fresh r7
-#    verdicts): revenue_by_nation (the joins staple),
-#    dedup_minhash_lsh (its r6 signature rework deserves
+#    verdicts): dedup_minhash_lsh (its r6 signature rework deserves
 #    a second verdict), ml_forecast_ar_exact (the M5 green half),
 #    and funnel_latency (its persist was A/B'd against
 #    localCheckpoint in r8 — plan unchanged after the measured
-#    revert, but the verdict refresh documents that). Two of the six
-#    originally planned refreshes (year_week_rollup_join,
-#    urgent_semijoin) ceded their slots to the late-r8 registrations
-#    and join the round-9 obligation (43 + 2 = 45; see COVERAGE.md).
+#    revert, but the verdict refresh documents that). Three of the
+#    six originally planned refreshes (year_week_rollup_join,
+#    urgent_semijoin, revenue_by_nation) ceded their slots to the
+#    late-r8 registrations and join the round-9 obligation
+#    (43 + 3 = 46; see COVERAGE.md).
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
     # -- the one registered plan with no driver verdict on record --
@@ -78,6 +80,7 @@ _SWEEP_FIRST = [
     "multimodal_meta",  # r8: dispatch KeyError fallback (ADVICE medium)
     "hll_distinct_users",  # r8: NEW — deterministic HLL registers vs md5-nibble SQL
     "leakage_safe_splits",  # r8: NEW — cluster-level split assignment vs recursive-CTE SQL
+    "split_contamination_audit",  # r8: NEW — residual span leakage across splits
     # -- latest verdict is round 5 — the full 41-query refresh --
     "ann_batch_topk",
     "ann_quantized_topk",
@@ -120,11 +123,11 @@ _SWEEP_FIRST = [
     "waiting_orders_by_supplier",
     "weekly_rollup",
     "weighted_sample_fixed_k",
-    # -- deliberate r6-verdict refreshes for the 4 remaining slots
-    # (two of the six originally planned ceded their slots to the
-    # late-r8 registrations above; year_week_rollup_join and
-    # urgent_semijoin stay r6-age and join the round-9 obligation) --
-    "revenue_by_nation",
+    # -- deliberate r6-verdict refreshes for the 3 remaining slots
+    # (three of the six originally planned ceded their slots to the
+    # late-r8 registrations above; year_week_rollup_join,
+    # urgent_semijoin, and revenue_by_nation stay r6-age and join the
+    # round-9 obligation) --
     "dedup_minhash_lsh",
     "ml_forecast_ar_exact",
     "funnel_latency",

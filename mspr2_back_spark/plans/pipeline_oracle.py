@@ -305,6 +305,76 @@ ORDER BY doc_id
 """
 )
 
+# split_contamination_audit: the same closure + split chain, then the
+# standard distinct-3-gram shingle CTEs carrying the split label, a
+# per-shingle in-train verdict (MAX over the flag — the oracle's form
+# of the Spark side's partial-agg'ed verdict), and the per-doc /
+# per-split folds.
+PIPELINE_ORACLE_SQL["split_contamination_audit"] = (
+    PIPELINE_ORACLE_SQL["dedup_clusters"].replace(
+        "SELECT node AS doc_id, cluster AS cluster_id,\n"
+        "       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size\n"
+        "FROM lab\n",
+        "",
+    )
+    + """,
+assigned2 AS (
+  SELECT d.doc_id,
+         COALESCE(lab.cluster, d.doc_id) AS cluster_id,
+         d.text
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+),
+sp AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 18 THEN 'train'
+              WHEN b = 18 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+           ((strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1)) % 20
+             AS b
+    FROM assigned2
+  )
+),
+w2 AS (
+  SELECT doc_id, split,
+         list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM sp
+),
+sh2 AS (
+  SELECT doc_id, split,
+         list_distinct(CASE WHEN len(w) >= 3 THEN
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [array_to_string(w, ' ')] END) AS shingles
+  FROM w2
+),
+ex2 AS (SELECT doc_id, split, unnest(shingles) AS s FROM sh2),
+verdict AS (
+  SELECT s, MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train
+  FROM ex2 GROUP BY s
+),
+per_doc AS (
+  SELECT e.split, e.doc_id,
+         COUNT(*) AS n_spans,
+         SUM(v.in_train) AS n_shared
+  FROM ex2 e JOIN verdict v ON e.s = v.s
+  WHERE e.split <> 'train'
+  GROUP BY e.split, e.doc_id
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaking_docs,
+       ROUND(AVG(CAST(n_shared AS DOUBLE) / n_spans), 6)
+         AS mean_span_overlap
+FROM per_doc GROUP BY split ORDER BY split
+"""
+)
+
 _EX_CTE = """
 WITH words AS (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

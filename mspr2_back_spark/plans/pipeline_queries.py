@@ -392,6 +392,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_assignments(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, split, text): the cluster-atomic
+    train/val/test assignment shared by ``leakage_safe_splits`` and
+    ``split_contamination_audit`` — connected-component label
+    (singletons self-label), split = md5-nibble(label) mod 20 →
+    18/1/1."""
+    labels = dedup.near_dup_clusters(
+        dedup.minhash_lsh_pairs(docs, MINHASH_THRESHOLD)
+    )
+    d = docs.select("doc_id", "text")
+    assigned = d.join(labels, d.doc_id == labels.node, "left").select(
+        d.doc_id,
+        F.coalesce(labels.cluster, d.doc_id).alias("cluster_id"),
+        F.col("text"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 4),"
+        " 16, 10) AS INT) % 20"
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 18, F.lit("train"))
+        .when(bucket == 18, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "text",
+    )
+
+
 def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment that can never leak a near-dup pair
     across splits: docs are split at the DEDUP-CLUSTER level, not the
@@ -411,31 +441,65 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a 100 TB corpus wants (exact quotas would force a global
     sort on a value the clusters must be allowed to straddle)."""
     docs = load_table(spark, sf_dir, "documents")
-    labels = dedup.near_dup_clusters(
-        dedup.minhash_lsh_pairs(docs, MINHASH_THRESHOLD)
-    )
-    d = docs.select("doc_id", "text")
-    assigned = (
-        d.join(labels, d.doc_id == labels.node, "left")
-        .select(
-            d.doc_id,
-            F.coalesce(labels.cluster, d.doc_id).alias("cluster_id"),
-            F.col("text"),
-        )
-    )
-    bucket = F.expr(
-        "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 4),"
-        " 16, 10) AS INT) % 20"
-    )
-    return assigned.select(
+    return _split_assignments(docs).select(
         "doc_id",
         "cluster_id",
-        F.when(bucket < 18, F.lit("train"))
-        .when(bucket == 18, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
+        "split",
         F.size(F.expr(WORDS)).alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-leakage audit for the cluster-atomic split:
+    ``leakage_safe_splits`` guarantees no MinHash-verified near-dup
+    pair straddles splits, but SPAN-level overlap below the Jaccard
+    threshold still can — a val doc quoting one paragraph of a train
+    doc leaks eval signal without ever becoming a near-dup pair.
+    Per held-out split (val/test): how many docs share ANY distinct
+    word-3-gram span with the train split, and the mean per-doc
+    fraction of spans shared.
+
+    Plan shape for 100 TB: the train shingle set is ~90% of the
+    corpus, so the benchmark-screen trick (broadcast the small side)
+    does NOT apply — instead one groupBy(shingle) computes an
+    in-train verdict per shingle (partial-agg'ed MAX, shuffle ∝
+    distinct shingles), and the held-out rows join it ON the same
+    shingle key, reusing the exchange's partitioning. Two shuffles
+    proportional to shingle cardinality, one tiny per-(split, doc)
+    fold — never a corpus-sized broadcast, never a pair join."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = _split_assignments(docs)
+    ex = dedup.shingles_exploded(dedup._spread(splits))
+    exs = ex.join(
+        splits.select(F.col("doc_id").alias("doc"), "split"), "doc"
+    )
+    verdict = exs.groupBy("shingle").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        )
+    )
+    holdout = exs.filter(F.col("split") != "train")
+    per_doc = (
+        holdout.join(verdict, "shingle")
+        .groupBy("split", "doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("in_train").alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_shared") > 0, 1).otherwise(0)).alias(
+                "n_leaking_docs"
+            ),
+            F.round(
+                F.avg(F.col("n_shared").cast("double") / F.col("n_spans")), 6
+            ).alias("mean_span_overlap"),
+        )
+        .orderBy("split")
+    )
 
 
 def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +726,7 @@ PIPELINE_QUERIES = {
     "ml_forecast_ar_exact": ml_forecast_ar_exact,
     "dedup_clusters": dedup_clusters,
     "leakage_safe_splits": leakage_safe_splits,
+    "split_contamination_audit": split_contamination_audit,
     "repeated_spans": repeated_spans,
     "contamination_screen": contamination_screen,
     "pii_scrub": pii_scrub,

@@ -98,6 +98,7 @@ DUCKDB_ONLY = {
     "multimodal_decode_stats",  # unnest(generate_series) pixel grid
     "hll_distinct_users",  # strpos nibble registers (Spark side uses conv())
     "leakage_safe_splits",  # WITH RECURSIVE closure + strpos nibble bucket
+    "split_contamination_audit",  # closure + shingle list macros
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)
