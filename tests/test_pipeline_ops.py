@@ -1568,6 +1568,60 @@ class TestJpegCodec:
         assert (out.loc[0, "width"], out.loc[0, "height"]) == (10, 6)
         assert out.loc[1, "format"] == "fake/deterministic"
 
+    def test_marker_walk_closed_forms_beyond_meta_grid(self):
+        """The independent marker walk behind multimodal_jpeg_meta
+        (SOF0 dims, DRI segment, stuffing-aware RSTn census) pinned
+        against the closed forms OUTSIDE the registered query's
+        doc_id grid: dims past its 13–35/9–25 window, dri=5/7 (the
+        query only exercises 0–3), MCU-exact and sub-MCU shapes, and
+        q=100 noise whose entropy is dense in stuffed 0xFF bytes —
+        a census that trusted raw byte pairs would overcount there."""
+        import numpy as np
+
+        from mspr2_back_spark.operators.jpeg import encode_jpeg
+        from mspr2_back_spark.operators.multimodal import (
+            _parse_jpeg_markers,
+        )
+
+        rng = np.random.default_rng(11)
+        cases = [
+            (64, 48, "gray", 5, 90),  # dri past the query grid
+            (64, 48, "420", 7, 90),
+            (16, 16, "420", 1, 90),  # exactly one 16-px MCU row pair
+            (7, 5, "444", 2, 90),  # smaller than one MCU
+            (40, 24, "444", 3, 100),  # q100 noise: stuffed-0xFF dense
+            (33, 17, "420", 2, 100),  # q100 + 4:2:0 partial MCUs
+            (24, 24, "gray", 0, 95),  # dri=0: no DRI, no RSTn
+        ]
+        for w, h, mode, dri, q in cases:
+            if mode == "gray":
+                img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+                kw = {}
+            else:
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                kw = {"subsampling": mode}
+            enc = encode_jpeg(img, quality=q, restart_interval=dri, **kw)
+            pw, ph, n_mcus, p_dri, n_rst = _parse_jpeg_markers(enc)
+            mcu_px = 16 if mode == "420" else 8
+            want_mcus = -(-w // mcu_px) * -(-h // mcu_px)
+            assert (pw, ph) == (w, h)
+            assert p_dri == dri
+            assert n_mcus == want_mcus
+            assert n_rst == (0 if dri == 0 else (want_mcus - 1) // dri)
+            if dri:
+                # the census must also see the markers CYCLING D0..D7
+                # in order (T.81 E.1.2), not merely count them
+                seq, pos = [], enc.index(b"\xff\xda")
+                while pos + 1 < len(enc):
+                    if enc[pos] == 0xFF and 0xD0 <= enc[pos + 1] <= 0xD7:
+                        seq.append(enc[pos + 1] - 0xD0)
+                        pos += 2
+                    elif enc[pos] == 0xFF and enc[pos + 1] == 0xD9:
+                        break
+                    else:
+                        pos += 1
+                assert seq == [i % 8 for i in range(len(seq))]
+
 
 def test_jpeg_grayscale_roundtrip():
     """Single-component JPEG: the decoder's ncomp==1 branch expands
