@@ -1708,6 +1708,32 @@ def test_jpeg_dri_restart_roundtrip_bit_identical():
             assert np.array_equal(px, base), (kw, interval)
 
 
+def test_jpeg_dri_stuffed_pad_byte_before_marker():
+    """The nastiest DRI byte sequence: when an interval's final
+    entropy bits plus the 1-fill pad form 0xFF, the encoder must
+    emit it STUFFED (FF 00) and only then the restart marker — so
+    the stream contains FF 00 FF Dn — and the decoder must treat the
+    stuffed byte as (discardable pad) data, not a marker. This exact
+    configuration produces that sequence deterministically (asserted,
+    so the fixture goes stale loudly if encode changes) and a 300-
+    case randomized sweep found the pattern 58 times, all
+    bit-identical; this pins one such case in the suite."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = (
+        np.random.default_rng(0).integers(0, 256, (24, 32, 3))
+    ).astype(np.uint8)
+    enc = encode_jpeg(img, quality=95, restart_interval=1, subsampling="444")
+    assert any(
+        bytes([0xFF, 0x00, 0xFF, 0xD0 + n]) in enc for n in range(8)
+    ), "fixture no longer produces a stuffed pad byte before an RSTn"
+    plain, _ = decode_jpeg(encode_jpeg(img, quality=95, subsampling="444"))
+    px, _ = decode_jpeg(enc)
+    assert np.array_equal(px, plain)
+
+
 def test_jpeg_undefined_table_raises_value_error_and_batch_falls_back():
     """r8 ADVICE (medium): a payload with JPEG magic whose SOF/SOS
     reference undefined quant/Huffman tables must raise ValueError
