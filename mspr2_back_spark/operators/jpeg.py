@@ -35,6 +35,7 @@ siblings — per-doc constant cost, scan-parallel, shuffle-free.
 from __future__ import annotations
 
 import struct
+import array
 from functools import lru_cache
 from typing import Any
 
@@ -181,22 +182,29 @@ class _HuffTable:
     symbol`` map (exact semantics at stream tails / restart
     boundaries) plus a 16-bit-peek LUT — ``lut[next16bits]`` packs
     ``(code_length << 8) | symbol`` (0 = invalid prefix), so the hot
-    path decodes any symbol with one list index instead of up to 16
+    path decodes any symbol with one index instead of up to 16
     ``read_bit`` calls. Canonical codes are ≤ 16 bits (T.81 C.2), so
     the peek window is total."""
 
     __slots__ = ("map", "lut")
 
-    def __init__(self, map: dict[tuple[int, int], int], lut: list[int]):
+    def __init__(self, map: dict[tuple[int, int], int], lut: array.array):
         self.map = map
         self.lut = lut
 
 
 @lru_cache(maxsize=64)
-def _huff_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> list[int]:
+def _huff_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> array.array:
     """Build the 65536-entry peek LUT for one DHT definition. Cached
     on the segment contents: every Annex-K-encoded corpus shares 4
-    tables, so this builds a handful of times per executor ever."""
+    tables, so this builds a handful of times per executor ever.
+    Stored as a stdlib ``array('i')`` (256 KiB) rather than a Python
+    list (~2.5 MB of boxed ints): the cache key is untrusted DHT
+    contents, so an adversarial corpus with 64 distinct tables would
+    otherwise pin ~160 MB per Python worker (r9 ADVICE). Unlike a
+    numpy ndarray (whose scalar indexing returns np.int32 and
+    measured 2× slower in the symbol hot loop even via ``.item``),
+    ``array('i')`` indexing returns plain Python ints at list speed."""
     arr = np.zeros(65536, dtype=np.int32)
     code = 0
     idx = 0
@@ -207,7 +215,7 @@ def _huff_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> list[int]:
             code += 1
             idx += 1
         code <<= 1
-    return arr.tolist()
+    return array.array("i", arr.tolist())
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
@@ -611,8 +619,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
-    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
     frame = None
     scan = None
     restart_interval = 0
@@ -778,7 +786,23 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                 # Byte-align by dropping the <8 pad bits the encoder
                 # wrote before the marker (all real entropy bits were
                 # consumed by the MCUs of this interval), then let
-                # _fill consume the RSTn and raise _Restart.
+                # _fill consume the RSTn and raise _Restart. Only
+                # discard buffered bits if the next bytes really ARE a
+                # restart marker: a stream that declares DRI but has
+                # the RSTn missing/misplaced (corrupt or foreign
+                # encoder) would otherwise lose up to 7 real entropy
+                # bits and keep decoding desynchronized (r9 ADVICE).
+                # _fill backs up to the 0xFF when it stops at a
+                # restart with bits still buffered, so reader.pos
+                # points at the marker pair here.
+                if not (
+                    reader.pos + 1 < len(reader.data)
+                    and reader.data[reader.pos] == 0xFF
+                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+                ):
+                    raise ValueError(
+                        "expected restart marker in JPEG stream"
+                    )
                 reader.acc = 0
                 reader.nbits = 0
                 try:

@@ -315,6 +315,22 @@ def run_upsert_to_gold(
             # migration event, not steady state); any mismatch
             # refuses the merge and demands an explicit rebucket.
             existing = spark.read.parquet(gold_path)
+            # A genuinely foreign table may lack _bucket or the key
+            # columns entirely — surface that as the same descriptive
+            # cannot-adopt ValueError instead of letting the
+            # recompute-and-compare below die with an
+            # AnalysisException on the missing column (r9 ADVICE).
+            missing = [
+                c for c in ["_bucket", *keys] if c not in existing.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot adopt pre-meta gold table at {gold_path} "
+                    f"under n_buckets={n_buckets}, keys={list(keys)}: "
+                    f"existing table lacks column(s) {missing} — not a "
+                    "gold table built by this contract; rewrite it "
+                    "under the contract explicitly"
+                )
             bad = (
                 existing.withColumn(
                     "_expect", _gold_bucket(keys, n_buckets)

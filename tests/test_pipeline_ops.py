@@ -1734,6 +1734,95 @@ def test_jpeg_dri_stuffed_pad_byte_before_marker():
     assert np.array_equal(px, plain)
 
 
+def test_jpeg_missing_restart_marker_raises():
+    """r9 ADVICE: a stream that DECLARES a restart interval but whose
+    RSTn is missing/misplaced (corrupt file or foreign encoder) must
+    fail loudly — the old path silently discarded up to 7 buffered
+    entropy bits at the expected boundary and kept decoding
+    desynchronized. Excising the first RSTn pair from a valid DRI
+    stream must now raise the explicit expected-restart ValueError,
+    and (via the dispatch contract) fall back to the deterministic
+    fake rather than crash the batch."""
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from mspr2_back_spark.operators.multimodal import decode_image
+
+    img = (np.add.outer(np.arange(40), np.arange(48)) * 5 % 256).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img, quality=90, restart_interval=2)
+    # excise the first restart marker pair from the entropy region
+    sos = enc.find(b"\xff\xda")
+    rst = min(
+        p
+        for p in (enc.find(bytes([0xFF, 0xD0 + n]), sos) for n in range(8))
+        if p != -1
+    )
+    broken = enc[:rst] + enc[rst + 2 :]
+    with pytest.raises(ValueError, match="expected restart marker"):
+        decode_jpeg(broken)
+    assert decode_image(broken) is None  # dispatch falls back cleanly
+    # the untouched stream still decodes (guard is boundary-only)
+    px, _ = decode_jpeg(enc)
+    assert px.shape == (40, 48, 3)
+
+
+def test_jpeg_progressive_rejected_with_fallback():
+    """r9 (VERDICT r8 task 7): a progressive JPEG (SOF2) must be
+    rejected with the clean non-baseline ValueError — never a crash,
+    never a silently-wrong decode — and the codec dispatch must fall
+    back to the deterministic fake. Fixture: a valid baseline encode
+    with its SOF0 marker patched to SOF2 (byte-exact otherwise, so
+    the rejection fires on the frame type alone)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from mspr2_back_spark.operators.multimodal import (
+        decode_image,
+        decode_image_batch,
+    )
+
+    img = (np.add.outer(np.arange(24), np.arange(32)) * 3 % 256).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img)
+    sof = enc.find(b"\xff\xc0")
+    progressive = enc[: sof + 1] + b"\xc2" + enc[sof + 2 :]
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(progressive)
+    assert decode_image(progressive) is None
+    out = decode_image_batch(pd.Series([progressive, enc]))
+    assert list(out["format"]) == ["fake/deterministic", "jpeg/gray8"]
+
+
+def test_jpeg_411_sampling_rejected():
+    """r9 (VERDICT r8 task 7): sampling factors beyond 2×2 (e.g.
+    4:1:1's 4×1 luma) are outside the decoder's contract and must be
+    rejected with the explicit ≤2×2 message, falling back to the
+    deterministic fake. Fixture: a 4:2:0 encode with the luma
+    sampling byte patched 0x22 → 0x41."""
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from mspr2_back_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 256, (32, 48, 3)) // 4 * 4).astype(np.uint8)
+    enc = encode_jpeg(img, quality=90, subsampling="420")
+    sof = enc.find(b"\xff\xc0")
+    samp_off = sof + 4 + 5 + 1 + 1  # SOF0 body: prec,h,w,nc then cid,samp
+    assert enc[samp_off] == 0x22
+    patched = enc[:samp_off] + b"\x41" + enc[samp_off + 1 :]
+    with pytest.raises(ValueError, match="beyond 2x2"):
+        decode_jpeg(patched)
+    assert decode_image(patched) is None
+
+
 def test_jpeg_undefined_table_raises_value_error_and_batch_falls_back():
     """r8 ADVICE (medium): a payload with JPEG magic whose SOF/SOS
     reference undefined quant/Huffman tables must raise ValueError

@@ -992,6 +992,37 @@ def test_gold_upsert_adoption_validates_bucket_layout(spark, sf_dir, tmp_path):
     assert spark.read.parquet(gold).count() >= before
 
 
+def test_gold_upsert_adoption_rejects_foreign_table(spark, sf_dir, tmp_path):
+    """r9 ADVICE: a pre-meta table that lacks the _bucket or key
+    columns entirely (a genuinely foreign parquet directory at the
+    gold path) must refuse adoption with the same descriptive
+    cannot-adopt ValueError — not surface as an AnalysisException
+    from the layout recompute."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "fgold_in"
+    stream_dir.mkdir()
+    gold = str(tmp_path / "fgold_out")
+
+    # a foreign table: has the key column but no _bucket
+    src.limit(50).select("event_type").write.parquet(gold)
+
+    staging = tmp_path / "fgstage"
+    src.limit(100).coalesce(1).write.parquet(str(staging))
+    for i, f in enumerate(staging.glob("part-*.parquet")):
+        f.rename(stream_dir / f"b1_{i}.parquet")
+
+    stream = stream_events.read_event_stream(spark, str(stream_dir), src.schema)
+    counts = stream.groupBy("event_type").count()
+    with pytest.raises(Exception, match="lacks column"):
+        stream_events.run_upsert_to_gold(
+            counts,
+            gold,
+            str(tmp_path / "fgold_ckpt"),
+            keys=["event_type"],
+            n_buckets=8,
+        )
+
+
 def test_gold_upsert_soak_bounded_files_and_bytes(spark, sf_dir, tmp_path):
     """r7 soak (VERDICT r6 stretch): 50 micro-batches of upserts into
     a 16-bucket gold table must keep (a) at most ONE parquet file per
