@@ -140,6 +140,44 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     }
 
 
+def encode_wav(
+    samples: np.ndarray,
+    sample_rate: int,
+    pre_chunks: list[tuple[bytes, bytes]] | None = None,
+    post_chunks: list[tuple[bytes, bytes]] | None = None,
+) -> bytes:
+    """Encode an (n_samples, channels) integer array as a PCM WAV
+    (RIFF/WAVE). dtype picks the bit depth: uint8 → 8-bit, int16 →
+    16-bit, int32 → 32-bit. ``pre_chunks``/``post_chunks`` are extra
+    (id, body) chunks written before the fmt chunk / after the data
+    chunk — real files carry LIST/cue /JUNK chunks a reader must walk
+    over, so the tests and the driver-gated query use these to pin
+    ``decode_wav``'s chunk walk (including the odd-size word-align
+    pad, T.81's RIFF cousin) under the oracle hash."""
+    n, channels = samples.shape
+    bits = {np.dtype(np.uint8): 8, np.dtype(np.int16): 16, np.dtype(np.int32): 32}[
+        samples.dtype
+    ]
+    frame = channels * (bits // 8)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        # RIFF chunks are word-aligned: odd-sized bodies get a pad
+        # byte that is NOT counted in the declared size
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * frame, frame, bits
+    )
+    parts = [chunk(cid, body) for cid, body in (pre_chunks or [])]
+    parts.append(chunk(b"fmt ", fmt))
+    parts.append(chunk(b"data", samples.astype(samples.dtype, copy=False).tobytes()))
+    parts += [chunk(cid, body) for cid, body in (post_chunks or [])]
+    payload = b"".join(parts)
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # color type → channel count for the subset decoded here (8-bit,
@@ -813,3 +851,98 @@ def jpeg_meta_stats(docs: DataFrame) -> DataFrame:
     ids = docs.select("doc_id")
     par = docs.sparkSession.sparkContext.defaultParallelism
     return ids.repartition(par).mapInPandas(run, schema=JPEG_META_SCHEMA)
+
+
+WAV_META_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, channels INT, sample_rate INT, bits INT, "
+    "n_samples BIGINT, duration_ms DOUBLE, n_bytes BIGINT, riff_ok BOOLEAN, "
+    "sum_all BIGINT, sumsq_all BIGINT, peak BIGINT, first_c0 BIGINT, "
+    "last_c0 BIGINT"
+)
+
+
+def wav_meta_stats(docs: DataFrame) -> DataFrame:
+    """Driver-gated proof of the WAV/PCM audio path (r9, VERDICT r8
+    task 2 — the last real codec outside the driver hash): per
+    doc_id, synthesize a closed-form PCM waveform —
+    channels = 1+id%3, bit depth 8/16/32 by (id//3)%3, sample rate
+    8000·(1+id%4), n = 40+id%61 samples, value
+    v(i,ch) = f_bits(7·id + 3·i + 11·ch) with f_8 = x%256 (unsigned),
+    f_16 = x%4096−2048, f_32 = x%65536−32768 — ENCODE it as a real
+    RIFF/WAVE file (odd ids get an odd-sized JUNK chunk before fmt;
+    id%4==2 adds a trailing 'cue ' chunk after data, so the chunk
+    walk and its word-align pads are load-bearing), DECODE it back
+    with ``decode_wav``, and report per-doc stats computed from the
+    DECODED samples:
+
+    - fmt/channels/sample_rate/bits/n_samples from the DECODER's
+      metadata,
+    - duration_ms = n·1000/rate (one double division, both engines),
+    - n_bytes: the payload length — the oracle recomputes the entire
+      chunk assembly (header + junk + fmt + data + pads) closed-form,
+      so a mis-sized or mis-padded chunk breaks the hash,
+    - riff_ok: the RIFF header's declared size equals len−8 (an
+      independent re-parse of the writer's output, closed-form TRUE),
+    - sum/sumsq/peak/first/last over the decoded integer samples —
+      PCM is lossless, so these are EXACT (unlike the JPEG bound).
+
+    mapInPandas over the doc_id projection; decode is ~µs-scale numpy
+    per doc so the single-split projection is NOT repartitioned (the
+    jpeg query's repartition-to-cores rule was measured to pay only
+    because its codec costs ms/doc; at 100 TB the scan itself has
+    thousands of splits). Reference seam:
+    operators/multimodal.py::decode_wav (pytest-only until r9)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                channels = 1 + did % 3
+                bits = (8, 16, 32)[(did // 3) % 3]
+                rate = 8000 * (1 + did % 4)
+                n = 40 + did % 61
+                i = np.arange(n, dtype=np.int64).reshape(-1, 1)
+                ch = np.arange(channels, dtype=np.int64).reshape(1, -1)
+                base = 7 * did + 3 * i + 11 * ch
+                if bits == 8:
+                    samples = (base % 256).astype(np.uint8)
+                elif bits == 16:
+                    samples = (base % 4096 - 2048).astype(np.int16)
+                else:
+                    samples = (base % 65536 - 32768).astype(np.int32)
+                pre = (
+                    [(b"JUNK", bytes(1 + did % 6))] if did % 2 else []
+                )
+                post = (
+                    [(b"cue ", bytes(4 + did % 5))] if did % 4 == 2 else []
+                )
+                payload = encode_wav(
+                    samples, rate, pre_chunks=pre, post_chunks=post
+                )
+                decoded, meta = decode_wav(payload)
+                declared = struct.unpack_from("<I", payload, 4)[0]
+                v = decoded.astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "fmt": meta["format"],
+                        "channels": meta["channels"],
+                        "sample_rate": meta["sample_rate"],
+                        "bits": meta["bits"],
+                        "n_samples": meta["n_samples"],
+                        "duration_ms": meta["n_samples"]
+                        * 1000.0
+                        / meta["sample_rate"],
+                        "n_bytes": len(payload),
+                        "riff_ok": declared == len(payload) - 8,
+                        "sum_all": int(v.sum()),
+                        "sumsq_all": int((v * v).sum()),
+                        "peak": int(np.abs(v).max()),
+                        "first_c0": int(v[0, 0]),
+                        "last_c0": int(v[-1, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(run, schema=WAV_META_SCHEMA)

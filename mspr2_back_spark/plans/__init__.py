@@ -38,99 +38,90 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-8 priorities (VERDICT r7
-# task 1 — the steady-state freshness obligation):
-# 1. cms_heavy_hitters LEADS: its r7 probe-set rework (probe = the
-#    exact relation's keys) was plan-only and deliberately held out
-#    of the r7 sweep, so the CHANGED plan has never carried a driver
-#    verdict — r8 front-loads it before everything else;
-# 2. queries registered or changed in round 8 (same-commit atomic
-#    with this rotation; cap 8): multimodal_jpeg_meta is NEW (the
-#    JPEG marker path under the driver hash, VERDICT r7 task 3);
-#    multimodal_meta's decode dispatch gained KeyError fallback
-#    (r8 ADVICE medium) — behavior on the corpus is unchanged but
-#    the code path is, so it re-verifies; late-r8 adds three more NEW
-#    registrations — hll_distinct_users (deterministic HLL, the
-#    hash-green twin of the rows-only approx_distinct_users),
-#    leakage_safe_splits (cluster-level train/val/test assignment),
-#    and split_contamination_audit (the residual span-level leakage
-#    the cluster-atomic split does NOT close, measured);
-# 3. ALL 42 queries whose latest driver verdict is round 5 — the
-#    full backlog COVERAGE.md precomputed at r7 close (minus
-#    cms_heavy_hitters already at slot 1, minus nothing else), so
-#    after this round every registered query's latest verdict is
-#    <= 2 rounds old. cms(1) + changed(5) + stale(41) = 47;
-# 4. the remaining 3 slots are spent DELIBERATELY on r6-verdict
-#    queries (dict order would waste 3 of them on already-fresh r7
-#    verdicts): dedup_minhash_lsh (its r6 signature rework deserves
-#    a second verdict), ml_forecast_ar_exact (the M5 green half),
-#    and funnel_latency (its persist was A/B'd against
-#    localCheckpoint in r8 — plan unchanged after the measured
-#    revert, but the verdict refresh documents that). Three of the
-#    six originally planned refreshes (year_week_rollup_join,
-#    urgent_semijoin, revenue_by_nation) ceded their slots to the
-#    late-r8 registrations and join the round-9 obligation
-#    (43 + 3 = 46; see COVERAGE.md).
+# (rotation history in COVERAGE.md).  Round-9 priorities (VERDICT r8
+# task 1 — the steady-state freshness obligation, precomputed at r8
+# close in COVERAGE.md "Round-9 freshness obligation"):
+# 1. queries registered in round 9 (same-commit atomic with this
+#    rotation; cap 4): multimodal_wav_stats is NEW (the WAV/PCM
+#    codec under the driver hash — the last real codec that was
+#    pytest-only, VERDICT r8 task 2); hll_distinct_users_sketch_only
+#    is NEW (the 100 TB sketch shape as registered code, VERDICT r8
+#    task 3). hll_distinct_users itself was refactored to share the
+#    builder, but its plan, column order, and oracle results are
+#    identical (whitespace-only oracle diff; verified green in the
+#    r9 session sim) — a no-op refactor does not spend a slot and
+#    its r8 verdict stays fresh;
+# 2. ALL 46 queries whose latest driver verdict is round 6 — the
+#    full obligation list COVERAGE.md precomputed at r8 close,
+#    including the three refresh slots (year_week_rollup_join,
+#    urgent_semijoin, revenue_by_nation) ceded to the late-r8
+#    registrations. After this round every registered query's latest
+#    verdict is <= 2 rounds old. new(2) + obligation(46) = 48;
+# 3. the remaining 2 slots: leakage_safe_splits and
+#    split_contamination_audit — both ride the dedup_clusters
+#    subplan that the round-9 connected-components A/B (VERDICT r8
+#    task 4) probes, so they sweep this round either way: if the A/B
+#    adopts a new CC plan they re-verify the changed subplan under
+#    the driver hash (their oracles are closure-based and
+#    plan-independent; dedup_clusters itself is already in the
+#    obligation block above), and if it rejects, they are deliberate
+#    refreshes of the engine's two heaviest composite queries. See
+#    PLANS.md for the A/B verdict.
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- the one registered plan with no driver verdict on record --
-    "cms_heavy_hitters",  # r7 plan rework (probe = exact keys), never swept
-    # -- new / changed in round 8 (cap 8) --
-    "multimodal_jpeg_meta",  # r8: NEW — SOF0/DHT/DRI/RSTn parse vs MCU-grid SQL
-    "multimodal_meta",  # r8: dispatch KeyError fallback (ADVICE medium)
-    "hll_distinct_users",  # r8: NEW — deterministic HLL registers vs md5-nibble SQL
-    "leakage_safe_splits",  # r8: NEW — cluster-level split assignment vs recursive-CTE SQL
-    "split_contamination_audit",  # r8: NEW — residual span leakage across splits
-    # -- latest verdict is round 5 — the full 41-query refresh --
-    "ann_batch_topk",
-    "ann_quantized_topk",
-    "approx_price_quantiles",
-    "attribution_last_touch",
-    "avg_by_segment",
-    "bm25_topk",
-    "cohort_ltv",
-    "corpus_datacard",
-    "daily_anomaly_scores",
-    "daily_timeseries",
-    "daily_value_trend",
-    "dedup_edit_distance",
-    "dedup_embedding_cells",
-    "distinct_counts",
-    "embedding_quantize_stats",
-    "equidepth_price_bands",
-    "event_association_rules",
-    "event_funnel",
-    "ewma_daily_value",
-    "fk_integrity_audit",
-    "gapfill_user_daily",
-    "global_totals",
-    "hybrid_search_rrf",
-    "idle_customers_avg_bal",
-    "last_value_sum",
-    "lineitem_corr_matrix",
-    "max_year_orders",
-    "pricing_summary",
-    "quality_weighted_sample",
-    "retention_cohorts",
-    "scd2_customer_merge",
-    "session_paths",
-    "simhash64_near_degree",
-    "simhash_bucket_stats",
-    "simhash_near_degree",
-    "sliding_event_rates",
-    "tfidf_top_terms",
-    "unigram_surprisal",
-    "waiting_orders_by_supplier",
-    "weekly_rollup",
-    "weighted_sample_fixed_k",
-    # -- deliberate r6-verdict refreshes for the 3 remaining slots
-    # (three of the six originally planned ceded their slots to the
-    # late-r8 registrations above; year_week_rollup_join,
-    # urgent_semijoin, and revenue_by_nation stay r6-age and join the
-    # round-9 obligation) --
-    "dedup_minhash_lsh",
-    "ml_forecast_ar_exact",
-    "funnel_latency",
+    # -- new in round 9 (cap 4) --
+    "multimodal_wav_stats",  # r9: NEW — RIFF/PCM codec vs closed-form sample grid
+    "hll_distinct_users_sketch_only",  # r9: NEW — the 100 TB HLL shape, no exact branch
+    # -- latest verdict is round 6 — the full 46-query obligation --
+    "above_avg_orders",
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "bloom_prefilter_audit",
+    "chunk_documents",
+    "contamination_screen",
+    "crud_delete",
+    "crud_point_lookup",
+    "crud_upsert",
+    "customer_order_coverage",
+    "customers_no_jumbo_order",
+    "dedup_clusters",
+    "dedup_corpus_summary",
+    "dedup_embedding_cosine",
+    "dedup_gate",
+    "dedup_incremental",
+    "event_weekday_contingency",
+    "hot_shingles",
+    "local_supplier_volume",
+    "ml_forecast_ar",
+    "order_rank_metrics",
+    "pack_documents",
+    "pct_negative_acctbal",
+    "percentile_prices_refined",
+    "pii_scrub",
+    "price_histogram",
+    "profile_orders",
+    "props_extract",
+    "props_variant_stats",
+    "quality_filter",
+    "repeated_spans",
+    "rfm_segments",
+    "rolling_active_users",
+    "scaled_user_values",
+    "seasonal_decompose_daily",
+    "sessionize_events",
+    "set_ops_nations",
+    "shipping_priority",
+    "source_mixture_sample",
+    "status_pivot",
+    "revenue_by_nation",
+    "top3_orders_per_segment",
+    "urgent_semijoin",
+    "user_event_sequences",
+    "window_frame_metrics",
+    "year_week_rollup_join",
+    # -- clustering-subplan re-verification (r9 CC adoption) --
+    "leakage_safe_splits",
+    "split_contamination_audit",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

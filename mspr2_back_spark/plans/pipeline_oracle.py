@@ -971,3 +971,81 @@ SELECT doc_id, width, height,
 FROM g
 ORDER BY doc_id
 """
+
+
+def _wav_oracle_sql() -> str:
+    """multimodal_wav_stats (r9): the WAV/PCM falsifier. The Spark
+    side synthesizes a closed-form waveform per doc_id, writes a real
+    RIFF/WAVE file (with JUNK/cue chunks and word-align pads), decodes
+    it back, and reports exact sample stats plus the payload byte
+    length; this oracle recomputes the samples from
+    v(i,ch) = f_bits(7·id+3·i+11·ch) over generate_series and the
+    byte length from the chunk-assembly arithmetic (header 12 + each
+    chunk's 8+size+pad). PCM is lossless, so every column is exact —
+    any fmt-parse, interleave, dtype, or chunk-walk defect in either
+    codec half shifts a sum or the length and breaks the hash."""
+
+    def f_bits(x: str) -> str:
+        # sign-safe modulo per house style (corpus ids are non-negative
+        # today; the invariant is enforced, not assumed)
+        return (
+            f"CASE bits WHEN 8 THEN (({x}) % 256 + 256) % 256"
+            f" WHEN 16 THEN (({x}) % 4096 + 4096) % 4096 - 2048"
+            f" ELSE (({x}) % 65536 + 65536) % 65536 - 32768 END"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(1 + ((doc_id % 3) + 3) % 3 AS INT) AS channels,
+         CAST(CASE ((doc_id // 3) % 3 + 3) % 3
+              WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END AS INT) AS bits,
+         CAST(8000 * (1 + ((doc_id % 4) + 4) % 4) AS INT) AS sample_rate,
+         CAST(40 + ((doc_id % 61) + 61) % 61 AS BIGINT) AS n
+  FROM documents
+),
+sz AS (
+  SELECT doc_id, channels, bits, sample_rate, n,
+         n * channels * (bits // 8) AS dsize,
+         1 + ((doc_id % 6) + 6) % 6 AS jsize,
+         4 + ((doc_id % 5) + 5) % 5 AS csize
+  FROM d
+),
+s AS (
+  SELECT doc_id, channels, bits,
+         {f_bits("doc_id * 7 + i.k * 3 + ch.k * 11")} AS v
+  FROM sz,
+       unnest(generate_series(0, n - 1)) AS i(k),
+       unnest(generate_series(0, channels - 1)) AS ch(k)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(v) AS BIGINT) AS sum_all,
+         CAST(SUM(v * v) AS BIGINT) AS sumsq_all,
+         CAST(MAX(ABS(v)) AS BIGINT) AS peak
+  FROM s GROUP BY doc_id
+)
+SELECT sz.doc_id,
+       'wav/pcm' || CAST(bits AS VARCHAR) AS fmt,
+       channels, sample_rate, bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n AS DOUBLE) * CAST(1000 AS DOUBLE)
+         / CAST(sample_rate AS DOUBLE) AS duration_ms,
+       CAST(12
+            + CASE WHEN ((sz.doc_id % 2) + 2) % 2 = 1
+                   THEN 8 + jsize + jsize % 2 ELSE 0 END
+            + 24
+            + 8 + dsize + dsize % 2
+            + CASE WHEN ((sz.doc_id % 4) + 4) % 4 = 2
+                   THEN 8 + csize + csize % 2 ELSE 0 END
+            AS BIGINT) AS n_bytes,
+       TRUE AS riff_ok,
+       agg.sum_all, agg.sumsq_all, agg.peak,
+       CAST({f_bits("sz.doc_id * 7")} AS BIGINT) AS first_c0,
+       CAST({f_bits("sz.doc_id * 7 + (n - 1) * 3")} AS BIGINT) AS last_c0
+FROM sz JOIN agg ON sz.doc_id = agg.doc_id
+ORDER BY sz.doc_id
+"""
+
+
+PIPELINE_ORACLE_SQL["multimodal_wav_stats"] = _wav_oracle_sql()

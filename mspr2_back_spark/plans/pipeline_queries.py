@@ -221,6 +221,18 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_meta_stats(load_table(spark, sf_dir, "documents"))
 
 
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated WAV/PCM audio path (r9, VERDICT r8 task 2): per
+    doc_id synthesize a closed-form PCM waveform (channels/bit-depth/
+    rate/length all doc_id arithmetic, plus JUNK/cue chunks that make
+    the RIFF chunk walk load-bearing), encode a real RIFF/WAVE file,
+    decode it back with the numpy parser, and report exact sample
+    stats; the oracle recomputes everything — including the payload's
+    byte length — from the closed forms
+    (operators/multimodal.wav_meta_stats)."""
+    return multimodal.wav_meta_stats(load_table(spark, sf_dir, "documents"))
+
+
 def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user autoregressive 7-day forecast via applyInPandas (no
     SQL oracle: the AR(14) ridge fit is a 15×15 linear solve, not
@@ -722,6 +734,7 @@ PIPELINE_QUERIES = {
     "multimodal_frames": multimodal_frames,
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_jpeg_meta": multimodal_jpeg_meta,
+    "multimodal_wav_stats": multimodal_wav_stats,
     "ml_forecast_ar": ml_forecast_ar,
     "ml_forecast_ar_exact": ml_forecast_ar_exact,
     "dedup_clusters": dedup_clusters,

@@ -282,11 +282,13 @@ ORDER BY b.source
 SKETCH_ORACLE_SQL["corpus_datacard"] = _datacard_oracle_sql()
 
 
-def _hll_oracle_sql() -> str:
+def _hll_oracle_sql(with_exact: bool = True) -> str:
     """Register-for-register HLL twin: the same md5-nibble register
     pick and leading-zero rho as plans/sketches.hll_distinct_users,
     the same exact-integer register fold, and the SAME estimate
-    template string (hll_estimate_sql) verbatim."""
+    template string (hll_estimate_sql) verbatim. ``with_exact=False``
+    drops the COUNT(DISTINCT) companion — the oracle for the
+    registered 100 TB sketch-only shape (r9, VERDICT r8 task 3)."""
     from mspr2_back_spark.plans.sketches import (
         HLL_M,
         HLL_RHO_MAX,
@@ -296,6 +298,18 @@ def _hll_oracle_sql() -> str:
     )
 
     nv = "(strpos('0123456789abcdef', substring(sfx, lz + 1, 1)) - 1)"
+    ex_cte = (
+        """, ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)"""
+        if with_exact
+        else ""
+    )
+    ex_col = " ex.exact_users," if with_exact else ""
+    ex_join = (
+        " JOIN ex ON agg.event_type = ex.event_type" if with_exact else ""
+    )
     return f"""
 WITH h AS (
   SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
@@ -330,16 +344,16 @@ agg AS (
               + ({HLL_M} - COUNT(*)) * CAST({HLL_SCALE} AS BIGINT)
               AS BIGINT) AS sum_scaled
   FROM regs GROUP BY 1
-),
-ex AS (
-  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
-  FROM events WHERE user_id IS NOT NULL GROUP BY 1
-)
-SELECT agg.event_type, ex.exact_users, agg.zero_regs, agg.sum_scaled,
+){ex_cte}
+SELECT agg.event_type,{ex_col}
+       agg.zero_regs, agg.sum_scaled,
        {hll_estimate_sql()} AS hll_estimate
-FROM agg JOIN ex ON agg.event_type = ex.event_type
+FROM agg{ex_join}
 ORDER BY agg.event_type
 """
 
 
 SKETCH_ORACLE_SQL["hll_distinct_users"] = _hll_oracle_sql()
+SKETCH_ORACLE_SQL["hll_distinct_users_sketch_only"] = _hll_oracle_sql(
+    with_exact=False
+)

@@ -1245,6 +1245,50 @@ class TestBmpWavCodecs:
         }
         assert arr.tolist() == [list(t) for t in samples]
 
+    def test_wav_encode_decode_roundtrip_all_depths_and_chunks(self):
+        """r9 (VERDICT r8 task 2): encode_wav → decode_wav must be
+        the identity for 8/16/32-bit PCM across channel counts, with
+        extra pre/post chunks (odd-sized → word-align pad, like real
+        files' LIST/JUNK/cue) walked over correctly, and an odd-sized
+        8-bit data chunk itself padded without corrupting a trailing
+        chunk."""
+        import struct
+
+        import numpy as np
+
+        from mspr2_back_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(5)
+        cases = [
+            (rng.integers(0, 256, (7, 1)).astype(np.uint8), 8000),
+            (rng.integers(-2048, 2048, (11, 2)).astype(np.int16), 16000),
+            (rng.integers(-(1 << 20), 1 << 20, (5, 3)).astype(np.int32), 32000),
+        ]
+        for samples, rate in cases:
+            enc = encode_wav(
+                samples,
+                rate,
+                pre_chunks=[(b"JUNK", b"\x01\x02\x03")],  # odd → pad
+                post_chunks=[(b"cue ", b"\x00" * 4)],
+            )
+            # RIFF declared size covers everything incl. pads
+            assert struct.unpack_from("<I", enc, 4)[0] == len(enc) - 8
+            arr, meta = decode_wav(enc)
+            assert meta["sample_rate"] == rate
+            assert meta["channels"] == samples.shape[1]
+            assert meta["n_samples"] == samples.shape[0]
+            assert np.array_equal(arr, samples)
+        # odd-sized 8-bit data chunk (7 samples × 1 ch) + trailing
+        # chunk: the pad after data must not shift the trailing walk
+        odd = rng.integers(0, 256, (7, 1)).astype(np.uint8)
+        enc = encode_wav(odd, 8000, post_chunks=[(b"cue ", b"\x00" * 5)])
+        assert len(enc) % 2 == 0  # trailing odd chunk padded too
+        arr, _ = decode_wav(enc)
+        assert np.array_equal(arr, odd)
+
     def test_metadata_dispatches_real_bmp(self):
         """decode_image_batch must route a real BMP to the real
         parser (true dimensions) and text to the fake."""

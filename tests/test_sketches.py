@@ -307,3 +307,38 @@ def test_hll_registers_match_reference_python(spark, sf_dir):
         # m=256 ⇒ RSE ≈ 6.5%; assert a loose 4-sigma envelope so the
         # estimate is demonstrably an estimate OF the exact count
         assert abs(row.hll_estimate - row.exact_users) < 0.26 * row.exact_users + 3
+
+
+def test_hll_sketch_only_drops_expand_and_matches_twin(spark, sf_dir):
+    """r9 (VERDICT r8 task 3): the registered sketch-only variant is
+    the 100 TB shape AS CODE — its physical plan must contain NO
+    Expand node (countDistinct's expand ships every distinct
+    (type, user) pair; the with_exact companion keeps one by
+    design), and its sketch columns must equal the full query's
+    register-for-register."""
+    from mspr2_back_spark.plans.sketches import (
+        hll_distinct_users,
+        hll_distinct_users_sketch_only,
+    )
+
+    full = hll_distinct_users(spark, sf_dir)
+    sketch = hll_distinct_users_sketch_only(spark, sf_dir)
+    sketch_plan = sketch._sc._jvm.PythonSQLUtils.explainString(
+        sketch._jdf.queryExecution(), "formatted"
+    )
+    assert "Expand" not in sketch_plan
+    assert sketch.columns == [
+        "event_type",
+        "zero_regs",
+        "sum_scaled",
+        "hll_estimate",
+    ]
+    full_rows = {
+        r.event_type: (r.zero_regs, r.sum_scaled, r.hll_estimate)
+        for r in full.collect()
+    }
+    sketch_rows = {
+        r.event_type: (r.zero_regs, r.sum_scaled, r.hll_estimate)
+        for r in sketch.collect()
+    }
+    assert sketch_rows == full_rows

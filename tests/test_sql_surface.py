@@ -96,7 +96,9 @@ DUCKDB_ONLY = {
     "bloom_prefilter_audit",  # strpos nibble bucket (Spark side uses conv())
     "ml_forecast_ar_exact",  # unnest(generate_series) step explode
     "multimodal_decode_stats",  # unnest(generate_series) pixel grid
+    "multimodal_wav_stats",  # unnest(generate_series) sample grid
     "hll_distinct_users",  # strpos nibble registers (Spark side uses conv())
+    "hll_distinct_users_sketch_only",  # strpos nibble registers
     "leakage_safe_splits",  # WITH RECURSIVE closure + strpos nibble bucket
     "split_contamination_audit",  # closure + shingle list macros
 }
