@@ -12,17 +12,33 @@ whole-stage-codegen classes and spins up the Python UDF workers, so
 the timed sf run measures steady-state execution (what a long-lived
 cluster sees), not one-time JVM/JIT startup.
 
-Noise resistance (round 5): each query is timed REPEATS (3) times and
-the reported per-query number is the MINIMUM — the best-observed run
-is the least contaminated by co-tenant load / GC / page-cache misses,
-which round 3/4 showed can move sub-second timings ±30% between
-otherwise identical runs (driver recorded 11.05 s where same-code
-local runs measured 8.85 s). The spread is reported alongside
-("queries_max", "spread_pct") so a noisy environment is visible in
-the record instead of silently inflating the headline total.
-Repetitions interleave full passes (q1..qn, q1..qn, ...) rather than
+Noise resistance (round 5, repeats raised round 9): each query is
+timed REPEATS (5, was 3 — r8's within-run spread hit 29.7% under
+machine load, VERDICT r8 task 6) times and the reported per-query
+number is the MINIMUM — the best-observed run is the least
+contaminated by co-tenant load / GC / page-cache misses, which round
+3/4 showed can move sub-second timings ±30% between otherwise
+identical runs (driver recorded 11.05 s where same-code local runs
+measured 8.85 s). The spread is reported alongside ("queries_max",
+"spread_pct") so a noisy environment is visible in the record
+instead of silently inflating the headline total. Repetitions
+interleave full passes (q1..qn, q1..qn, ...) rather than
 back-to-back repeats so one query's page-cache warmth doesn't
 uniquely favor its own later reps.
+
+Cache lifecycle (round 9, VERDICT r8 task 5): the driver that owns
+the session also owns the session cache
+(plans/timeseries.py's funnel contract), so the bench now calls
+``spark.catalog.clearCache()`` after every timed query — queries
+that persist internally (funnel_latency) are timed INCLUDING their
+per-run persist cost, and a same-plan cache hit from a previous rep
+can no longer flatter any number (Spark's CacheManager matches by
+analyzed plan, so without the clear, rep N of a persisting query
+silently reused rep N-1's cache). The JSON records
+``persistent_rdds_after_clear`` (must not grow across the sweep —
+localCheckpoint blocks drain via the ContextCleaner once
+dereferenced; a growing count means a query leaked a cache it
+didn't own).
 """
 
 from __future__ import annotations
@@ -35,7 +51,7 @@ import time
 from mspr2_back_spark.plans import QUERIES
 from mspr2_back_spark.session import get_spark
 
-REPEATS = 3
+REPEATS = 5
 
 HEADLINE = [
     "pricing_summary",
@@ -94,6 +110,10 @@ HEADLINE = [
     # per-round floor (SCALING.md shows it flat across 64x data; the
     # bench guards the constant factor)
     "hll_distinct_users",
+    # round-9 registrations, benched from birth (r8 pattern): the WAV
+    # codec path and the sketch-only HLL scale shape
+    "multimodal_wav_stats",
+    "hll_distinct_users_sketch_only",
 ]
 
 # Queries benched in the PREVIOUS round's headline set — their
@@ -138,7 +158,16 @@ PREV_ROUND_HEADLINE = [
     "rolling_active_users",
     "event_weekday_contingency",
     "skewed_join_topk",
+    "zorder_locality_audit",
+    "multimodal_jpeg_meta",
+    "hll_distinct_users",
 ]
+
+
+def _persistent_rdd_count(spark) -> int:
+    """Entries in the context's persistent-RDD registry (cached
+    DataFrames AND localCheckpoint blocks)."""
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
 def main() -> None:
@@ -154,6 +183,8 @@ def main() -> None:
     QUERIES["global_totals"](spark, sf_dir).collect()
     for name in HEADLINE:
         QUERIES[name](spark, warmup_dir).count()
+    spark.catalog.clearCache()
+    baseline_rdds = _persistent_rdd_count(spark)
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(REPEATS):
@@ -161,6 +192,21 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
+            # the bench owns the session cache (the funnel contract,
+            # plans/timeseries.py): drop whatever the query persisted
+            # OUTSIDE the timed window, so no same-plan cache hit
+            # flatters a later rep
+            spark.catalog.clearCache()
+
+    # localCheckpoint blocks unpersist via the ContextCleaner once the
+    # driver-side reference dies — nudge both collectors so the final
+    # residue number reflects leaks, not pending GC
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
+    residue = _persistent_rdd_count(spark)
 
     timings = {name: round(min(ts), 4) for name, ts in samples.items()}
     worst = {name: round(max(ts), 4) for name, ts in samples.items()}
@@ -183,8 +229,15 @@ def main() -> None:
                 "spread_pct": round(100.0 * (total_max - total) / total, 1) if total else 0.0,
                 "shared_prev_subtotal": shared_prev,
                 "shared_prev_n": len(PREV_ROUND_HEADLINE),
+                "persistent_rdds_baseline": baseline_rdds,
+                "persistent_rdds_after_clear": residue,
             }
         )
+    )
+    assert residue <= baseline_rdds, (
+        f"session cache grew across the sweep: {baseline_rdds} -> "
+        f"{residue} persistent RDDs — a query leaked a cache it "
+        "doesn't own (see the funnel cache-lifecycle contract)"
     )
     spark.stop()
 
