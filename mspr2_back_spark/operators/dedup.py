@@ -680,6 +680,109 @@ def near_dup_clusters(
         edges.unpersist()
 
 
+def star_contraction_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_id_1",
+    b_col: str = "doc_id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 — public algorithm), same output contract as
+    ``near_dup_clusters``: one row per distinct node, (node, cluster)
+    with cluster = min reachable id.
+
+    Per round: large-star hangs every neighbor v > u off
+    m(u) = min(N(u) ∪ {u}); small-star (on edges directed high→low)
+    re-hangs every smaller neighbor plus u itself off the minimum.
+    The edge list CONTRACTS toward one star per component and the
+    alternation converges in O(log n) rounds on any graph — the
+    hedge against label propagation's diameter-bound rounds, and on
+    dense clique-heavy graphs (the ≥27×-replication worst case in
+    SCALING.md) round 1 already collapses each clique to a star, so
+    later rounds run on ~|V| edges instead of |E|.
+
+    Trade-off vs label propagation (measured in SCALING.md round 9):
+    each round costs ~2× the shuffles (two star phases + the
+    edge-set convergence check), so on the SHALLOW sparse graphs
+    real near-dup corpora produce, LP's fewer-shuffles-per-round
+    wins; star contraction wins when cliques dominate. Every
+    iteration localCheckpoints (eager) to truncate lineage —
+    the standard iterative pattern, reliable checkpoints on a real
+    cluster."""
+    raw = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical high→low directed form, self-loops dropped
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # -- large-star: for each u, m = min(N(u) ∪ {u}); emit
+        # (v, m) for every neighbor v > u --
+        und = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            und.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        large = (
+            und.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # -- small-star on high→low edges: for each u, m = min of
+        # its smaller neighbors; re-hang them all (and u) off m --
+        j = large.join(
+            large.groupBy("src").agg(F.min("dst").alias("m")), "src"
+        )
+        small = (
+            j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(j.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged iff the canonical edge set is unchanged
+        converged = (
+            small.count() == edges.count()
+            and small.subtract(edges).count() == 0
+        )
+        edges = small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"star_contraction_clusters: no fixpoint after {max_iter} rounds"
+        )
+    # final edges form one star per component (leaf → component min,
+    # by the connectivity-preservation invariant of both phases);
+    # minima and singleton nodes self-label via the LEFT join
+    return (
+        nodes.join(
+            edges.select(F.col("src").alias("node"), F.col("dst").alias("lbl")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min(F.coalesce(F.col("lbl"), F.col("node"))).alias("cluster"))
+    )
+
+
 def repeated_span_coverage(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Substring-level duplication signal per document: the fraction
     of a document's distinct word-3-gram spans that also occur in at

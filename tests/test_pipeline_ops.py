@@ -244,6 +244,53 @@ def test_near_dup_clusters_chain_converges(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """r9 (VERDICT r8 task 4): the alternating large-star/small-star
+    CC must produce IDENTICAL (node, cluster) assignments to label
+    propagation across every graph shape the A/B exercised — chains
+    (diameter-bound for LP), cliques (the ≥27×-replication
+    densest-case star contraction targets), random graphs, and
+    descending-id chains (exercises the canonical high→low
+    orientation)."""
+    import random
+
+    from mspr2_back_spark.operators.dedup import (
+        near_dup_clusters,
+        star_contraction_clusters,
+    )
+
+    rng = random.Random(42)
+    rand = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(400)
+    ]
+    cliques = [
+        (c * 50 + i, c * 50 + j)
+        for c in range(10)
+        for i in range(8)
+        for j in range(i + 1, 8)
+    ]
+    graphs = {
+        "chain": [(i, i + 1) for i in range(30)],
+        "revchain": [(i + 1, i) for i in range(25)],
+        "cliques": cliques,
+        "random": [(a, b) for a, b in rand if a != b],
+        "mixed": [(0, i) for i in range(1, 20)]
+        + [(100 + i, 101 + i) for i in range(10)]
+        + [(19, 100)],
+    }
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+        lp = {
+            r.node: r.cluster
+            for r in near_dup_clusters(pairs, max_iter=60).collect()
+        }
+        st = {
+            r.node: r.cluster
+            for r in star_contraction_clusters(pairs).collect()
+        }
+        assert st == lp, name
+
+
 def test_pii_detect_and_redact_literals(spark):
     from mspr2_back_spark.functions.pii import scrub_documents
 
