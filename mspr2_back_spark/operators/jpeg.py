@@ -177,29 +177,20 @@ def _canonical_codes_cached(
     return codes
 
 
-class _HuffTable:
-    """Decoder-side Huffman table: the bit-serial ``(length, code) →
-    symbol`` map (exact semantics at stream tails / restart
-    boundaries) plus a 16-bit-peek LUT — ``lut[next16bits]`` packs
-    ``(code_length << 8) | symbol`` (0 = invalid prefix), so the hot
-    path decodes any symbol with one index instead of up to 16
-    ``read_bit`` calls. Canonical codes are ≤ 16 bits (T.81 C.2), so
-    the peek window is total."""
-
-    __slots__ = ("map", "lut")
-
-    def __init__(self, map: dict[tuple[int, int], int], lut: array.array):
-        self.map = map
-        self.lut = lut
-
-
 @lru_cache(maxsize=64)
 def _huff_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> array.array:
-    """Build the 65536-entry peek LUT for one DHT definition. Cached
-    on the segment contents: every Annex-K-encoded corpus shares 4
-    tables, so this builds a handful of times per executor ever.
-    Stored as a stdlib ``array('i')`` (256 KiB) rather than a Python
-    list (~2.5 MB of boxed ints): the cache key is untrusted DHT
+    """Build the 65536-entry 16-bit-peek LUT for one DHT definition:
+    ``lut[next16bits]`` packs ``(code_length << 8) | symbol`` (0 =
+    invalid prefix), so the decoder reads any symbol with one index.
+    Canonical codes are ≤ 16 bits (T.81 C.2), so the peek window is
+    total — and because a prefix code matches at most one codeword
+    per window, a zero-padded peek at the stream tail decodes the
+    SAME symbol a bit-serial walk would (the r9 rework dropped the
+    bit-serial fallback map on this invariant). Cached on the
+    segment contents: every Annex-K-encoded corpus shares 4 tables,
+    so this builds a handful of times per executor ever. Stored as a
+    stdlib ``array('i')`` (256 KiB) rather than a Python list
+    (~2.5 MB of boxed ints): the cache key is untrusted DHT
     contents, so an adversarial corpus with 64 distinct tables would
     otherwise pin ~160 MB per Python worker (r9 ADVICE). Unlike a
     numpy ndarray (whose scalar indexing returns np.int32 and
@@ -218,27 +209,11 @@ def _huff_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> array.array:
     return array.array("i", arr.tolist())
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
-    """Huffman table for the decoder (bit-serial map + peek LUT).
-    Cached on the DHT contents: rebuilding the map + LUT per decoded
-    document measured ~350 µs/doc on small images — a third of the
-    whole decode."""
-    return _decode_table_cached(tuple(bits), tuple(vals))
-
-
-@lru_cache(maxsize=64)
-def _decode_table_cached(
-    bits: tuple[int, ...], vals: tuple[int, ...]
-) -> _HuffTable:
-    return _HuffTable(
-        {
-            (length, code): sym
-            for sym, (code, length) in _canonical_codes_cached(
-                bits, vals
-            ).items()
-        },
-        _huff_lut(bits, vals),
-    )
+def _decode_table(bits: list[int], vals: list[int]) -> array.array:
+    """Decoder-side Huffman table (the peek LUT). Cached on the DHT
+    contents: rebuilding the LUT per decoded document measured
+    ~350 µs/doc on small images — a third of the whole decode."""
+    return _huff_lut(tuple(bits), tuple(vals))
 
 
 class _BitWriter:
@@ -278,94 +253,36 @@ class _BitWriter:
         return bytes(self.out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        # Truncate consumed high bits first: the accumulator otherwise
-        # keeps every bit ever read and the shift below goes quadratic
-        # in stream length (measured: 12 s to decode a 100 KB scan).
-        self.acc &= (1 << self.nbits) - 1
-        while self.nbits <= 24 and self.pos < len(self.data):
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed 0xFF
-                elif 0xD0 <= nxt <= 0xD7:
-                    # Restart marker. If entropy bits are still
-                    # buffered the decoder has NOT finished the data
-                    # preceding the marker — back up to the 0xFF and
-                    # stop refilling so the caller drains them first
-                    # (at most the <8 pad bits survive to the next
-                    # _fill, where nbits==0 lets the marker fire).
-                    # Discarding them here corrupted every DRI stream
-                    # whose buffered window straddled a marker.
-                    if self.nbits > 0:
-                        self.pos -= 1
-                        return
-                    self.pos += 1
-                    raise _Restart()
-                else:
-                    # EOI or next segment — treat as end of entropy data
-                    self.pos -= 1
-                    byte = 0  # spec: pad with zeros past the end
-                    self.acc = (self.acc << 8) | byte
-                    self.nbits += 8
-                    continue
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-            if self.nbits == 0:
-                return 0  # zero-pad past end
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        if self.nbits < n:
-            self._fill()
-        if self.nbits >= n:
-            self.nbits -= n
-            return (self.acc >> self.nbits) & ((1 << n) - 1)
-        # stream tail: bit-serial zero-pad semantics
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def read_symbol(self, table: _HuffTable) -> int:
-        if self.nbits < 16:
-            self._fill()
-        n = self.nbits
-        if n >= 16:
-            v = table.lut[(self.acc >> (n - 16)) & 0xFFFF]
-            length = v >> 8
-            if not length:
-                raise ValueError("invalid Huffman code in JPEG stream")
-            self.nbits = n - length
-            return v & 0xFF
-        # < 16 buffered bits: a restart marker or the stream end is
-        # adjacent — fall back to exact bit-serial decoding (zero-pad
-        # past the end, _Restart only once the buffer is drained).
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.map.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG stream")
-
-
-class _Restart(Exception):
-    """Internal signal: a restart marker interrupted the bit stream."""
+def _split_entropy_segments(data: bytes) -> list[bytes]:
+    """Split the entropy-coded region at RSTn markers and unstuff
+    each segment (FF 00 → FF) — ONE byte-level pass up front, so the
+    per-coefficient decode loop carries no marker or stuffing checks
+    at all (r9 rework; the old _BitReader paid a branch per byte).
+    The region ends at the first FF followed by anything other than
+    00/D0–D7 (EOI, a following segment header, or an FF fill byte),
+    matching T.81's entropy-data framing."""
+    segs: list[bytes] = []
+    i = start = 0
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j == -1:
+            segs.append(data[start:])
+            break
+        if j + 1 >= n:
+            # lone trailing FF: spec-pads as end of data
+            segs.append(data[start:j])
+            break
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2  # stuffed FF — real data, skip the pad byte
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(data[start:j])
+            start = i = j + 2
+        else:
+            segs.append(data[start:j])
+            break
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -731,89 +648,194 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     comp_dc = [dcmap[cid] for cid, _, _ in comps]
     comp_ac = [acmap[cid] for cid, _, _ in comps]
 
-    reader = _BitReader(payload[pos:])
     coefs = [
         np.zeros((comp_bh[i] * comp_bw[i], 64), dtype=np.int64)
         for i in range(ncomp)
     ]
-    prev_dc = [0] * ncomp
 
-    def read_block(ci: int, zz: np.ndarray) -> None:
-        # decode into a plain list, one vectorized row-assign at the
-        # end — per-coefficient numpy scalar stores dominated the
-        # profile; a _Restart abort leaves the row untouched and the
-        # retry overwrites it whole
-        vals = [0] * 64
-        size = reader.read_symbol(comp_dc[ci])
-        prev_dc[ci] += _extend(reader.read_bits(size), size)
-        vals[0] = prev_dc[ci]
-        k = 1
-        while k < 64:
-            rs = reader.read_symbol(comp_ac[ci])
-            run, size = rs >> 4, rs & 0xF
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient index overflow")
-            vals[k] = _extend(reader.read_bits(size), size)
-            k += 1
-        zz[:] = vals
+    # --- entropy decode (r9 rework: segment-based, inlined) ---
+    # Segments are split at RSTn markers and unstuffed ONCE, so the
+    # hot loop below is pure local-variable bit arithmetic — no
+    # marker/stuffing branches, no per-coefficient method calls (the
+    # old _BitReader walk spent ~1M Python calls on a 512x384 decode;
+    # this form measured ~2.5x faster, byte/pixel-identical over the
+    # 302-case golden corpus + the real-encoder fixtures).
+    #
+    # Restart contract (same guarantees as before, enforced
+    # structurally): a DRI stream must carry exactly
+    # floor((n_mcus-1)/dri) markers, every non-final segment must be
+    # consumed to within its <8 pad bits by its MCU quota (a marker
+    # that arrives early or late therefore raises the explicit
+    # expected-restart ValueError instead of desynchronizing — r9
+    # ADVICE), and only the FINAL segment may zero-pad past its end
+    # (T.81 stream-tail semantics). A single trailing empty segment
+    # (some real encoders emit RSTn after the last MCU) is tolerated
+    # and dropped.
+    segs = _split_entropy_segments(payload[pos:])
+    n_rst_expected = (n_mcus - 1) // restart_interval if restart_interval else 0
+    if len(segs) == n_rst_expected + 2 and segs[-1] == b"":
+        segs = segs[:-1]
+    if len(segs) != n_rst_expected + 1:
+        raise ValueError("expected restart marker in JPEG stream")
 
     mcu = 0
-    mcu_since_restart = 0
-    while mcu < n_mcus:
-        my, mx = divmod(mcu, mcu_x)
-        try:
+    for si, seg in enumerate(segs):
+        is_last = si == len(segs) - 1
+        quota = (
+            min(restart_interval, n_mcus - mcu) if restart_interval else n_mcus
+        )
+        prev_dc = [0] * ncomp
+        acc = 0
+        nbits = 0
+        p = 0
+        nseg = len(seg)
+        for _ in range(quota):
+            my, mx = divmod(mcu, mcu_x)
             # MCU-interleaved order (T.81 A.2.3): every component
-            # contributes its v_i × h_i block grid per MCU
+            # contributes its v_i x h_i block grid per MCU
             for ci in range(ncomp):
-                for byi in range(vs[ci]):
-                    for bxi in range(hs[ci]):
-                        row = my * vs[ci] + byi
-                        col = mx * hs[ci] + bxi
-                        read_block(ci, coefs[ci][row * comp_bw[ci] + col])
+                dlut = comp_dc[ci]
+                alut = comp_ac[ci]
+                hci = hs[ci]
+                vci = vs[ci]
+                bw = comp_bw[ci]
+                cf = coefs[ci]
+                dc = prev_dc[ci]
+                for byi in range(vci):
+                    for bxi in range(hci):
+                        vals = [0] * 64
+                        # --- DC size symbol ---
+                        if nbits < 16:
+                            acc &= (1 << nbits) - 1
+                            while nbits <= 24 and p < nseg:
+                                acc = (acc << 8) | seg[p]
+                                p += 1
+                                nbits += 8
+                        if nbits >= 16:
+                            t = dlut[(acc >> (nbits - 16)) & 0xFFFF]
+                        else:
+                            # segment tail: zero-padded peek decodes
+                            # the same symbol a bit-serial walk would
+                            # (prefix-code invariant, see _huff_lut)
+                            t = dlut[(acc << (16 - nbits)) & 0xFFFF]
+                        length = t >> 8
+                        if not length:
+                            raise ValueError(
+                                "invalid Huffman code in JPEG stream"
+                            )
+                        if length > nbits:
+                            # consumed phantom zeros past the segment:
+                            # legal only at the true stream tail
+                            if not is_last:
+                                raise ValueError(
+                                    "expected restart marker in JPEG "
+                                    "stream"
+                                )
+                            nbits = 0
+                        else:
+                            nbits -= length
+                        size = t & 0xFF
+                        # --- DC magnitude ---
+                        if size:
+                            if nbits < size:
+                                acc &= (1 << nbits) - 1
+                                while nbits <= 24 and p < nseg:
+                                    acc = (acc << 8) | seg[p]
+                                    p += 1
+                                    nbits += 8
+                            if nbits >= size:
+                                nbits -= size
+                                mv = (acc >> nbits) & ((1 << size) - 1)
+                            elif is_last:
+                                mv = (
+                                    (acc & ((1 << nbits) - 1))
+                                    << (size - nbits)
+                                    if nbits
+                                    else 0
+                                )
+                                nbits = 0
+                            else:
+                                raise ValueError(
+                                    "expected restart marker in JPEG stream"
+                                )
+                            if mv < (1 << (size - 1)):
+                                mv -= (1 << size) - 1
+                            dc += mv
+                        vals[0] = dc
+                        # --- AC run-length loop ---
+                        k = 1
+                        while k < 64:
+                            if nbits < 16:
+                                acc &= (1 << nbits) - 1
+                                while nbits <= 24 and p < nseg:
+                                    acc = (acc << 8) | seg[p]
+                                    p += 1
+                                    nbits += 8
+                            if nbits >= 16:
+                                t = alut[(acc >> (nbits - 16)) & 0xFFFF]
+                            else:
+                                t = alut[(acc << (16 - nbits)) & 0xFFFF]
+                            length = t >> 8
+                            if not length:
+                                raise ValueError(
+                                    "invalid Huffman code in JPEG stream"
+                                )
+                            if length > nbits:
+                                if not is_last:
+                                    raise ValueError(
+                                        "expected restart marker in "
+                                        "JPEG stream"
+                                    )
+                                nbits = 0
+                            else:
+                                nbits -= length
+                            rs = t & 0xFF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            if nbits < size:
+                                acc &= (1 << nbits) - 1
+                                while nbits <= 24 and p < nseg:
+                                    acc = (acc << 8) | seg[p]
+                                    p += 1
+                                    nbits += 8
+                            if nbits >= size:
+                                nbits -= size
+                                mv = (acc >> nbits) & ((1 << size) - 1)
+                            elif is_last:
+                                mv = (
+                                    (acc & ((1 << nbits) - 1))
+                                    << (size - nbits)
+                                    if nbits
+                                    else 0
+                                )
+                                nbits = 0
+                            else:
+                                raise ValueError(
+                                    "expected restart marker in JPEG stream"
+                                )
+                            if size and mv < (1 << (size - 1)):
+                                mv -= (1 << size) - 1
+                            vals[k] = mv
+                            k += 1
+                        # one vectorized row-assign per block —
+                        # per-coefficient numpy stores dominated the
+                        # old profile
+                        cf[(my * vci + byi) * bw + mx * hci + bxi] = vals
+                prev_dc[ci] = dc
             mcu += 1
-            mcu_since_restart += 1
-            if (
-                restart_interval
-                and mcu_since_restart == restart_interval
-                and mcu < n_mcus
-            ):
-                # Byte-align by dropping the <8 pad bits the encoder
-                # wrote before the marker (all real entropy bits were
-                # consumed by the MCUs of this interval), then let
-                # _fill consume the RSTn and raise _Restart. Only
-                # discard buffered bits if the next bytes really ARE a
-                # restart marker: a stream that declares DRI but has
-                # the RSTn missing/misplaced (corrupt or foreign
-                # encoder) would otherwise lose up to 7 real entropy
-                # bits and keep decoding desynchronized (r9 ADVICE).
-                # _fill backs up to the 0xFF when it stops at a
-                # restart with bits still buffered, so reader.pos
-                # points at the marker pair here.
-                if not (
-                    reader.pos + 1 < len(reader.data)
-                    and reader.data[reader.pos] == 0xFF
-                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
-                ):
-                    raise ValueError(
-                        "expected restart marker in JPEG stream"
-                    )
-                reader.acc = 0
-                reader.nbits = 0
-                try:
-                    reader._fill()
-                except _Restart:
-                    pass
-                prev_dc[:] = [0] * ncomp
-                mcu_since_restart = 0
-        except _Restart:
-            prev_dc[:] = [0] * ncomp
-            mcu_since_restart = 0
+        if not is_last and (p < nseg or nbits >= 8):
+            # real entropy bits remain where the marker should be:
+            # the RSTn in the stream is later than the MCU quota says
+            raise ValueError("expected restart marker in JPEG stream")
 
     planes = []
     for ci in range(ncomp):
