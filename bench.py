@@ -111,9 +111,13 @@ HEADLINE = [
     # bench guards the constant factor)
     "hll_distinct_users",
     # round-9 registrations, benched from birth (r8 pattern): the WAV
-    # codec path and the sketch-only HLL scale shape
+    # codec path, the sketch-only HLL scale shape, the per-cluster
+    # survivor selection (riding the dedup_clusters subplan), and the
+    # bigram-LM quality score (the corpus's heaviest n-gram shuffle)
     "multimodal_wav_stats",
     "hll_distinct_users_sketch_only",
+    "dedup_keep_best",
+    "bigram_surprisal",
 ]
 
 # Queries benched in the PREVIOUS round's headline set — their

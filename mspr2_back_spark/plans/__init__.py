@@ -42,36 +42,42 @@ ORACLE_SQL = {
 # task 1 — the steady-state freshness obligation, precomputed at r8
 # close in COVERAGE.md "Round-9 freshness obligation"):
 # 1. queries registered in round 9 (same-commit atomic with this
-#    rotation; cap 4): multimodal_wav_stats is NEW (the WAV/PCM
-#    codec under the driver hash — the last real codec that was
-#    pytest-only, VERDICT r8 task 2); hll_distinct_users_sketch_only
+#    rotation; cap 4, all 4 spent): multimodal_wav_stats is NEW (the
+#    WAV/PCM codec under the driver hash — the last real codec that
+#    was pytest-only, VERDICT r8 task 2); hll_distinct_users_sketch_only
 #    is NEW (the 100 TB sketch shape as registered code, VERDICT r8
-#    task 3). hll_distinct_users itself was refactored to share the
-#    builder, but its plan, column order, and oracle results are
-#    identical (whitespace-only oracle diff; verified green in the
-#    r9 session sim) — a no-op refactor does not spend a slot and
-#    its r8 verdict stays fresh;
+#    task 3); dedup_keep_best is NEW (survivor selection per
+#    near-dup cluster — the dedup end-game the cluster labels exist
+#    for); bigram_surprisal is NEW (conditional bigram-LM quality
+#    score — the rung of the quality ladder above unigram_surprisal).
+#    hll_distinct_users itself was refactored to share the builder,
+#    but its plan, column order, and oracle results are identical
+#    (whitespace-only oracle diff; verified green in the r9 session
+#    sim) — a no-op refactor does not spend a slot and its r8
+#    verdict stays fresh;
 # 2. ALL 46 queries whose latest driver verdict is round 6 — the
 #    full obligation list COVERAGE.md precomputed at r8 close,
 #    including the three refresh slots (year_week_rollup_join,
 #    urgent_semijoin, revenue_by_nation) ceded to the late-r8
 #    registrations. After this round every registered query's latest
-#    verdict is <= 2 rounds old. new(2) + obligation(46) = 48;
-# 3. the remaining 2 slots: leakage_safe_splits and
-#    split_contamination_audit — both ride the dedup_clusters
-#    subplan that the round-9 connected-components A/B (VERDICT r8
-#    task 4) probes, so they sweep this round either way: if the A/B
-#    adopts a new CC plan they re-verify the changed subplan under
-#    the driver hash (their oracles are closure-based and
-#    plan-independent; dedup_clusters itself is already in the
-#    obligation block above), and if it rejects, they are deliberate
-#    refreshes of the engine's two heaviest composite queries. See
-#    PLANS.md for the A/B verdict.
+#    verdict is <= 2 rounds old. new(4) + obligation(46) = 50;
+# 3. leakage_safe_splits and split_contamination_audit held the last
+#    2 slots provisionally, pending the round-9 connected-components
+#    A/B (VERDICT r8 task 4): had the A/B adopted a new CC plan,
+#    their changed subplan needed re-verification under the driver
+#    hash. The A/B measured star contraction SLOWER (7.3 s vs 11.8 s
+#    at 64×, PLANS.md) and REJECTED it — their r8-green plans are
+#    byte-identical, a refresh would re-verify an unchanged plan one
+#    round early (both are due in r11 regardless), so the slots were
+#    ceded to the two late-r9 registrations above, exactly the r8
+#    precedent (three r6-age refreshes ceded to late-r8 queries).
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
     # -- new in round 9 (cap 4) --
     "multimodal_wav_stats",  # r9: NEW — RIFF/PCM codec vs closed-form sample grid
     "hll_distinct_users_sketch_only",  # r9: NEW — the 100 TB HLL shape, no exact branch
+    "dedup_keep_best",  # r9: NEW — per-cluster survivor selection (quality max_by)
+    "bigram_surprisal",  # r9: NEW — add-k bigram-LM conditional surprisal + ppl
     # -- latest verdict is round 6 — the full 46-query obligation --
     "above_avg_orders",
     "ann_ivf_topk",
@@ -119,9 +125,6 @@ _SWEEP_FIRST = [
     "user_event_sequences",
     "window_frame_metrics",
     "year_week_rollup_join",
-    # -- clustering-subplan re-verification (r9 CC adoption) --
-    "leakage_safe_splits",
-    "split_contamination_audit",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

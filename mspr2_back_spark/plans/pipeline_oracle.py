@@ -305,6 +305,46 @@ ORDER BY doc_id
 """
 )
 
+# dedup_keep_best: the same transitive-closure labels, joined to the
+# text_quality blended score, then one window per cluster ranks
+# members (quality DESC, doc_id ASC) — rank 1 is the kept survivor
+# and FIRST_VALUE over the full frame is every member's canonical id.
+PIPELINE_ORACLE_SQL["dedup_keep_best"] = (
+    PIPELINE_ORACLE_SQL["dedup_clusters"].replace(
+        "SELECT node AS doc_id, cluster AS cluster_id,\n"
+        "       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size\n"
+        "FROM lab\n",
+        "",
+    )
+    + f""",
+qsc AS (
+  SELECT doc_id,
+         ROUND(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(CAST({_score("en")} AS DOUBLE) / len(w) * 10.0, 1.0) * 0.3
+               + CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.3, 6)
+           AS quality_score
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents)
+),
+member AS (
+  SELECT lab.node AS doc_id, lab.cluster AS cluster_id, q.quality_score
+  FROM lab JOIN qsc q ON lab.node = q.doc_id
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       quality_score,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY quality_score DESC, doc_id ASC) = 1) AS kept,
+       FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+            ORDER BY quality_score DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS canonical_id
+FROM member
+ORDER BY doc_id
+"""
+)
+
 # split_contamination_audit: the same closure + split chain, then the
 # standard distinct-3-gram shingle CTEs carrying the split label, a
 # per-shingle in-train verdict (MAX over the flag — the oracle's form

@@ -404,6 +404,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the dedup end-game the cluster labels
+    exist for: within each near-dup cluster keep the single
+    highest-quality document (blended quality score, lowest doc_id on
+    ties) and mark every other member for drop, carrying the
+    canonical survivor's id so downstream stages can redirect
+    references. Pairs find duplicates, clusters merge them
+    transitively; THIS decides which copy a 100 TB corpus keeps.
+
+    Scale shape: rides the ``dedup_clusters`` subplan unchanged; the
+    additions are one doc_id join of the label relation against a
+    2-column corpus projection (labels carry only docs with a
+    near-dup edge, so the join's small side is the label relation —
+    AQE broadcasts it while it fits, shuffle-join on doc_id past
+    that) and ONE window exchange keyed on cluster_id over clustered
+    docs only (≪ corpus). The quality score is a map-side
+    projection; rank, size, and canonical-id all share the single
+    cluster_id sort."""
+    from pyspark.sql import Window as W
+
+    from mspr2_back_spark.functions.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup.near_dup_clusters(
+        dedup.minhash_lsh_pairs(docs, MINHASH_THRESHOLD)
+    )
+    scored = docs.select("doc_id", quality_score_col().alias("quality_score"))
+    member = labels.join(scored, labels.node == scored.doc_id).select(
+        scored.doc_id,
+        F.col("cluster").alias("cluster_id"),
+        "quality_score",
+    )
+    part = W.partitionBy("cluster_id")
+    rank = part.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    full = rank.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return member.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(part).alias("cluster_size"),
+        "quality_score",
+        (F.row_number().over(rank) == 1).alias("kept"),
+        F.first("doc_id").over(full).alias("canonical_id"),
+    ).orderBy("doc_id")
+
+
 def _split_assignments(docs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id, split, text): the cluster-atomic
     train/val/test assignment shared by ``leakage_safe_splits`` and
@@ -738,6 +783,7 @@ PIPELINE_QUERIES = {
     "ml_forecast_ar": ml_forecast_ar,
     "ml_forecast_ar_exact": ml_forecast_ar_exact,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "leakage_safe_splits": leakage_safe_splits,
     "split_contamination_audit": split_contamination_audit,
     "repeated_spans": repeated_spans,

@@ -230,6 +230,80 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ADD_K = 0.5
+
+
+def bigram_term_sql() -> str:
+    """One bigram's conditional surprisal −ln p̂(w₂|w₁) under add-k
+    smoothing, over columns cb (bigram count), ch (head count), v
+    (vocabulary size): p̂ = (cb + k) / (ch + k·V). Rounded at 6 dp
+    BEFORE the per-document aggregation — the same order-free
+    decimal-sum discipline as surprisal_term_sql."""
+    return (
+        f"ROUND(-ln((CAST(cb AS DOUBLE) + {BIGRAM_ADD_K}) / "
+        f"(CAST(ch AS DOUBLE) + {BIGRAM_ADD_K} * CAST(v AS DOUBLE))), 6)"
+    )
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean CONDITIONAL surprisal −Σ ln p̂(w₂|w₁) / n and
+    its perplexity exp(mean) under a corpus-trained add-k-smoothed
+    bigram LM — the next rung of the quality ladder above
+    `unigram_surprisal` (CCNet-style LM filtering: gibberish word
+    ORDER scores high even when every unigram is common; templated
+    boilerplate scores low).
+
+    Plan: one (head, bigram) pair explode feeds BOTH count
+    aggregations (bigram counts and head/context counts — partial
+    map-side combine, exchange ∝ distinct n-grams, the irreducible
+    LM-training shuffle); the smoothing vocabulary size V is a
+    two-phase distinct collapsed to one broadcast row, attached via
+    the non-foldable-key scalar join. Counts broadcast back at test
+    scale — at open-vocab 100 TB the bigram join flips to a shuffle
+    join keyed on the n-gram, reusing the count aggregation's
+    exchange partitioning; the doc regroup is the same envelope as
+    unigram_surprisal. Docs with < 2 words have no bigram and drop
+    out (inner semantics, same on both engines)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(WORDS).alias("w")
+    )
+    vtot = d.select(F.explode("w").alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    pairs = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1), "
+                    "slice(w, 2, size(w) - 1), (a, b) -> "
+                    "named_struct('head', a, 'bigram', concat(a, ' ', b)))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.head", "p.bigram")
+    )
+    cb = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    ch = pairs.groupBy("head").agg(F.count(F.lit(1)).alias("ch"))
+    scored = _with_scalar(
+        pairs.join(F.broadcast(cb), "bigram").join(F.broadcast(ch), "head"),
+        vtot,
+    ).withColumn("s", F.expr(bigram_term_sql()))
+    mean = F.sum(F.col("s").cast("decimal(18,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(mean, 6).alias("mean_surprisal"),
+            F.round(F.exp(mean), 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter effectiveness audit: build the portable Bloom
     filter (operators/bloomfilter.py) over the negative-balance
@@ -534,5 +608,6 @@ SKETCH_QUERIES = {
     "bloom_prefilter_audit": bloom_prefilter_audit,
     "weighted_sample_fixed_k": weighted_sample_fixed_k,
     "unigram_surprisal": unigram_surprisal,
+    "bigram_surprisal": bigram_surprisal,
     "corpus_datacard": corpus_datacard,
 }

@@ -218,6 +218,50 @@ ORDER BY doc_id
 SKETCH_ORACLE_SQL["unigram_surprisal"] = _surprisal_oracle_sql()
 
 
+def _bigram_surprisal_oracle_sql() -> str:
+    """Mirror of plans/sketches.bigram_surprisal: the head column is
+    recovered as the first token of the bigram string (tokens are
+    space-split, so they contain no spaces), and the per-bigram term
+    evaluates the SAME shared template (rounded pre-sum) so the
+    decimal per-document sums are engine-identical."""
+    from mspr2_back_spark.plans.sketches import bigram_term_sql
+
+    return f"""
+WITH dw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+vv AS (
+  SELECT COUNT(DISTINCT word) AS v
+  FROM (SELECT unnest(w) AS word FROM dw)
+),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM dw WHERE len(w) >= 2
+),
+pr2 AS (SELECT doc_id, string_split(bigram, ' ')[1] AS head, bigram FROM pr),
+cbt AS (SELECT bigram, COUNT(*) AS cb FROM pr2 GROUP BY 1),
+cht AS (SELECT head, COUNT(*) AS ch FROM pr2 GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, {bigram_term_sql()} AS s
+  FROM pr2 p JOIN cbt USING (bigram) JOIN cht USING (head), vv
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_surprisal,
+       ROUND(exp(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)), 6)
+         AS perplexity
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+SKETCH_ORACLE_SQL["bigram_surprisal"] = _bigram_surprisal_oracle_sql()
+
+
 def _datacard_oracle_sql() -> str:
     tq = PIPELINE_ORACLE_SQL["text_quality"]
     pl = PIPELINE_ORACLE_SQL["text_lang_id"]

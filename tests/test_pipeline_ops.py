@@ -548,6 +548,7 @@ def test_whole_surface_plan_hygiene(spark, sf_dir):
         "event_weekday_contingency": 1,  # (b) global marginal window over
                                          # the types×7 cell relation
         "unigram_surprisal": 1,         # (a) corpus-token-total scalar
+        "bigram_surprisal": 1,          # (a) vocabulary-size scalar (V)
         "event_association_rules": 1,   # (a) basket-total scalar
         "session_paths": 1,             # (a) session-total scalar
         "rolling_active_users": 1,      # (a) first-day scalar (flag)
@@ -2155,3 +2156,85 @@ def test_split_contamination_audit_consistency(spark, sf_dir):
     # the audit must be non-vacuous at this SF — residual span leakage
     # exists even though the near-dup-cluster invariant holds
     assert any(out[sp].n_leaking_docs > 0 for sp in out)
+
+
+def test_dedup_keep_best_invariants(spark, sf_dir):
+    """Survivor selection first principles: members and labels agree
+    with dedup_clusters exactly; every cluster keeps EXACTLY one doc;
+    the kept doc maximizes (quality_score, -doc_id); every member's
+    canonical_id is the kept doc's id; cluster_size matches."""
+    from mspr2_back_spark.functions.text import quality_score_col
+    from mspr2_back_spark.plans.pipeline_queries import (
+        dedup_clusters,
+        dedup_keep_best,
+    )
+
+    out = dedup_keep_best(spark, sf_dir).collect()
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    assert {(r.doc_id, r.cluster_id, r.cluster_size) for r in out} == {
+        (r.doc_id, r.cluster_id, r.cluster_size) for r in clusters
+    }
+    scores = {
+        r.doc_id: r.q
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", quality_score_col().alias("q"))
+        .collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        assert r.quality_score == scores[r.doc_id]
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert len(by_cluster) >= 2  # non-vacuous at this SF
+    for members in by_cluster.values():
+        assert len(members) >= 2  # only clustered docs appear
+        kept = [r for r in members if r.kept]
+        assert len(kept) == 1
+        best = min(members, key=lambda r: (-r.quality_score, r.doc_id))
+        assert kept[0].doc_id == best.doc_id
+        assert all(r.canonical_id == best.doc_id for r in members)
+        assert all(r.cluster_size == len(members) for r in members)
+
+
+def test_bigram_surprisal_matches_hand_computation(spark, sf_dir):
+    """Recompute one document's conditional bigram surprisal from raw
+    corpus counts in plain Python (add-k smoothing, k = 0.5, rounded
+    per-term at 6 dp) and pin the engine's mean and perplexity; also
+    pin totality (every >= 2-word doc appears, n_bigrams = words-1)."""
+    import math
+    from collections import Counter
+
+    from mspr2_back_spark.plans.sketches import BIGRAM_ADD_K, bigram_surprisal
+
+    out = {r.doc_id: r for r in bigram_surprisal(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    words = {
+        r.doc_id: [t for t in (r.text or "").split(" ") if t] for r in docs
+    }
+    eligible = {d: w for d, w in words.items() if len(w) >= 2}
+    assert set(out) == set(eligible)
+    cb: Counter = Counter()
+    ch: Counter = Counter()
+    vocab = set()
+    for w in words.values():
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            cb[(a, b)] += 1
+            ch[a] += 1
+    v = len(vocab)
+    probe = sorted(eligible)[:25]
+    for doc_id in probe:
+        w = eligible[doc_id]
+        terms = [
+            round(
+                -math.log(
+                    (cb[(a, b)] + BIGRAM_ADD_K) / (ch[a] + BIGRAM_ADD_K * v)
+                ),
+                6,
+            )
+            for a, b in zip(w, w[1:])
+        ]
+        r = out[doc_id]
+        assert r.n_bigrams == len(w) - 1
+        mean = sum(terms) / len(terms)
+        assert abs(r.mean_surprisal - round(mean, 6)) <= 1e-6
+        assert abs(r.perplexity - round(math.exp(mean), 6)) <= 1e-4

@@ -101,6 +101,8 @@ DUCKDB_ONLY = {
     "hll_distinct_users_sketch_only",  # strpos nibble registers
     "leakage_safe_splits",  # WITH RECURSIVE closure + strpos nibble bucket
     "split_contamination_audit",  # closure + shingle list macros
+    "dedup_keep_best",  # closure + list-macro quality score
+    "bigram_surprisal",  # unnest(list_transform) bigram explode
 }
 
 PORTABLE = sorted(k for k in ORACLE_SQL if k not in DUCKDB_ONLY)
