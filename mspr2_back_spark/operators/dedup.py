@@ -639,6 +639,15 @@ def near_dup_clusters(
         .select(F.col("src").alias("node"), F.col("src").alias("cluster"))
         .localCheckpoint(eager=True)
     )
+
+    def label_sum(frame: DataFrame):
+        # DECIMAL(38,0): exact at any node-count × id magnitude (a
+        # BIGINT sum would overflow around 10^18 total label mass).
+        return frame.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
+
+    prev_sum = label_sum(labels)
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -658,20 +667,25 @@ def near_dup_clusters(
                 .agg(F.min("cluster").alias("cluster"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.cluster") != F.col("o.cluster"))
-                .count()
-            )
+            # Convergence witness: per-node labels are NON-INCREASING
+            # (each round min-folds the node's own label back in), so
+            # Σ cluster is strictly monotone decreasing until the
+            # fixpoint — equal sums ⟺ no label changed. One map-side
+            # partial agg over the just-checkpointed blocks (1 row to
+            # the driver) replaces the old per-round old⋈new join +
+            # count, which shuffled two label-sized relations purely
+            # to detect convergence (measured A/B in SCALING.md
+            # round 9).
+            new_sum = label_sum(new_labels)
             # Dropping the reference is the release: DataFrame
             # .unpersist() is a no-op on localCheckpoint-backed frames
             # (their blocks live outside the cache manager); the
             # superseded RDD is collected by the ContextCleaner once
             # unreferenced.
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels
+            prev_sum = new_sum
         raise RuntimeError(
             f"near_dup_clusters: no fixpoint after {max_iter} rounds "
             "(pathological chain graph? raise max_iter)"
