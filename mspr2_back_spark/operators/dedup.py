@@ -628,9 +628,19 @@ def near_dup_clusters(
     ``cluster = min(reachable ids)``.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # repartition("src") BEFORE persisting: .distinct() leaves the
+    # relation hash-partitioned by (src, dst), so every round's
+    # edges⋈labels join would re-shuffle the (usually much larger)
+    # edge side. Persisted hash(src) partitioning is visible to the
+    # optimizer through the InMemoryRelation, so each round's join
+    # exchanges only the labels side — one extra build-time exchange
+    # buys one saved edge shuffle PER ROUND (measured A/B in
+    # SCALING.md round 9: −17% at the 64× worst case's 2 rounds;
+    # the margin grows with graph diameter).
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
