@@ -635,8 +635,9 @@ def near_dup_clusters(
     # optimizer through the InMemoryRelation, so each round's join
     # exchanges only the labels side — one extra build-time exchange
     # buys one saved edge shuffle PER ROUND (measured A/B in
-    # SCALING.md round 9: −17% at the 64× worst case's 2 rounds;
-    # the margin grows with graph diameter).
+    # SCALING.md round 9: −4% at the 64× worst case's 2 rounds,
+    # −24% on a diameter-9 chain graph's 10 rounds; the margin is
+    # per-round by construction).
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
