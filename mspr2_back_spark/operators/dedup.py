@@ -615,8 +615,11 @@ def near_dup_clusters(
 
     Algorithm: minimum-label propagation to fixpoint. Each iteration
     is one distributed join (labels onto edges) + one min-aggregate;
-    the driver only checks a convergence count per round, so state
-    stays on the executors. Converges in graph-diameter rounds —
+    the driver only reads the 1-row monotone label sum per round (the
+    convergence witness), so state stays on the executors. Node ids
+    must be an integral type — the sum witness is exact only there,
+    so anything else raises up front rather than risking a silent
+    early exit. Converges in graph-diameter rounds —
     near-dup clusters are shallow (stars/chains of a few hops), so
     this beats the large-star/small-star alternation (which pays ~2x
     the per-round joins to guarantee O(log n) rounds on adversarial
@@ -627,6 +630,19 @@ def near_dup_clusters(
     Output: one row per distinct node — (node, cluster) with
     ``cluster = min(reachable ids)``.
     """
+    # The monotone-sum convergence witness below is only exact for
+    # integral ids: a non-numeric label CASTs to NULL (sum NULL every
+    # round → a silent round-1 "convergence" on an under-merged
+    # clustering) and a fractional one could hide a sub-unit label
+    # change inside the DECIMAL(38,0) rounding. Fail loudly instead.
+    for c in (a_col, b_col):
+        t = pairs.schema[c].dataType.typeName()
+        if t not in ("byte", "short", "integer", "long"):
+            raise TypeError(
+                f"near_dup_clusters: {c} must be an integral id type "
+                f"(got {t}) — the monotone-sum convergence witness is "
+                "exact only for integer labels"
+            )
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     # repartition("src") BEFORE persisting: .distinct() leaves the
     # relation hash-partitioned by (src, dst), so every round's

@@ -2238,3 +2238,18 @@ def test_bigram_surprisal_matches_hand_computation(spark, sf_dir):
         mean = sum(terms) / len(terms)
         assert abs(r.mean_surprisal - round(mean, 6)) <= 1e-6
         assert abs(r.perplexity - round(math.exp(mean), 6)) <= 1e-4
+
+
+def test_near_dup_clusters_rejects_non_integral_ids(spark):
+    """The monotone-sum convergence witness is exact only for integer
+    labels (a string id casts to NULL and would fake round-1
+    convergence) — non-integral id columns must raise up front."""
+    import pytest as _pytest
+
+    from mspr2_back_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_id_1 string, doc_id_2 string"
+    )
+    with _pytest.raises(TypeError, match="integral id type"):
+        near_dup_clusters(pairs)
