@@ -170,7 +170,18 @@ PREV_ROUND_HEADLINE = [
 
 def _persistent_rdd_count(spark) -> int:
     """Entries in the context's persistent-RDD registry (cached
-    DataFrames AND localCheckpoint blocks)."""
+    DataFrames AND localCheckpoint blocks), read after nudging both
+    collectors: localCheckpoint blocks unpersist asynchronously via
+    the ContextCleaner once their driver-side reference dies, so an
+    undrained read nondeterministically includes blocks that are
+    already garbage — the baseline and the residue must both be
+    drained reads or the leak assert below is comparing different
+    quantities."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
@@ -202,14 +213,6 @@ def main() -> None:
             # flatters a later rep
             spark.catalog.clearCache()
 
-    # localCheckpoint blocks unpersist via the ContextCleaner once the
-    # driver-side reference dies — nudge both collectors so the final
-    # residue number reflects leaks, not pending GC
-    import gc
-
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(1.0)
     residue = _persistent_rdd_count(spark)
 
     timings = {name: round(min(ts), 4) for name, ts in samples.items()}

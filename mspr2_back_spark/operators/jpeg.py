@@ -258,9 +258,15 @@ def _split_entropy_segments(data: bytes) -> list[bytes]:
     each segment (FF 00 → FF) — ONE byte-level pass up front, so the
     per-coefficient decode loop carries no marker or stuffing checks
     at all (r9 rework; the old _BitReader paid a branch per byte).
-    The region ends at the first FF followed by anything other than
-    00/D0–D7 (EOI, a following segment header, or an FF fill byte),
-    matching T.81's entropy-data framing."""
+    Any number of 0xFF fill bytes may pad before a marker (T.81
+    B.1.1.2) — a run of FFs followed by an RSTn is one restart with
+    the fill bytes excluded from the entropy data, same as the header
+    marker walk. The region ends at the first FF(-run) followed by
+    anything other than 00/D0–D7 (EOI or a following segment header);
+    an FF-run followed by 00 is non-conformant (fill bytes precede
+    markers, and 00 is not a marker code) and likewise ends the
+    region — the caller's quota accounting then raises rather than
+    guessing at desynchronized data."""
     segs: list[bytes] = []
     i = start = 0
     n = len(data)
@@ -269,16 +275,19 @@ def _split_entropy_segments(data: bytes) -> list[bytes]:
         if j == -1:
             segs.append(data[start:])
             break
-        if j + 1 >= n:
-            # lone trailing FF: spec-pads as end of data
+        k = j + 1
+        while k < n and data[k] == 0xFF:
+            k += 1  # fill bytes before the marker code
+        if k >= n:
+            # trailing FF(-run): spec-pads as end of data
             segs.append(data[start:j])
             break
-        nxt = data[j + 1]
-        if nxt == 0x00:
+        nxt = data[k]
+        if nxt == 0x00 and k == j + 1:
             i = j + 2  # stuffed FF — real data, skip the pad byte
         elif 0xD0 <= nxt <= 0xD7:
-            segs.append(data[start:j])
-            start = i = j + 2
+            segs.append(data[start:j])  # fill FFs excluded
+            start = i = k + 1
         else:
             segs.append(data[start:j])
             break
@@ -536,8 +545,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    dc_tabs: dict[int, _HuffTable] = {}
-    ac_tabs: dict[int, _HuffTable] = {}
+    dc_tabs: dict[int, array.array] = {}
+    ac_tabs: dict[int, array.array] = {}
     frame = None
     scan = None
     restart_interval = 0
@@ -658,7 +667,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     # hot loop below is pure local-variable bit arithmetic — no
     # marker/stuffing branches, no per-coefficient method calls (the
     # old _BitReader walk spent ~1M Python calls on a 512x384 decode;
-    # this form measured ~2.5x faster, byte/pixel-identical over the
+    # this form measured −14% wall-clock on the 512×384 fixture
+    # (SCALING.md round 9 — the profiler's 2–3× was instrumentation
+    # artifact), byte/pixel-identical over the
     # 302-case golden corpus + the real-encoder fixtures).
     #
     # Restart contract (same guarantees as before, enforced

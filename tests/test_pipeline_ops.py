@@ -2253,3 +2253,40 @@ def test_near_dup_clusters_rejects_non_integral_ids(spark):
     )
     with _pytest.raises(TypeError, match="integral id type"):
         near_dup_clusters(pairs)
+
+
+def test_jpeg_fill_bytes_before_restart_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker — a conformant foreign encoder may emit FF FF D0 inside
+    the entropy stream. The segment splitter must exclude the fill
+    bytes and decode BIT-IDENTICALLY to the unpadded stream (r9
+    review finding: the rework's first cut ended the entropy region
+    at the fill byte and raised expected-restart on valid input)."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.add.outer(np.arange(32), np.arange(40)) * 3 % 256).astype(
+        np.uint8
+    )
+    dri = encode_jpeg(img, quality=85, restart_interval=1)
+    base, _ = decode_jpeg(dri)
+    # insert one fill FF before every RSTn in the entropy stream
+    # (scan data starts after the SOS header; RSTn markers only occur
+    # there, so a global scan-and-pad is safe)
+    padded = bytearray()
+    i = 0
+    n_padded = 0
+    while i < len(dri):
+        if (
+            dri[i] == 0xFF
+            and i + 1 < len(dri)
+            and 0xD0 <= dri[i + 1] <= 0xD7
+        ):
+            padded.extend(b"\xff")  # fill byte before the marker
+            n_padded += 1
+        padded.append(dri[i])
+        i += 1
+    assert n_padded > 0
+    out, meta = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)

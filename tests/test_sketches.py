@@ -309,24 +309,39 @@ def test_hll_registers_match_reference_python(spark, sf_dir):
         assert abs(row.hll_estimate - row.exact_users) < 0.26 * row.exact_users + 3
 
 
-def test_hll_sketch_only_drops_expand_and_matches_twin(spark, sf_dir):
+def test_hll_sketch_only_drops_per_user_agg_and_matches_twin(spark, sf_dir):
     """r9 (VERDICT r8 task 3): the registered sketch-only variant is
-    the 100 TB shape AS CODE — its physical plan must contain NO
-    Expand node (countDistinct's expand ships every distinct
-    (type, user) pair; the with_exact companion keeps one by
-    design), and its sketch columns must equal the full query's
+    the 100 TB shape AS CODE. Spark plans the exact countDistinct
+    companion as a two-level aggregate KEYED ON (event_type, user_id)
+    — the per-user shuffle shape the sketch exists to avoid (no
+    Expand node appears in either plan, so asserting on Expand would
+    be vacuous). The differential pin: the full query's plan MUST
+    carry a user_id-keyed aggregate and the sketch-only plan MUST
+    NOT; sketch columns must equal the full query's
     register-for-register."""
     from mspr2_back_spark.plans.sketches import (
         hll_distinct_users,
         hll_distinct_users_sketch_only,
     )
 
+    def agg_key_lines(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return [
+            line.strip()
+            for line in plan.splitlines()
+            if line.strip().startswith("Keys") and "user_id" in line
+        ]
+
     full = hll_distinct_users(spark, sf_dir)
     sketch = hll_distinct_users_sketch_only(spark, sf_dir)
-    sketch_plan = sketch._sc._jvm.PythonSQLUtils.explainString(
-        sketch._jdf.queryExecution(), "formatted"
+    assert agg_key_lines(full), (
+        "expected the with_exact companion to plan a (event_type, "
+        "user_id)-keyed aggregate — if this disappeared, the "
+        "differential below proves nothing"
     )
-    assert "Expand" not in sketch_plan
+    assert not agg_key_lines(sketch)
     assert sketch.columns == [
         "event_type",
         "zero_regs",
