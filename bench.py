@@ -238,6 +238,12 @@ def main() -> None:
                 "shared_prev_n": len(PREV_ROUND_HEADLINE),
                 "persistent_rdds_baseline": baseline_rdds,
                 "persistent_rdds_after_clear": residue,
+                # co-tenant load is the dominant spread source on a
+                # shared box (r8: 29.7% spread with zero plan
+                # changes) — record the 1/5/15-min load averages so a
+                # high spread_pct reads against measured load, not
+                # guessed load
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
