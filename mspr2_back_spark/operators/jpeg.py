@@ -684,7 +684,14 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     # and dropped.
     segs = _split_entropy_segments(payload[pos:])
     n_rst_expected = (n_mcus - 1) // restart_interval if restart_interval else 0
-    if len(segs) == n_rst_expected + 2 and segs[-1] == b"":
+    # the trailing-empty tolerance applies only to DRI streams: a
+    # non-DRI stream with a stray RSTn right before EOI must fail the
+    # marker accounting loudly, not be silently trimmed (r10 ADVICE)
+    if (
+        restart_interval
+        and len(segs) == n_rst_expected + 2
+        and segs[-1] == b""
+    ):
         segs = segs[:-1]
     if len(segs) != n_rst_expected + 1:
         raise ValueError("expected restart marker in JPEG stream")

@@ -101,8 +101,17 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """Parse a PCM WAV (RIFF/WAVE, fmt + data chunks) into
-    ((n_samples, channels) int array, metadata). 8/16/32-bit integer
-    PCM only; raises ValueError otherwise."""
+    ((n_samples, channels) array, metadata). Integer PCM (format 1,
+    8/16/32-bit) and IEEE float32 (format 3 — the other encoding real
+    corpora actually carry); raises a per-format ValueError otherwise:
+
+    - WAVE_FORMAT_EXTENSIBLE (0xFFFE) gets its own message — it wraps
+      the real format in a 22-byte extension the chunk walk here
+      deliberately does not interpret,
+    - a data chunk whose declared size runs past the payload raises
+      ``truncated WAV data chunk`` instead of silently decoding a
+      frame-truncated tail (r10, the JPEG-rejection precedent).
+    """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, fmt, data = 12, None, None
@@ -118,14 +127,33 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                 raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated WAV data chunk")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits not in (8, 16, 32) or channels < 1:
+    if audio_format == 0xFFFE:
+        raise ValueError(
+            "unsupported WAV: WAVE_FORMAT_EXTENSIBLE (0xFFFE) — the "
+            "wrapped sub-format lives in the fmt extension, which this "
+            "decoder does not interpret"
+        )
+    if channels < 1:
+        raise ValueError(f"unsupported WAV (channels={channels})")
+    if audio_format == 3:
+        if bits != 32:
+            raise ValueError(
+                f"unsupported WAV (IEEE float must be 32-bit, got {bits})"
+            )
+        dtype: np.dtype = np.dtype("<f4")
+        kind = "float"
+    elif audio_format == 1 and bits in (8, 16, 32):
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+        kind = "pcm"
+    else:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
     frame = channels * (bits // 8)
     n = len(data) // frame
     samples = np.frombuffer(data, dtype=dtype, count=n * channels).reshape(
@@ -136,7 +164,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         "sample_rate": int(sample_rate),
         "bits": int(bits),
         "n_samples": int(n),
-        "format": f"wav/pcm{bits}",
+        "format": f"wav/{kind}{bits}",
     }
 
 
@@ -147,17 +175,22 @@ def encode_wav(
     post_chunks: list[tuple[bytes, bytes]] | None = None,
 ) -> bytes:
     """Encode an (n_samples, channels) integer array as a PCM WAV
-    (RIFF/WAVE). dtype picks the bit depth: uint8 → 8-bit, int16 →
-    16-bit, int32 → 32-bit. ``pre_chunks``/``post_chunks`` are extra
+    (RIFF/WAVE). dtype picks the encoding: uint8 → 8-bit PCM, int16 →
+    16-bit PCM, int32 → 32-bit PCM, float32 → IEEE float (format 3).
+    ``pre_chunks``/``post_chunks`` are extra
     (id, body) chunks written before the fmt chunk / after the data
     chunk — real files carry LIST/cue /JUNK chunks a reader must walk
     over, so the tests and the driver-gated query use these to pin
     ``decode_wav``'s chunk walk (including the odd-size word-align
     pad, T.81's RIFF cousin) under the oracle hash."""
     n, channels = samples.shape
-    bits = {np.dtype(np.uint8): 8, np.dtype(np.int16): 16, np.dtype(np.int32): 32}[
-        samples.dtype
-    ]
+    bits = {
+        np.dtype(np.uint8): 8,
+        np.dtype(np.int16): 16,
+        np.dtype(np.int32): 32,
+        np.dtype(np.float32): 32,
+    }[samples.dtype]
+    audio_format = 3 if samples.dtype == np.dtype(np.float32) else 1
     frame = channels * (bits // 8)
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -168,7 +201,13 @@ def encode_wav(
         )
 
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, sample_rate * frame, frame, bits
+        "<HHIIHH",
+        audio_format,
+        channels,
+        sample_rate,
+        sample_rate * frame,
+        frame,
+        bits,
     )
     parts = [chunk(cid, body) for cid, body in (pre_chunks or [])]
     parts.append(chunk(b"fmt ", fmt))
@@ -869,9 +908,13 @@ def wav_meta_stats(docs: DataFrame) -> DataFrame:
     8000·(1+id%4), n = 40+id%61 samples, value
     v(i,ch) = f_bits(7·id + 3·i + 11·ch) with f_8 = x%256 (unsigned),
     f_16 = x%4096−2048, f_32 = x%65536−32768 — ENCODE it as a real
-    RIFF/WAVE file (odd ids get an odd-sized JUNK chunk before fmt;
-    id%4==2 adds a trailing 'cue ' chunk after data, so the chunk
-    walk and its word-align pads are load-bearing), DECODE it back
+    RIFF/WAVE file (odd ids get a JUNK chunk before fmt — sized
+    1+id%6, always EVEN (2/4/6) for odd ids, so it exercises the
+    pre-fmt chunk walk but never the pad path; the odd-size
+    word-align pads that ARE load-bearing under the hash come from
+    the trailing 'cue ' chunk (id%4==2, sizes 4–8, odd when id%5 ∈
+    {1,3}) and from odd-length 8-bit mono/3-channel data chunks —
+    r10 ADVICE docstring correction), DECODE it back
     with ``decode_wav``, and report per-doc stats computed from the
     DECODED samples:
 

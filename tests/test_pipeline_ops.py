@@ -2290,3 +2290,131 @@ def test_jpeg_fill_bytes_before_restart_marker():
     assert n_padded > 0
     out, meta = decode_jpeg(bytes(padded))
     assert np.array_equal(out, base)
+
+
+def test_jpeg_stray_rstn_without_dri_rejected():
+    """r10 ADVICE: the trailing-empty-segment tolerance (real DRI
+    encoders that emit a final RSTn after the last MCU) must be gated
+    on restart_interval > 0 — a baseline stream with NO DRI but a
+    stray RSTn right before EOI previously slipped through the
+    marker accounting as a trimmed empty segment instead of raising
+    like every other accounting violation."""
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.add.outer(np.arange(24), np.arange(24)) * 7 % 256).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img, quality=90)  # no DRI
+    assert enc.endswith(b"\xff\xd9")
+    stray = enc[:-2] + b"\xff\xd0" + enc[-2:]
+    with pytest.raises(ValueError, match="expected restart marker"):
+        decode_jpeg(stray)
+    # the untouched stream still decodes (guard is accounting-only)
+    px, _ = decode_jpeg(enc)
+    assert px.shape == (24, 24, 3)
+
+
+def test_wav_float32_roundtrip():
+    """r10 (VERDICT r9 task 4): IEEE float32 WAV (format 3) — the
+    other encoding real corpora actually carry — must round-trip
+    encode→decode bit-exactly, with format metadata distinguishing it
+    from integer PCM."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    samples = rng.standard_normal((13, 2)).astype(np.float32)
+    enc = encode_wav(samples, 44100)
+    import struct as _struct
+
+    # fmt chunk declares format 3 (IEEE float)
+    fmt_off = enc.find(b"fmt ") + 8
+    assert _struct.unpack_from("<H", enc, fmt_off)[0] == 3
+    arr, meta = decode_wav(enc)
+    assert meta == {
+        "channels": 2,
+        "sample_rate": 44100,
+        "bits": 32,
+        "n_samples": 13,
+        "format": "wav/float32",
+    }
+    assert arr.dtype == np.dtype("<f4")
+    assert np.array_equal(arr, samples)
+
+
+def test_wav_rejection_surface_pinned_per_format():
+    """r10 (VERDICT r9 task 4, the JPEG-rejection precedent of r8
+    task 7): the two WAV shapes real corpora carry that this decoder
+    deliberately does NOT interpret must each raise their own
+    explicit ValueError — WAVE_FORMAT_EXTENSIBLE (0xFFFE, sub-format
+    hidden in the fmt extension) and a data chunk whose declared size
+    runs past the payload (truncated file) — and non-32-bit float
+    declarations stay rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = np.arange(12, dtype=np.int16).reshape(6, 2)
+    enc = encode_wav(samples, 8000)
+    fmt_off = enc.find(b"fmt ") + 8
+
+    extensible = bytearray(enc)
+    struct.pack_into("<H", extensible, fmt_off, 0xFFFE)
+    with pytest.raises(ValueError, match="WAVE_FORMAT_EXTENSIBLE"):
+        decode_wav(bytes(extensible))
+
+    float16 = bytearray(enc)
+    struct.pack_into("<H", float16, fmt_off, 3)  # float but bits=16
+    with pytest.raises(ValueError, match="IEEE float must be 32-bit"):
+        decode_wav(bytes(float16))
+
+    # truncated data chunk: declared size intact, payload cut short
+    data_off = enc.find(b"data")
+    assert data_off > 0
+    truncated = enc[: data_off + 8 + 5]  # 5 of 24 declared bytes
+    with pytest.raises(ValueError, match="truncated WAV data chunk"):
+        decode_wav(truncated)
+
+    # the untouched stream still decodes (guards are format-only)
+    arr, meta = decode_wav(enc)
+    assert meta["format"] == "wav/pcm16"
+    assert np.array_equal(arr, samples)
+
+
+def test_near_dup_clusters_deep_chain_hedge(spark):
+    """r10 (VERDICT r9 hygiene note): on a chain DEEPER than label
+    propagation's default 20-round cap, ``near_dup_clusters`` must
+    fail loudly at the cap (never return an under-merged clustering),
+    and the documented escape hatches must both work: raising
+    ``max_iter`` to the diameter, or switching to the O(log n)-round
+    ``star_contraction_clusters`` hedge at its DEFAULT cap."""
+    import pytest
+
+    from mspr2_back_spark.operators.dedup import (
+        near_dup_clusters,
+        star_contraction_clusters,
+    )
+
+    # a single 26-hop chain: diameter 25 > the default 20-round cap
+    edges = [(i, i + 1) for i in range(25)]
+    pairs = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        near_dup_clusters(pairs)
+    expected = {i: 0 for i in range(26)}
+    lifted = {
+        r.node: r.cluster
+        for r in near_dup_clusters(pairs, max_iter=30).collect()
+    }
+    assert lifted == expected
+    hedged = {
+        r.node: r.cluster
+        for r in star_contraction_clusters(pairs).collect()
+    }
+    assert hedged == expected
