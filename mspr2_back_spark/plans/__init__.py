@@ -38,93 +38,83 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-9 priorities (VERDICT r8
-# task 1 — the steady-state freshness obligation, precomputed at r8
-# close in COVERAGE.md "Round-9 freshness obligation"):
-# 1. queries registered in round 9 (same-commit atomic with this
-#    rotation; cap 4, all 4 spent): multimodal_wav_stats is NEW (the
-#    WAV/PCM codec under the driver hash — the last real codec that
-#    was pytest-only, VERDICT r8 task 2); hll_distinct_users_sketch_only
-#    is NEW (the 100 TB sketch shape as registered code, VERDICT r8
-#    task 3); dedup_keep_best is NEW (survivor selection per
-#    near-dup cluster — the dedup end-game the cluster labels exist
-#    for); bigram_surprisal is NEW (conditional bigram-LM quality
-#    score — the rung of the quality ladder above unigram_surprisal).
-#    hll_distinct_users itself was refactored to share the builder,
-#    but its plan, column order, and oracle results are identical
-#    (whitespace-only oracle diff; verified green in the r9 session
-#    sim) — a no-op refactor does not spend a slot and its r8
-#    verdict stays fresh;
-# 2. ALL 46 queries whose latest driver verdict is round 6 — the
-#    full obligation list COVERAGE.md precomputed at r8 close,
-#    including the three refresh slots (year_week_rollup_join,
-#    urgent_semijoin, revenue_by_nation) ceded to the late-r8
-#    registrations. After this round every registered query's latest
-#    verdict is <= 2 rounds old. new(4) + obligation(46) = 50;
-# 3. leakage_safe_splits and split_contamination_audit held the last
-#    2 slots provisionally, pending the round-9 connected-components
-#    A/B (VERDICT r8 task 4): had the A/B adopted a new CC plan,
-#    their changed subplan needed re-verification under the driver
-#    hash. The A/B measured star contraction SLOWER (7.3 s vs 11.8 s
-#    at 64×, PLANS.md) and REJECTED it — their r8-green plans are
-#    byte-identical, a refresh would re-verify an unchanged plan one
-#    round early (both are due in r11 regardless), so the slots were
-#    ceded to the two late-r9 registrations above, exactly the r8
-#    precedent (three r6-age refreshes ceded to late-r8 queries).
+# (rotation history in COVERAGE.md).  Round-10 priorities (VERDICT r9
+# task 1 — the precomputed freshness obligation in COVERAGE.md
+# "Round-10 freshness obligation"):
+# 1. queries whose PLAN CHANGED in round 10 (same-commit atomic with
+#    this rotation; the registry stays closed at 149 — zero new
+#    registrations): the three n-gram count joins dropped their
+#    explicit F.broadcast hints (VERDICT r9 "What's wrong" #1 /
+#    task 3 — a hint never flips, so at open-vocab 100 TB the
+#    distinct-n-gram broadcast was a driver OOM; AQE now chooses, and
+#    tests/test_sketches.py pins that the flipped join reuses the
+#    count aggregation's own exchange). bigram_surprisal is r9-fresh
+#    (takes the round's one free slot), unigram_surprisal and
+#    tfidf_top_terms are r8-fresh — re-swept here a round early,
+#    each displacing one r7-age obligation entry per the rotation
+#    rules. The accounting nets to zero for r11: the two early
+#    refreshes leave the r8 block at 48, and the two displaced
+#    entries (table_preview, orders_page — trivial LIMIT queries
+#    with pytest cover, lowest-risk to carry one round over age)
+#    HEAD the round-11 obligation → r11 owes exactly 50 again;
+# 2. the remaining 47 of the 49 queries whose latest driver verdict
+#    is round 7 — COVERAGE.md's precomputed obligation minus the two
+#    displaced above. After this round: 50 r10 / 50 r9 / 47 r8 /
+#    2 r7 (the displaced pair, due first in r11).
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- new in round 9 (cap 4) --
-    "multimodal_wav_stats",  # r9: NEW — RIFF/PCM codec vs closed-form sample grid
-    "hll_distinct_users_sketch_only",  # r9: NEW — the 100 TB HLL shape, no exact branch
-    "dedup_keep_best",  # r9: NEW — per-cluster survivor selection (quality max_by)
-    "bigram_surprisal",  # r9: NEW — add-k bigram-LM conditional surprisal + ppl
-    # -- latest verdict is round 6 — the full 46-query obligation --
-    "above_avg_orders",
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "bloom_prefilter_audit",
-    "chunk_documents",
-    "contamination_screen",
-    "crud_delete",
-    "crud_point_lookup",
-    "crud_upsert",
-    "customer_order_coverage",
-    "customers_no_jumbo_order",
-    "dedup_clusters",
-    "dedup_corpus_summary",
-    "dedup_embedding_cosine",
-    "dedup_gate",
-    "dedup_incremental",
-    "event_weekday_contingency",
-    "hot_shingles",
-    "local_supplier_volume",
-    "ml_forecast_ar",
-    "order_rank_metrics",
-    "pack_documents",
-    "pct_negative_acctbal",
-    "percentile_prices_refined",
-    "pii_scrub",
-    "price_histogram",
-    "profile_orders",
-    "props_extract",
-    "props_variant_stats",
-    "quality_filter",
-    "repeated_spans",
-    "rfm_segments",
-    "rolling_active_users",
-    "scaled_user_values",
-    "seasonal_decompose_daily",
-    "sessionize_events",
-    "set_ops_nations",
-    "shipping_priority",
-    "source_mixture_sample",
-    "status_pivot",
-    "revenue_by_nation",
-    "top3_orders_per_segment",
-    "urgent_semijoin",
-    "user_event_sequences",
-    "window_frame_metrics",
-    "year_week_rollup_join",
+    # -- plans changed in round 10 (broadcast-hint removal) --
+    "bigram_surprisal",  # r10: hint-free count joins (was the weak-list entry)
+    "unigram_surprisal",  # r10: hint-free vocab join (displaces table_preview)
+    "tfidf_top_terms",  # r10: hint-free df join (displaces orders_page)
+    # -- latest verdict is round 7 — the obligation minus displaced --
+    "ann_lsh_topk",
+    "ann_topk",
+    "asof_event_value",
+    "bigram_pmi",
+    "brand_supplier_counts",
+    "brand_surrogate_ids",
+    "corpus_shuffle",
+    "cube_order_stats",
+    "customer_order_histogram",
+    "date_spine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_norm_stats",
+    "event_debounce",
+    "event_transition_matrix",
+    "events_filtered",
+    "events_in_windows",
+    "grouping_sets_sales",
+    "hourly_events",
+    "ivf_cell_stats",
+    "latest_order_per_customer",
+    "metric_projection",
+    "min_cost_supplier_per_part",
+    "multimodal_decode_stats",
+    "multimodal_frames",
+    "or_of_ands_revenue",
+    "pagination_meta",
+    "percentile_prices",
+    "region_yearly_lag",
+    "revenue_share_by_nation",
+    "rolling_sum3",
+    "rollup_revenue",
+    "segment_decode",
+    "skewed_join_topk",
+    "status_priority_rollup",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "token_budget_sample",
+    "top5_customers",
+    "value_lag_diff",
+    "word_counts",
+    "yearly_orders_lag",
+    "zorder_locality_audit",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

@@ -357,3 +357,88 @@ def test_hll_sketch_only_drops_per_user_agg_and_matches_twin(spark, sf_dir):
         for r in sketch.collect()
     }
     assert sketch_rows == full_rows
+
+
+def test_ngram_count_joins_flip_to_shuffle_on_aggregation_key(spark, sf_dir):
+    """r10 (VERDICT r9 "What's wrong" #1): the n-gram count joins in
+    tfidf_top_terms / unigram_surprisal / bigram_surprisal carry NO
+    explicit broadcast hint — a hinted broadcast never flips, and the
+    distinct-n-gram relation is a driver OOM at open-vocab 100 TB.
+    With broadcasting disabled (the open-vocab stand-in), each count
+    join must plan as a genuine shuffle join whose join key IS the
+    count aggregation's key, and the aggregate side must reach the
+    join through its own aggregation exchange — exactly one
+    hashpartitioning on that attribute, so the flip reuses the
+    exchange instead of paying a second one. The only
+    BroadcastExchange left is the non-foldable-key scalar attach
+    (corpus-size/V — 1 row by construction at any scale)."""
+    import re
+
+    from mspr2_back_spark.plans.sketches import (
+        bigram_surprisal,
+        tfidf_top_terms,
+        unigram_surprisal,
+    )
+
+    def plan_of(fn):
+        df = fn(spark, sf_dir)
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    def pin_count_join(plan: str, key: str) -> None:
+        # the join whose both sides are named `key`
+        joins = re.findall(
+            rf"Left keys \[1\]: \[{key}#(\d+)\]\s*\n\s*"
+            rf"Right keys \[1\]: \[{key}#(\d+)\]",
+            plan,
+        )
+        assert len(joins) == 1, f"expected exactly one {key}-keyed join"
+        right_id = joins[0][1]
+        # the build/right side is the count aggregation itself …
+        assert re.search(
+            rf"Keys \[1\]: \[{key}#{right_id}\]", plan
+        ), f"join's {key} side is not the count aggregation"
+        # … reached through exactly ONE exchange on that attribute:
+        # the aggregation's own hashpartitioning satisfies the join,
+        # so EnsureRequirements must not re-exchange it
+        agg_side_exchanges = re.findall(
+            rf"hashpartitioning\({key}#{right_id}, \d+\)", plan
+        )
+        assert len(agg_side_exchanges) == 1, (
+            f"the {key} count aggregation's exchange must feed the "
+            f"join directly (got {len(agg_side_exchanges)} exchanges "
+            f"on {key}#{right_id})"
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe = spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold"
+        )
+    except Exception:
+        old_aqe = None  # unset: falls back to the non-adaptive conf
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn, keys in (
+            (tfidf_top_terms, ["word"]),
+            (unigram_surprisal, ["word"]),
+            (bigram_surprisal, ["bigram", "head"]),
+        ):
+            plan = plan_of(fn)
+            for key in keys:
+                pin_count_join(plan, key)
+            assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) == 1, (
+                "only the 1-row scalar attach may broadcast when "
+                "broadcasting is disabled — a count-relation "
+                "BroadcastExchange here means a hint crept back in"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
