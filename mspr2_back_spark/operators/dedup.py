@@ -8,8 +8,12 @@ scales by partitioning on doc_id / shingle / band.
 Scale notes (100 TB corpus):
 - exact dedup is one hash-shuffle on a 16-byte digest (map-side
   partial agg collapses most groups before the exchange);
-- MinHash: signatures are computed scan-side per document (no
-  shuffle), candidate generation shuffles only (band_idx, band_hash)
+- MinHash: the corpus exchanges ONCE by doc id (raw text, pre-
+  shingle) so the persisted shingle projection is hash(doc)-
+  partitioned — both exact-verify joins then move only candidate
+  pairs, never the wide shingle arrays (r10 A/B: −41% at 256x);
+  signatures are computed in place on the cached projection,
+  candidate generation shuffles only (band_idx, band_hash)
   pairs — the classic banding trade-off; verification touches only
   candidate pairs, never the full N²;
 - the inverted-index Jaccard join is quadratic in posting-list
@@ -259,7 +263,25 @@ def minhash_lsh_pairs(
     # per row inside the (possibly single-split) scan, serially, once
     # per branch. Shingle sets are never empty here so the two are
     # semantically identical.
-    per_doc = with_shingles(_spread(docs), id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    #
+    # repartition(id) BEFORE shingling+persisting (r10, VERDICT r9
+    # task 2 — the near_dup_clusters edge-partitioning trick applied
+    # to the verify stage the r9 staged profile showed dominating:
+    # ~48 s of the ~75 s 256x wall was the two verify joins, each
+    # shuffling the corpus-wide shingle-ARRAY relation by doc id).
+    # Hash-partitioning the cache by the doc id makes hash(doc)
+    # visible through the InMemoryRelation (alias-aware), so BOTH
+    # verify joins exchange only the narrow candidate-pair side; the
+    # one build-time exchange moves raw text (pre-shingle, ~1/3 the
+    # array bytes) and doubles as the core-spread guard _spread used
+    # to provide. Partition count rides spark.sql.shuffle.partitions
+    # — sized to the data like every other exchange. Interleaved A/B
+    # at 256x/shuffle=128 (SCALING.md round 10): 68.0 s -> 40.1 s
+    # min-of-2, identical pair sets; plan capture shows zero
+    # exchanges on the array side of either verify join.
+    per_doc = with_shingles(docs.repartition(id_col), id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     per_doc.count()  # eager: populate once, before branches race to compute it
     # Signatures are computed ENTIRELY scan-side: hash each shingle
     # STRING once, fold it into [0, P) (P = 2^31 - 1), then derive

@@ -52,21 +52,33 @@ ORACLE_SQL = {
 #    (takes the round's one free slot), unigram_surprisal and
 #    tfidf_top_terms are r8-fresh — re-swept here a round early,
 #    each displacing one r7-age obligation entry per the rotation
-#    rules. The accounting nets to zero for r11: the two early
-#    refreshes leave the r8 block at 48, and the two displaced
-#    entries (table_preview, orders_page — trivial LIMIT queries
-#    with pytest cover, lowest-risk to carry one round over age)
-#    HEAD the round-11 obligation → r11 owes exactly 50 again;
-# 2. the remaining 47 of the 49 queries whose latest driver verdict
-#    is round 7 — COVERAGE.md's precomputed obligation minus the two
-#    displaced above. After this round: 50 r10 / 50 r9 / 47 r8 /
-#    2 r7 (the displaced pair, due first in r11).
+#    rules. dedup_minhash_lsh (r8-fresh) also changed: the persisted
+#    shingle projection is now hash(doc)-partitioned so the verify
+#    joins stop shuffling the corpus-wide shingle arrays (VERDICT r9
+#    task 2 — interleaved A/B at 256x: 68.0 -> 40.1 s min-of-2,
+#    SCALING.md round 10; pair sets verified bit-identical, so the
+#    closure-based oracles of the riding queries are unchanged and
+#    the riders — dedup_clusters, dedup_keep_best,
+#    dedup_corpus_summary, dedup_incremental, leakage_safe_splits,
+#    split_contamination_audit, all re-verified green in the r10
+#    session sim — re-sweep at their natural r11/r12 due dates).
+#    The accounting nets to zero for r11: the three early refreshes
+#    leave the r8 block at 47, and the three displaced entries
+#    (table_preview, orders_page, pagination_meta — trivial
+#    LIMIT/COUNT queries with pytest cover, lowest-risk to carry one
+#    round over age) HEAD the round-11 obligation → r11 owes exactly
+#    50 again;
+# 2. the remaining 46 of the 49 queries whose latest driver verdict
+#    is round 7 — COVERAGE.md's precomputed obligation minus the
+#    three displaced above. After this round: 50 r10 / 50 r9 /
+#    46 r8 / 3 r7 (the displaced trio, due first in r11).
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
     # -- plans changed in round 10 (broadcast-hint removal) --
     "bigram_surprisal",  # r10: hint-free count joins (was the weak-list entry)
     "unigram_surprisal",  # r10: hint-free vocab join (displaces table_preview)
     "tfidf_top_terms",  # r10: hint-free df join (displaces orders_page)
+    "dedup_minhash_lsh",  # r10: hash(doc)-partitioned verify (displaces pagination_meta)
     # -- latest verdict is round 7 — the obligation minus displaced --
     "ann_lsh_topk",
     "ann_topk",
@@ -96,7 +108,6 @@ _SWEEP_FIRST = [
     "multimodal_decode_stats",
     "multimodal_frames",
     "or_of_ands_revenue",
-    "pagination_meta",
     "percentile_prices",
     "region_yearly_lag",
     "revenue_share_by_nation",
