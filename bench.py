@@ -172,6 +172,13 @@ PREV_ROUND_HEADLINE = [
     "zorder_locality_audit",
     "multimodal_jpeg_meta",
     "hll_distinct_users",
+    # round 10: no new registrations (registry closed at 149), so the
+    # headline set is unchanged — the whole r9 set is the
+    # like-for-like comparison base
+    "multimodal_wav_stats",
+    "hll_distinct_users_sketch_only",
+    "dedup_keep_best",
+    "bigram_surprisal",
 ]
 
 
