@@ -194,12 +194,16 @@ def _persistent_rdd_count(spark) -> int:
     instead of one fixed sleep (which can race the cleaner on a
     loaded box and spuriously fail the leak assert — r10 ADVICE) the
     count is polled until it holds still for two consecutive reads or
-    a ~10 s budget runs out; a genuinely leaked cache is a STABLE
-    nonzero count, so the poll never masks a real leak."""
+    a ~10 s budget runs out — AFTER the original fixed 1 s floor, so
+    a starved cleaner that has not STARTED draining can't fake
+    stability with two pre-drain reads (review finding); a genuinely
+    leaked cache is a STABLE nonzero count, so the poll never masks a
+    real leak."""
     import gc
 
     gc.collect()
     spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)  # the pre-r10 drain window, kept as the floor
     deadline = time.monotonic() + 10.0
     prev = spark.sparkContext._jsc.getPersistentRDDs().size()
     while time.monotonic() < deadline:

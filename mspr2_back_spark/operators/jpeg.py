@@ -674,9 +674,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     #
     # Restart contract (same guarantees as before, enforced
     # structurally): a DRI stream must carry exactly
-    # floor((n_mcus-1)/dri) markers, every non-final segment must be
-    # consumed to within its <8 pad bits by its MCU quota (a marker
-    # that arrives early or late therefore raises the explicit
+    # floor((n_mcus-1)/dri) markers (a count mismatch raises the
+    # count-aware accounting ValueError), every non-final segment
+    # must be consumed to within its <8 pad bits by its MCU quota (a
+    # marker that arrives early or late therefore raises the explicit
     # expected-restart ValueError instead of desynchronizing — r9
     # ADVICE), and only the FINAL segment may zero-pad past its end
     # (T.81 stream-tail semantics). A single trailing empty segment
@@ -694,7 +695,14 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     ):
         segs = segs[:-1]
     if len(segs) != n_rst_expected + 1:
-        raise ValueError("expected restart marker in JPEG stream")
+        # count-aware: this path fires for BOTH too few markers (a
+        # DRI stream missing one) and too many (a stray RSTn in a
+        # non-DRI stream) — the old "expected restart marker" text
+        # pointed triage the wrong way in the second case
+        raise ValueError(
+            f"restart marker accounting mismatch in JPEG stream: "
+            f"{len(segs) - 1} markers for {n_rst_expected} expected"
+        )
 
     mcu = 0
     for si, seg in enumerate(segs):

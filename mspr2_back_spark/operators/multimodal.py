@@ -174,8 +174,8 @@ def encode_wav(
     pre_chunks: list[tuple[bytes, bytes]] | None = None,
     post_chunks: list[tuple[bytes, bytes]] | None = None,
 ) -> bytes:
-    """Encode an (n_samples, channels) integer array as a PCM WAV
-    (RIFF/WAVE). dtype picks the encoding: uint8 → 8-bit PCM, int16 →
+    """Encode an (n_samples, channels) sample array as a RIFF/WAVE
+    file. dtype picks the encoding: uint8 → 8-bit PCM, int16 →
     16-bit PCM, int32 → 32-bit PCM, float32 → IEEE float (format 3).
     ``pre_chunks``/``post_chunks`` are extra
     (id, body) chunks written before the fmt chunk / after the data

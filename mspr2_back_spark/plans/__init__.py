@@ -58,10 +58,12 @@ ORACLE_SQL = {
 #    task 2 — interleaved A/B at 256x: 68.0 -> 40.1 s min-of-2,
 #    SCALING.md round 10; pair sets verified bit-identical, so the
 #    closure-based oracles of the riding queries are unchanged and
-#    the riders — dedup_clusters, dedup_keep_best,
-#    dedup_corpus_summary, dedup_incremental, leakage_safe_splits,
-#    split_contamination_audit, all re-verified green in the r10
-#    session sim — re-sweep at their natural r11/r12 due dates).
+#    the FIVE riders — dedup_clusters, dedup_keep_best,
+#    dedup_corpus_summary, leakage_safe_splits,
+#    split_contamination_audit (dedup_incremental builds its own
+#    batch-vs-corpus shingle join and does NOT ride the pair
+#    relation), all re-verified green in the r10 session sim —
+#    re-sweep at their natural r11/r12 due dates).
 #    The accounting nets to zero for r11: the three early refreshes
 #    leave the r8 block at 47, and the three displaced entries
 #    (table_preview, orders_page, pagination_meta — trivial
@@ -70,8 +72,9 @@ ORACLE_SQL = {
 #    50 again;
 # 2. the remaining 46 of the 49 queries whose latest driver verdict
 #    is round 7 — COVERAGE.md's precomputed obligation minus the
-#    three displaced above. After this round: 50 r10 / 50 r9 /
-#    46 r8 / 3 r7 (the displaced trio, due first in r11).
+#    three displaced above. After this round: 50 r10 / 49 r9 /
+#    47 r8 / 3 r7 (bigram left the r9 block and only three queries
+#    left the r8 block; the displaced trio is due first in r11).
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
     # -- plans changed in round 10 (broadcast-hint removal) --

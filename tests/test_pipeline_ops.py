@@ -1853,7 +1853,7 @@ def test_jpeg_missing_restart_marker_raises():
         if p != -1
     )
     broken = enc[:rst] + enc[rst + 2 :]
-    with pytest.raises(ValueError, match="expected restart marker"):
+    with pytest.raises(ValueError, match="restart marker accounting mismatch"):
         decode_jpeg(broken)
     assert decode_image(broken) is None  # dispatch falls back cleanly
     # the untouched stream still decodes (guard is boundary-only)
@@ -2310,7 +2310,7 @@ def test_jpeg_stray_rstn_without_dri_rejected():
     enc = encode_jpeg(img, quality=90)  # no DRI
     assert enc.endswith(b"\xff\xd9")
     stray = enc[:-2] + b"\xff\xd0" + enc[-2:]
-    with pytest.raises(ValueError, match="expected restart marker"):
+    with pytest.raises(ValueError, match="restart marker accounting mismatch"):
         decode_jpeg(stray)
     # the untouched stream still decodes (guard is accounting-only)
     px, _ = decode_jpeg(enc)
