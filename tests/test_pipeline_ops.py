@@ -2418,3 +2418,64 @@ def test_near_dup_clusters_deep_chain_hedge(spark):
         for r in star_contraction_clusters(pairs).collect()
     }
     assert hedged == expected
+
+
+def test_minhash_verify_joins_reuse_cached_doc_partitioning(spark, sf_dir):
+    """r10 (VERDICT r9 task 2, the adopted fix): minhash_lsh_pairs
+    persists its shingle projection hash(doc)-partitioned, so the two
+    exact-verify joins must reach the cached ARRAY relation without
+    any exchange — only the narrow candidate side may re-shuffle
+    (measured 68.0 -> 40.1 s at 256x, SCALING.md round 10). Pinned
+    with broadcasting disabled so the joins take their shuffle-join
+    form (the shape that matters at scale; at test scale AQE may
+    broadcast the candidates, where the array side trivially never
+    moves)."""
+    import re
+
+    from mspr2_back_spark.operators.dedup import minhash_lsh_pairs
+    from mspr2_back_spark.sources.readers import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        df = minhash_lsh_pairs(docs, 0.8)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # the verify joins: both sides named doc_id_1 / doc_id_2; the
+    # RIGHT key is the cached array side's alias of `doc`
+    joins = re.findall(
+        r"Left keys \[1\]: \[(doc_id_[12])#(\d+)L?\]\s*\n\s*"
+        r"Right keys \[1\]: \[(doc_id_[12])#(\d+)L?\]",
+        plan,
+    )
+    verify = [(l, lid, rid) for l, lid, r, rid in joins if l == r]
+    assert len(verify) == 2, f"expected the two verify joins, got {joins}"
+    build_exchanges = re.findall(
+        r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_(?:NUM|COL)",
+        plan,
+    )
+    assert build_exchanges, (
+        "the build-time repartition(id) is gone — the cache is no "
+        "longer hash(doc)-partitioned"
+    )
+    for _, left_id, right_id in verify:
+        # candidate side exchanges (EnsureRequirements matches it to
+        # the cached layout) ...
+        assert re.search(
+            rf"hashpartitioning\(doc_id_[12]#{left_id}L?, \d+\), "
+            r"ENSURE_REQUIREMENTS",
+            plan,
+        ), "the candidate side of a verify join stopped exchanging"
+        # ... the array side must NOT: its partitioning flows from the
+        # InMemoryRelation through the alias
+        assert not re.search(
+            rf"hashpartitioning\(doc_id_[12]#{right_id}L?,", plan
+        ), (
+            "a verify join re-exchanged the cached shingle-array "
+            "relation — the r10 partitioning contract regressed"
+        )
