@@ -478,3 +478,54 @@ def test_jpeg_q100_bounded_error_property(shape, seed, sub):
             )
 
         assert np.abs(luma(px.astype(float)) - luma(img.astype(float))).max() <= 6
+
+
+@given(
+    dtype_i=st.integers(min_value=0, max_value=3),
+    n=st.integers(min_value=1, max_value=40),
+    channels=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    pre=st.lists(st.integers(min_value=0, max_value=9), max_size=3),
+    post=st.lists(st.integers(min_value=0, max_value=9), max_size=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_identity_any_chunk_layout(
+    dtype_i, n, channels, rate, pre, post, seed
+):
+    """Property (r10): encode_wav -> decode_wav is the identity for
+    EVERY dtype (8/16/32-bit PCM and IEEE float32), any channel
+    count, and ANY surrounding chunk layout — arbitrary pre-fmt and
+    post-data chunks of arbitrary (odd or even) sizes, so every
+    word-align pad path the RIFF walk owns is fuzzed, not just the
+    handful of fixture layouts."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    dtype = [np.uint8, np.int16, np.int32, np.float32][dtype_i]
+    if dtype == np.uint8:
+        samples = rng.integers(0, 256, (n, channels)).astype(dtype)
+    elif dtype == np.float32:
+        samples = rng.standard_normal((n, channels)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        samples = rng.integers(
+            info.min, int(info.max) + 1, (n, channels)
+        ).astype(dtype)
+    pre_chunks = [(b"JUNK", bytes(sz)) for sz in pre]
+    post_chunks = [(b"LIST", bytes(sz)) for sz in post]
+    enc = encode_wav(
+        samples, rate, pre_chunks=pre_chunks, post_chunks=post_chunks
+    )
+    # RIFF declared size covers every chunk including pad bytes
+    import struct
+
+    assert struct.unpack_from("<I", enc, 4)[0] == len(enc) - 8
+    assert len(enc) % 2 == 0  # the file itself ends word-aligned
+    arr, meta = decode_wav(enc)
+    assert meta["n_samples"] == n
+    assert meta["channels"] == channels
+    assert meta["sample_rate"] == rate
+    assert np.array_equal(arr, samples)
