@@ -329,10 +329,28 @@ def minhash_lsh_pairs(
     # across join sides), and at cluster scale it would shuffle the
     # banded rows twice. One shuffle to the buckets, then each bucket
     # expands its (sorted) member list to ordered pairs in-place.
+    #
+    # `.select("ds").distinct()` BEFORE the expansion (r10): a pair
+    # of near-identical documents collides in MANY bands with the
+    # same sorted co-member list — the common case for true
+    # duplicates — so expanding every bucket emits the same pairs
+    # once per colliding band (9.6x the deduped candidates on the
+    # 256x exact-twin-dense corpus) and makes the pair-level
+    # dropDuplicates pay for all of them. Collapsing identical
+    # member LISTS first removes that duplication pre-explode.
+    # Output-identical by construction: expanding a multiset of
+    # lists then deduping pairs equals expanding the distinct SET of
+    # lists then deduping pairs. Worst case (no identical lists) the
+    # distinct adds one list-sized exchange and removes nothing;
+    # measured at 256x/shuffle=128 (interleaved, identical pair
+    # sets): 45.1 -> 37.5 s min-of-2 on top of the verify fix
+    # (SCALING.md round 10).
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list("doc")).alias("ds"))
         .filter(F.size("ds") > 1)
+        .select("ds")
+        .distinct()
     )
     pair_expansion = (
         "flatten(transform(ds, (x, i) -> "

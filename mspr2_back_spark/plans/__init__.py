@@ -52,11 +52,14 @@ ORACLE_SQL = {
 #    (takes the round's one free slot), unigram_surprisal and
 #    tfidf_top_terms are r8-fresh — re-swept here a round early,
 #    each displacing one r7-age obligation entry per the rotation
-#    rules. dedup_minhash_lsh (r8-fresh) also changed: the persisted
-#    shingle projection is now hash(doc)-partitioned so the verify
-#    joins stop shuffling the corpus-wide shingle arrays (VERDICT r9
-#    task 2 — interleaved A/B at 256x: 68.0 -> 40.1 s min-of-2,
-#    SCALING.md round 10; pair sets verified bit-identical, so the
+#    rules. dedup_minhash_lsh (r8-fresh) also changed twice: the
+#    persisted shingle projection is hash(doc)-partitioned so the
+#    verify joins stop shuffling the corpus-wide shingle arrays, and
+#    the banding expansion collapses identical bucket member lists
+#    before the explode (VERDICT r9 task 2 — interleaved A/Bs at
+#    256x: 68.0 -> 40.1 -> 37.5 s min-of-2, SCALING.md round 10;
+#    both changes share the one sweep slot; pair sets verified
+#    bit-identical each time, so the
 #    closure-based oracles of the riding queries are unchanged and
 #    the FIVE riders — dedup_clusters, dedup_keep_best,
 #    dedup_corpus_summary, leakage_safe_splits,
@@ -81,7 +84,7 @@ _SWEEP_FIRST = [
     "bigram_surprisal",  # r10: hint-free count joins (was the weak-list entry)
     "unigram_surprisal",  # r10: hint-free vocab join (displaces table_preview)
     "tfidf_top_terms",  # r10: hint-free df join (displaces orders_page)
-    "dedup_minhash_lsh",  # r10: hash(doc)-partitioned verify (displaces pagination_meta)
+    "dedup_minhash_lsh",  # r10: hash(doc)-partitioned verify + distinct bucket lists (displaces pagination_meta)
     # -- latest verdict is round 7 — the obligation minus displaced --
     "ann_lsh_topk",
     "ann_topk",
