@@ -38,100 +38,107 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-10 priorities (VERDICT r9
-# task 1 — the precomputed freshness obligation in COVERAGE.md
-# "Round-10 freshness obligation"):
-# 1. queries whose PLAN CHANGED in round 10 (same-commit atomic with
-#    this rotation; the registry stays closed at 149 — zero new
-#    registrations): the three n-gram count joins dropped their
-#    explicit F.broadcast hints (VERDICT r9 "What's wrong" #1 /
-#    task 3 — a hint never flips, so at open-vocab 100 TB the
-#    distinct-n-gram broadcast was a driver OOM; AQE now chooses, and
-#    tests/test_sketches.py pins that the flipped join reuses the
-#    count aggregation's own exchange). bigram_surprisal is r9-fresh
-#    (takes the round's one free slot), unigram_surprisal and
-#    tfidf_top_terms are r8-fresh — re-swept here a round early,
-#    each displacing one r7-age obligation entry per the rotation
-#    rules. dedup_minhash_lsh (r8-fresh) also changed twice: the
-#    persisted shingle projection is hash(doc)-partitioned so the
-#    verify joins stop shuffling the corpus-wide shingle arrays, and
-#    the banding expansion collapses identical bucket member lists
-#    before the explode (VERDICT r9 task 2 — interleaved A/Bs at
-#    256x: 68.0 -> 40.1 -> 37.5 s min-of-2, SCALING.md round 10;
-#    both changes share the one sweep slot; pair sets verified
-#    bit-identical each time, so the
-#    closure-based oracles of the riding queries are unchanged and
-#    the FIVE riders — dedup_clusters, dedup_keep_best,
-#    dedup_corpus_summary, leakage_safe_splits,
-#    split_contamination_audit (dedup_incremental builds its own
-#    batch-vs-corpus shingle join and does NOT ride the pair
-#    relation), all re-verified green in the r10 session sim —
-#    re-sweep at their natural r11/r12 due dates).
-#    The accounting nets to zero for r11: the three early refreshes
-#    leave the r8 block at 47, and the three displaced entries
-#    (table_preview, orders_page, pagination_meta — trivial
-#    LIMIT/COUNT queries with pytest cover, lowest-risk to carry one
-#    round over age) HEAD the round-11 obligation → r11 owes exactly
-#    50 again;
-# 2. the remaining 46 of the 49 queries whose latest driver verdict
-#    is round 7 — COVERAGE.md's precomputed obligation minus the
-#    three displaced above. After this round: 50 r10 / 49 r9 /
-#    47 r8 / 3 r7 (bigram left the r9 block and only three queries
-#    left the r8 block; the displaced trio is due first in r11).
+# (rotation history in COVERAGE.md).  Round-11 priorities (VERDICT
+# r10 tasks 1-2 — the precomputed freshness obligation in COVERAGE.md
+# "Round-11 freshness obligation"; registry stays closed at 149,
+# zero new registrations):
+# 1. queries whose PLAN CHANGED in round 11 (same-commit atomic with
+#    this rotation): every remaining F.broadcast hint on an
+#    sf-SCALED relation in plans/analytics.py is gone — VERDICT r10
+#    "What's wrong" #1 named min_cost_supplier_per_part (part +
+#    supplier projections) and revenue_share_by_nation (supplier);
+#    the same audit found the identical class in
+#    brand_supplier_counts (part + flagged-supplier subset),
+#    or_of_ands_revenue (part), waiting_orders_by_supplier (the
+#    finished-orders key set — HALF of orders — and supplier), and
+#    bigram_pmi (open-vocab unigram marginals, the r10 n-gram
+#    driver-OOM class).  A hint never flips; AQE broadcasts the same
+#    sides at every test scale (executed plans unchanged) and plans
+#    shuffle joins past the threshold — pinned by
+#    tests/test_extensions.py::
+#    test_analytics_dim_joins_flip_to_shuffle_without_hints
+#    (broadcasting disabled -> SMJ everywhere, only the bounded
+#    nation hint + 1-row scalar attaches remain, and the
+#    finished-orders semi-join exchange is REUSED by the per-order
+#    aggregation).  Hints on nation/region (25/5 rows, bounded by
+#    schema forever) and 1-row scalar attaches are KEPT on purpose.
+#    Five of the six are r10-fresh, so each displaces one obligation
+#    entry per the rotation rules (the r10 n-gram precedent:
+#    class-complete now beats three more rounds of a plan that
+#    cannot survive the target geometry);
+#    waiting_orders_by_supplier is r8-fresh and already in the
+#    obligation — its re-sweep is free.
+# 2. the three entries displaced in round 10 — table_preview,
+#    orders_page, pagination_meta — now 3 rounds old, the only
+#    entries ever to age past 2: due FIRST.
+# 3. 41 of the remaining 46 r8-block entries.  The five displaced to
+#    HEAD round 12 (avg_by_segment, distinct_counts, global_totals,
+#    last_value_sum, max_year_orders — single-aggregate relational
+#    queries whose plans have never changed and which every pytest
+#    run re-checks end-to-end via test_oracle_parity.py: the
+#    lowest-risk entries to carry one round over age, same criterion
+#    as r10's displaced trio).
+# After this round: 50 r11 / 45 r10 / 49 r9 / 5 r8-displaced.
+# Round 12 owes 5 displaced + 49 r9-block = 54 -> sweeps the 5 + 45
+# and consciously displaces 4 r9-block entries to round 13, which
+# has room (45 r10-block + 4 = 49); round 14 returns to the plain
+# 50-query r11 block — the cascade the class-complete fix buys
+# resolves in two rounds (precomputed in COVERAGE.md).
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- plans changed in round 10 (broadcast-hint removal) --
-    "bigram_surprisal",  # r10: hint-free count joins (was the weak-list entry)
-    "unigram_surprisal",  # r10: hint-free vocab join (displaces table_preview)
-    "tfidf_top_terms",  # r10: hint-free df join (displaces orders_page)
-    "dedup_minhash_lsh",  # r10: hash(doc)-partitioned verify + distinct bucket lists (displaces pagination_meta)
-    # -- latest verdict is round 7 — the obligation minus displaced --
-    "ann_lsh_topk",
-    "ann_topk",
-    "asof_event_value",
-    "bigram_pmi",
-    "brand_supplier_counts",
-    "brand_surrogate_ids",
-    "corpus_shuffle",
-    "cube_order_stats",
-    "customer_order_histogram",
-    "date_spine",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_norm_stats",
-    "event_debounce",
-    "event_transition_matrix",
-    "events_filtered",
-    "events_in_windows",
-    "grouping_sets_sales",
-    "hourly_events",
-    "ivf_cell_stats",
-    "latest_order_per_customer",
-    "metric_projection",
-    "min_cost_supplier_per_part",
-    "multimodal_decode_stats",
-    "multimodal_frames",
-    "or_of_ands_revenue",
-    "percentile_prices",
-    "region_yearly_lag",
-    "revenue_share_by_nation",
-    "rolling_sum3",
-    "rollup_revenue",
-    "segment_decode",
-    "skewed_join_topk",
-    "status_priority_rollup",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "token_budget_sample",
-    "top5_customers",
-    "value_lag_diff",
-    "word_counts",
-    "yearly_orders_lag",
-    "zorder_locality_audit",
+    # -- plans changed in round 11 (sf-scaled broadcast-hint removal) --
+    "min_cost_supplier_per_part",  # r11: part+supplier hints gone (displaces avg_by_segment)
+    "revenue_share_by_nation",  # r11: supplier hint gone, nation kept (displaces distinct_counts)
+    "brand_supplier_counts",  # r11: part+flagged hints gone (displaces global_totals)
+    "or_of_ands_revenue",  # r11: part hint gone (displaces last_value_sum)
+    "bigram_pmi",  # r11: open-vocab unigram hints gone (displaces max_year_orders)
+    "waiting_orders_by_supplier",  # r11: finished-orders+supplier hints gone (in-obligation, free)
+    # -- displaced in r10, now 3 rounds old: due first --
+    "table_preview",
+    "orders_page",
+    "pagination_meta",
+    # -- latest verdict is round 8 — the obligation minus displaced --
+    "ann_batch_topk",
+    "ann_quantized_topk",
+    "approx_price_quantiles",
+    "attribution_last_touch",
+    "bm25_topk",
+    "cms_heavy_hitters",
+    "cohort_ltv",
+    "corpus_datacard",
+    "daily_anomaly_scores",
+    "daily_timeseries",
+    "daily_value_trend",
+    "dedup_edit_distance",
+    "dedup_embedding_cells",
+    "embedding_quantize_stats",
+    "equidepth_price_bands",
+    "event_association_rules",
+    "event_funnel",
+    "ewma_daily_value",
+    "fk_integrity_audit",
+    "funnel_latency",
+    "gapfill_user_daily",
+    "hll_distinct_users",
+    "hybrid_search_rrf",
+    "idle_customers_avg_bal",
+    "leakage_safe_splits",
+    "lineitem_corr_matrix",
+    "ml_forecast_ar_exact",
+    "multimodal_jpeg_meta",
+    "multimodal_meta",
+    "pricing_summary",
+    "quality_weighted_sample",
+    "retention_cohorts",
+    "scd2_customer_merge",
+    "session_paths",
+    "simhash64_near_degree",
+    "simhash_bucket_stats",
+    "simhash_near_degree",
+    "sliding_event_rates",
+    "split_contamination_audit",
+    "weekly_rollup",
+    "weighted_sample_fixed_k",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

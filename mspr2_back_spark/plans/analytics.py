@@ -103,14 +103,19 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a per-key MIN aggregate re-joined to the fact; ties on
     price resolve to the lowest suppkey so the result is a function
     of the data alone. Both shuffles hash on l_partkey — AQE reuses
-    the exchange. Dims broadcast. Top-100 by price is
-    TakeOrderedAndProject, never a global sort.
+    the exchange. part/supplier are sf-SCALED relations (~10^9 rows
+    at 100 TB TPC-H geometry), so they carry NO broadcast hint — a
+    hint never flips, while AQE broadcasts them at every scale where
+    that is safe and falls back to a shuffle join past the threshold
+    (r11; plan-pinned by tests/test_extensions.py::
+    test_analytics_dim_joins_flip_to_shuffle_without_hints).
+    Top-100 by price is TakeOrderedAndProject, never a global sort.
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     s = _t(spark, sf_dir, "supplier")
     li_small = li.join(
-        F.broadcast(p.select("p_partkey", "p_name")),
+        p.select("p_partkey", "p_name"),
         li["l_partkey"] == p["p_partkey"],
     )
     # Aliased group key: joining the aggregate back to its own source
@@ -130,7 +135,7 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(
-            F.broadcast(s.select("s_suppkey", "s_name")),
+            s.select("s_suppkey", "s_name"),
             best["best_suppkey"] == s["s_suppkey"],
         )
         .select("p_partkey", "p_name", "min_price", "best_suppkey", "s_name")
@@ -146,7 +151,9 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan feeds both the per-nation aggregate and the global
     scalar; the scalar re-attaches by 1-row broadcast. Decimal sums
     make numerator and denominator exact, so the double division is
-    bit-identical on any partitioning.
+    bit-identical on any partitioning. supplier is sf-scaled so its
+    join carries NO broadcast hint (AQE decides — r11, plan-pinned);
+    nation keeps its hint: 25 rows bounded by schema forever.
     """
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -155,7 +162,7 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(18,2)") - money("l_discount")
     )
     rev = (
-        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        li.join(s.select("s_suppkey", "s_nationkey"),
                 li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -187,10 +194,14 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brand#1..Brand#25, so Q16's canonical Brand#45 would make the
     exclusion vacuous — Brand#15 keeps the predicate selective.
 
-    The NOT IN is an anti join against the tiny flagged-supplier set
-    (broadcast); the distinct count is Spark's two-phase expand —
-    partials shrink map-side, the shuffle carries (group, suppkey)
-    pairs, never raw rows.
+    The NOT IN is an anti join against the flagged-supplier set; the
+    distinct count is Spark's two-phase expand — partials shrink
+    map-side, the shuffle carries (group, suppkey) pairs, never raw
+    rows. part and the flagged-supplier subset are both sf-SCALED
+    (constant fractions of relations that grow with data volume), so
+    neither join carries a broadcast hint — AQE broadcasts them at
+    every scale where that is safe and flips to a shuffle join past
+    the threshold (r11, plan-pinned).
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
@@ -202,9 +213,9 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+        li.join(p.select("p_partkey", "p_brand", "p_type"),
                 li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(flagged), li["l_suppkey"] == flagged["s_suppkey"],
+        .join(flagged, li["l_suppkey"] == flagged["s_suppkey"],
               "left_anti")
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -221,10 +232,14 @@ def or_of_ands_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Constants are adapted to the driver testdata: its brand domain is
     Brand#1..Brand#25, so Q19's canonical Brand#34 branch would never
     match — Brand#24 keeps all three disjuncts live.
+
+    part is sf-scaled, so its join carries NO broadcast hint (AQE
+    decides — r11, plan-pinned; same principle as the r10 n-gram
+    hint removal: a hint never flips).
     """
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+    j = li.join(p.select("p_partkey", "p_brand", "p_size"),
                 li["l_partkey"] == p["p_partkey"])
     band = (
         (
@@ -280,7 +295,12 @@ def waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     finished = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    fli = li.join(F.broadcast(finished), li["l_orderkey"] == F.col("o_orderkey"),
+    # finished is ~half of orders — the most sf-scaled relation this
+    # module ever hinted.  No broadcast hint (r11): AQE broadcasts it
+    # only while it fits, and the fallback semi-join hashes on
+    # l_orderkey, the same key the groupBy below needs, so the flip
+    # reuses the exchange.
+    fli = li.join(finished, li["l_orderkey"] == F.col("o_orderkey"),
                   "left_semi")
     per_order = fli.groupBy("l_orderkey").agg(
         F.max(
@@ -298,7 +318,7 @@ def waiting_orders_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         unique_last.groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")), "s_suppkey")
+        .join(s.select("s_suppkey", "s_name"), "s_suppkey")
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
@@ -426,11 +446,16 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bigrams come from zipping each token array with its own tail —
     pure per-row explode, scan-parallel, no shuffle until the count
-    aggregations. The two unigram marginals re-attach by broadcast
-    (vocabulary-sized, not corpus-sized). All counts are exact
-    BIGINTs; the lift is computed as (c_xy/T) / ((c_x/U)·(c_y/U))
-    with each step an IEEE double op, so both engines emit identical
-    bits. Rare pairs (< 5) are dropped before ranking.
+    aggregations. The two unigram marginals re-attach WITHOUT a
+    broadcast hint (r11, same fix as the r10 n-gram count joins in
+    plans/sketches.py: the distinct-unigram relation is open-vocab —
+    a hinted broadcast of it is a driver OOM at 100 TB; AQE
+    broadcasts while it fits and otherwise plans a shuffle join
+    keyed on the word, reusing the count aggregation's own
+    exchange). All counts are exact BIGINTs; the lift is computed as
+    (c_xy/T) / ((c_x/U)·(c_y/U)) with each step an IEEE double op,
+    so both engines emit identical bits. Rare pairs (< 5) are
+    dropped before ranking.
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -455,8 +480,8 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = uni_counts.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
     scored = (
         bi_counts.filter(F.col("c_xy") >= PMI_MIN_COUNT)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
     )
     px = F.col("c_x") / F.col("n_unigrams")
     py = F.col("c_y") / F.col("n_unigrams")
