@@ -99,22 +99,35 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     }
 
 
+# GUID tail shared by every KSDATAFORMAT_SUBTYPE_* audio sub-format
+# ({xxxxxxxx}-0000-0010-8000-00AA00389B71); Data1 distinguishes PCM
+# (1) from IEEE_FLOAT (3).
+_KSDATAFORMAT_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """Parse a PCM WAV (RIFF/WAVE, fmt + data chunks) into
     ((n_samples, channels) array, metadata). Integer PCM (format 1,
     8/16/32-bit) and IEEE float32 (format 3 — the other encoding real
-    corpora actually carry); raises a per-format ValueError otherwise:
+    corpora actually carry), plus both of those wrapped in
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE — r11, VERDICT r10 task 3: real
+    corpora carry EXTENSIBLE-wrapped PCM/float routinely; the fmt
+    extension's SubFormat GUID dispatches onto the existing
+    format-1/format-3 paths). Raises a per-format ValueError
+    otherwise:
 
-    - WAVE_FORMAT_EXTENSIBLE (0xFFFE) gets its own message — it wraps
-      the real format in a 22-byte extension the chunk walk here
-      deliberately does not interpret,
+    - an EXTENSIBLE fmt whose extension is truncated (cbSize < 22),
+      whose SubFormat GUID is neither KSDATAFORMAT_SUBTYPE_PCM nor
+      IEEE_FLOAT, or whose wValidBitsPerSample narrows the container
+      (valid bits != container bits — this decoder does not mask
+      24-in-32 layouts) each get their own explicit message,
     - a data chunk whose declared size runs past the payload raises
       ``truncated WAV data chunk`` instead of silently decoding a
       frame-truncated tail (r10, the JPEG-rejection precedent).
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fmt_ext = 12, None, None, b""
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -126,6 +139,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             if len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_ext = body[16:]
         elif cid == b"data":
             if len(body) < size:
                 raise ValueError("truncated WAV data chunk")
@@ -135,11 +149,34 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format == 0xFFFE:
-        raise ValueError(
-            "unsupported WAV: WAVE_FORMAT_EXTENSIBLE (0xFFFE) — the "
-            "wrapped sub-format lives in the fmt extension, which this "
-            "decoder does not interpret"
-        )
+        # WAVE_FORMAT_EXTENSIBLE: cbSize(H) wValidBitsPerSample(H)
+        # dwChannelMask(I) SubFormat(GUID, 16 bytes) after the 16
+        # base fmt bytes.  Unwrap PCM / IEEE_FLOAT; reject the rest
+        # loudly with the GUID in the message.
+        if len(fmt_ext) < 2 or struct.unpack_from("<H", fmt_ext, 0)[0] < 22 \
+                or len(fmt_ext) < 24:
+            raise ValueError(
+                "unsupported WAV: WAVE_FORMAT_EXTENSIBLE (0xFFFE) with "
+                "a truncated fmt extension (need cbSize >= 22)"
+            )
+        valid_bits = struct.unpack_from("<H", fmt_ext, 2)[0]
+        sub = fmt_ext[8:24]
+        if sub[4:] != _KSDATAFORMAT_TAIL or sub[:4] not in (
+            b"\x01\x00\x00\x00",
+            b"\x03\x00\x00\x00",
+        ):
+            raise ValueError(
+                "unsupported WAV: WAVE_FORMAT_EXTENSIBLE sub-format "
+                f"GUID {sub.hex()} is neither KSDATAFORMAT_SUBTYPE_PCM "
+                "nor IEEE_FLOAT"
+            )
+        if valid_bits not in (0, bits):
+            raise ValueError(
+                "unsupported WAV: WAVE_FORMAT_EXTENSIBLE declares "
+                f"{valid_bits} valid bits in a {bits}-bit container — "
+                "narrowed layouts are not masked here"
+            )
+        audio_format = sub[0]  # 1 (PCM) or 3 (IEEE float)
     if channels < 1:
         raise ValueError(f"unsupported WAV (channels={channels})")
     if audio_format == 3:
@@ -173,6 +210,7 @@ def encode_wav(
     sample_rate: int,
     pre_chunks: list[tuple[bytes, bytes]] | None = None,
     post_chunks: list[tuple[bytes, bytes]] | None = None,
+    extensible: bool = False,
 ) -> bytes:
     """Encode an (n_samples, channels) sample array as a RIFF/WAVE
     file. dtype picks the encoding: uint8 → 8-bit PCM, int16 →
@@ -182,7 +220,13 @@ def encode_wav(
     chunk — real files carry LIST/cue /JUNK chunks a reader must walk
     over, so the tests and the driver-gated query use these to pin
     ``decode_wav``'s chunk walk (including the odd-size word-align
-    pad, T.81's RIFF cousin) under the oracle hash."""
+    pad, T.81's RIFF cousin) under the oracle hash.
+
+    ``extensible=True`` wraps the same stream in WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE + 22-byte extension: valid bits = container bits, zero
+    channel mask, KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT} GUID) — the
+    encode twin that lets the round-trip fuzz pin ``decode_wav``'s
+    unwrap path bit-exactly (r11)."""
     n, channels = samples.shape
     bits = {
         np.dtype(np.uint8): 8,
@@ -202,13 +246,17 @@ def encode_wav(
 
     fmt = struct.pack(
         "<HHIIHH",
-        audio_format,
+        0xFFFE if extensible else audio_format,
         channels,
         sample_rate,
         sample_rate * frame,
         frame,
         bits,
     )
+    if extensible:
+        fmt += struct.pack("<HHI", 22, bits, 0) + (
+            struct.pack("<I", audio_format) + _KSDATAFORMAT_TAIL
+        )
     parts = [chunk(cid, body) for cid, body in (pre_chunks or [])]
     parts.append(chunk(b"fmt ", fmt))
     parts.append(chunk(b"data", samples.astype(samples.dtype, copy=False).tobytes()))

@@ -2348,27 +2348,49 @@ def test_wav_float32_roundtrip():
 
 def test_wav_rejection_surface_pinned_per_format():
     """r10 (VERDICT r9 task 4, the JPEG-rejection precedent of r8
-    task 7): the two WAV shapes real corpora carry that this decoder
-    deliberately does NOT interpret must each raise their own
-    explicit ValueError — WAVE_FORMAT_EXTENSIBLE (0xFFFE, sub-format
-    hidden in the fmt extension) and a data chunk whose declared size
-    runs past the payload (truncated file) — and non-32-bit float
-    declarations stay rejected."""
+    task 7), narrowed in r11 now that WAVE_FORMAT_EXTENSIBLE-wrapped
+    PCM/IEEE-float DECODES (VERDICT r10 task 3): what stays rejected
+    must each raise its own explicit ValueError — an EXTENSIBLE fmt
+    with NO extension (truncated), an EXTENSIBLE sub-format GUID that
+    is neither PCM nor IEEE_FLOAT, valid-bits narrowing (24-in-32),
+    a data chunk whose declared size runs past the payload, and
+    non-32-bit float declarations."""
     import struct
 
     import numpy as np
     import pytest
 
-    from mspr2_back_spark.operators.multimodal import decode_wav, encode_wav
+    from mspr2_back_spark.operators.multimodal import (
+        _KSDATAFORMAT_TAIL,
+        decode_wav,
+        encode_wav,
+    )
 
     samples = np.arange(12, dtype=np.int16).reshape(6, 2)
     enc = encode_wav(samples, 8000)
     fmt_off = enc.find(b"fmt ") + 8
 
-    extensible = bytearray(enc)
-    struct.pack_into("<H", extensible, fmt_off, 0xFFFE)
-    with pytest.raises(ValueError, match="WAVE_FORMAT_EXTENSIBLE"):
-        decode_wav(bytes(extensible))
+    # 0xFFFE declared but the 16-byte base fmt carries no extension
+    bare = bytearray(enc)
+    struct.pack_into("<H", bare, fmt_off, 0xFFFE)
+    with pytest.raises(ValueError, match="truncated fmt extension"):
+        decode_wav(bytes(bare))
+
+    # a real extension, but a sub-format this decoder does not own
+    # (KSDATAFORMAT_SUBTYPE_ALAW, Data1=6)
+    ext = encode_wav(samples, 8000, extensible=True)
+    alaw = bytearray(ext)
+    guid_off = ext.find(b"fmt ") + 8 + 24
+    assert ext[guid_off + 4 : guid_off + 16] == _KSDATAFORMAT_TAIL
+    struct.pack_into("<I", alaw, guid_off, 6)
+    with pytest.raises(ValueError, match="neither KSDATAFORMAT_SUBTYPE_PCM"):
+        decode_wav(bytes(alaw))
+
+    # valid bits narrower than the container (24-in-32 style)
+    narrowed = bytearray(ext)
+    struct.pack_into("<H", narrowed, ext.find(b"fmt ") + 8 + 18, 12)
+    with pytest.raises(ValueError, match="12 valid bits in a 16-bit"):
+        decode_wav(bytes(narrowed))
 
     float16 = bytearray(enc)
     struct.pack_into("<H", float16, fmt_off, 3)  # float but bits=16

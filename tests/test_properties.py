@@ -488,17 +488,20 @@ def test_jpeg_q100_bounded_error_property(shape, seed, sub):
     pre=st.lists(st.integers(min_value=0, max_value=9), max_size=3),
     post=st.lists(st.integers(min_value=0, max_value=9), max_size=3),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
+    extensible=st.booleans(),
 )
 @settings(max_examples=40, deadline=None)
 def test_wav_roundtrip_identity_any_chunk_layout(
-    dtype_i, n, channels, rate, pre, post, seed
+    dtype_i, n, channels, rate, pre, post, seed, extensible
 ):
-    """Property (r10): encode_wav -> decode_wav is the identity for
-    EVERY dtype (8/16/32-bit PCM and IEEE float32), any channel
-    count, and ANY surrounding chunk layout — arbitrary pre-fmt and
-    post-data chunks of arbitrary (odd or even) sizes, so every
-    word-align pad path the RIFF walk owns is fuzzed, not just the
-    handful of fixture layouts."""
+    """Property (r10; r11 adds the EXTENSIBLE axis): encode_wav ->
+    decode_wav is the identity for EVERY dtype (8/16/32-bit PCM and
+    IEEE float32), any channel count, ANY surrounding chunk layout —
+    arbitrary pre-fmt and post-data chunks of arbitrary (odd or even)
+    sizes, so every word-align pad path the RIFF walk owns is fuzzed,
+    not just the handful of fixture layouts — and with or without the
+    WAVE_FORMAT_EXTENSIBLE wrapper (the unwrap must be sample- and
+    metadata-invisible)."""
     import numpy as np
 
     from mspr2_back_spark.operators.multimodal import decode_wav, encode_wav
@@ -517,7 +520,8 @@ def test_wav_roundtrip_identity_any_chunk_layout(
     pre_chunks = [(b"JUNK", bytes(sz)) for sz in pre]
     post_chunks = [(b"LIST", bytes(sz)) for sz in post]
     enc = encode_wav(
-        samples, rate, pre_chunks=pre_chunks, post_chunks=post_chunks
+        samples, rate, pre_chunks=pre_chunks, post_chunks=post_chunks,
+        extensible=extensible,
     )
     # RIFF declared size covers every chunk including pad bytes
     import struct
@@ -528,4 +532,7 @@ def test_wav_roundtrip_identity_any_chunk_layout(
     assert meta["n_samples"] == n
     assert meta["channels"] == channels
     assert meta["sample_rate"] == rate
+    # the EXTENSIBLE unwrap must report the INNER format
+    kind = "float" if dtype == np.float32 else "pcm"
+    assert meta["format"] == f"wav/{kind}{samples.dtype.itemsize * 8}"
     assert np.array_equal(arr, samples)
