@@ -10,16 +10,24 @@ stdlib. Supported profile:
 - encode: 8-bit RGB as 4:4:4 or 4:2:0 (2×2-mean chroma downsample,
   MCU-interleaved), or grayscale; standard Annex K quantization
   tables scaled by the libjpeg quality formula, standard Annex K
-  Huffman tables, no restart markers;
+  Huffman tables, no restart markers; plus (r11) grayscale
+  PROGRESSIVE (SOF2) with an arbitrary valid scan script and
+  per-scan frequency-optimized Huffman tables
+  (``encode_jpeg_progressive``);
 - decode: baseline DCT (SOF0), 8-bit, grayscale or 3 components with
   sampling factors up to 2×2 (4:4:4, 4:2:2, and the ubiquitous
   4:2:0 — chroma nearest-neighbor upsampled), MCU-interleaved single
-  scan, restart markers honored (DRI), 0xFF00 byte stuffing unwound.
-  Progressive (SOF2), 12-bit, arithmetic coding, and >2×2 sampling
-  raise ValueError — the dispatch's total-over-mixed-columns contract
-  turns that into the deterministic fake, same as any other
-  unsupported variant. Interop is tested against real-world encoder
-  output (system libjpeg-era fixtures), not just self-consistency.
+  scan, restart markers honored (DRI), 0xFF00 byte stuffing unwound;
+  plus (r11) progressive (SOF2) GRAYSCALE — spectral selection +
+  successive approximation per T.81 Annex G (DC first/refine, AC
+  first with EOB runs, AC refinement with correction bits, restarts
+  in every scan type), interop-pinned on a real foreign-encoder
+  progressive file. Color progressive, 12-bit, arithmetic coding,
+  and >2×2 sampling still raise ValueError — the dispatch's
+  total-over-mixed-columns contract turns that into the
+  deterministic fake, same as any other unsupported variant. Interop
+  is tested against real-world encoder output (system libjpeg-era
+  fixtures), not just self-consistency.
 
 JPEG is lossy, so unlike BMP/PNG there is no bit-exact oracle twin:
 correctness is pinned by bounded-error round-trips (flat blocks ±1,
@@ -598,7 +606,14 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             if nc not in (1, 3):
                 raise ValueError("only grayscale or 3-component JPEG supported")
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2 progressive (r11: grayscale decodes)
+            if len(body) >= 6 and body[5] == 1:
+                return _decode_progressive_gray(payload)
+            raise ValueError(
+                "non-baseline JPEG (color progressive unsupported — "
+                "progressive decode is grayscale-only)"
+            )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG (progressive/arithmetic)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -892,3 +907,710 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
         fmt = "jpeg/baseline"
     return rgb, {"width": int(fw), "height": int(fh), "format": fmt}
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) grayscale — r11, VERDICT r10 "What's missing" #3
+# ---------------------------------------------------------------------------
+# Spectral selection + successive approximation per ITU-T T.81 Annex G
+# (Huffman procedures G.1.2/G.2), scoped grayscale-first: single-
+# component scans are non-interleaved (one block per MCU, raster
+# order), which removes the sampling-grid dimension while exercising
+# every entropy structure progressive adds — DC first/refine scans,
+# AC first scans with EOB runs, AC refinement with correction bits,
+# and restart markers inside every scan type. Color progressive stays
+# loudly rejected in decode_jpeg until it is real.
+
+#: libjpeg's standard luma scan script (jcparam.c) — the shape real
+#: progressive grayscale files overwhelmingly carry: DC first at
+#: Al=1, two spectral AC bands at Al=2, an AC refinement to Al=1,
+#: the DC refinement, and the final AC refinement to Al=0.
+PROGRESSIVE_GRAY_SCANS: tuple[tuple[int, int, int, int], ...] = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+)
+
+
+class _ProgReader:
+    """Bit reader over ONE unstuffed entropy segment (progressive
+    path). Cold relative to the baseline hot loop, so this favors
+    clarity over the baseline's inlined locals; the tail semantics
+    are identical — reads past the end of a NON-final segment mean a
+    restart marker arrived late (raise), reads past the true stream
+    tail zero-pad (T.81 stream-tail semantics, same invariant the
+    baseline decoder and ``_huff_lut``'s zero-padded peek rely on)."""
+
+    __slots__ = ("seg", "n", "p", "acc", "nbits", "is_last")
+
+    def __init__(self, seg: bytes, is_last: bool) -> None:
+        self.seg = seg
+        self.n = len(seg)
+        self.p = 0
+        self.acc = 0
+        self.nbits = 0
+        self.is_last = is_last
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.p < self.n:
+            self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | self.seg[
+                self.p
+            ]
+            self.p += 1
+            self.nbits += 8
+
+    def huff(self, lut: array.array) -> int:
+        if self.nbits < 16:
+            self._fill()
+        if self.nbits >= 16:
+            t = lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        else:
+            t = lut[((self.acc & ((1 << self.nbits) - 1)) << (16 - self.nbits)) & 0xFFFF]
+        length = t >> 8
+        if not length:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        if length > self.nbits:
+            if not self.is_last:
+                raise ValueError("expected restart marker in JPEG stream")
+            self.nbits = 0
+        else:
+            self.nbits -= length
+        return t & 0xFF
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.nbits < k:
+            self._fill()
+        if self.nbits >= k:
+            self.nbits -= k
+            return (self.acc >> self.nbits) & ((1 << k) - 1)
+        if self.is_last:
+            v = (
+                (self.acc & ((1 << self.nbits) - 1)) << (k - self.nbits)
+                if self.nbits
+                else 0
+            )
+            self.nbits = 0
+            return v
+        raise ValueError("expected restart marker in JPEG stream")
+
+    def leftover(self) -> bool:
+        """Real entropy content remains (more than pad bits)."""
+        return self.p < self.n or self.nbits >= 8
+
+
+def _refine_ac(
+    rd: _ProgReader,
+    vals: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+    ac_lut: array.array,
+) -> int:
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.1.2.3 / libjpeg jdphuff.c decode_mcu_AC_refine): newly
+    nonzero coefficients arrive as ±1<<Al, every already-nonzero
+    coefficient passed on the way (and every one left in the band
+    during an EOB run) receives a correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "invalid AC refinement symbol in JPEG stream"
+                    )
+                s = p1 if rd.bits(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.bits(r)
+                break
+            # advance over r zero-history coefficients, correcting
+            # the nonzero ones passed (they don't consume the run)
+            while k <= se:
+                c = vals[k]
+                if c != 0:
+                    if rd.bits(1) and (c & p1) == 0:
+                        vals[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError(
+                        "AC refinement newly-nonzero position past Se"
+                    )
+                vals[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = vals[k]
+            if c != 0:
+                if rd.bits(1) and (c & p1) == 0:
+                    vals[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_gray(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Decode a single-component progressive JPEG (SOF2, 8-bit).
+
+    Its own marker walk (tables MAY be redefined between scans, and
+    the scan loop continues past each SOS instead of breaking at the
+    first one like the baseline path); the coefficient grid persists
+    across scans and the IDCT runs once at EOI. Restart handling
+    reuses the baseline contract per scan: count-aware marker
+    accounting, per-segment MCU quotas, entropy state (DC predictor +
+    EOB run) reset at every restart."""
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, array.array] = {}
+    ac_tabs: dict[int, array.array] = {}
+    frame = None
+    restart_interval = 0
+    coefs: list[list[int]] | None = None
+    n_blocks = 0
+    saw_scan = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG stream")
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=off + 1
+                ).astype(np.int64)
+                table = np.zeros(64, dtype=np.int64)
+                table[ZIGZAG] = vals
+                qtabs[tq] = table.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                (ac_tabs if tc else dc_tabs)[th] = _decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC2:
+            precision = body[0]
+            fh, fw = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc != 1:
+                raise ValueError(
+                    "non-baseline JPEG (color progressive unsupported — "
+                    "progressive decode is grayscale-only)"
+                )
+            cid, _, qid = body[6:9]
+            frame = (fh, fw, cid, qid)
+            # single-component scans are non-interleaved (T.81 A.2):
+            # one block per MCU in raster order, sampling ignored
+            bw = -(-fw // 8)
+            bh = -(-fh // 8)
+            n_blocks = bw * bh
+            coefs = [[0] * 64 for _ in range(n_blocks)]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("unexpected second frame marker in JPEG stream")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG scan before SOF2 frame header")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError(
+                    "non-baseline JPEG (color progressive unsupported — "
+                    "progressive decode is grayscale-only)"
+                )
+            scid, tabs = body[1], body[2]
+            if scid != frame[2]:
+                raise ValueError("scan component not in SOF2 frame")
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "progressive scan with Ss=0 must have Se=0 "
+                    "(spectral selection, T.81 B.2.3)"
+                )
+            if ss > se or se > 63:
+                raise ValueError("bad spectral selection in JPEG scan")
+            if ah and ah != al + 1:
+                raise ValueError(
+                    "successive approximation must refine one bit "
+                    "per scan (Ah must equal Al+1)"
+                )
+            if ss == 0 and ah == 0:
+                dc_lut = dc_tabs.get(tabs >> 4)
+                if dc_lut is None:
+                    raise ValueError(
+                        f"SOS references undefined DC table {tabs >> 4}"
+                    )
+                ac_lut = None
+            elif ss == 0:
+                dc_lut = ac_lut = None  # DC refinement: raw bits only
+            else:
+                dc_lut = None
+                ac_lut = ac_tabs.get(tabs & 0xF)
+                if ac_lut is None:
+                    raise ValueError(
+                        f"SOS references undefined AC table {tabs & 0xF}"
+                    )
+            scan_start = pos + 2 + size
+            scan_end = _entropy_end(payload, scan_start)
+            segs = _split_entropy_segments(payload[scan_start:scan_end])
+            n_rst = (n_blocks - 1) // restart_interval if restart_interval else 0
+            if restart_interval and len(segs) == n_rst + 2 and segs[-1] == b"":
+                segs = segs[:-1]
+            if len(segs) != n_rst + 1:
+                raise ValueError(
+                    f"restart marker accounting mismatch in JPEG stream: "
+                    f"{len(segs) - 1} markers for {n_rst} expected"
+                )
+            block = 0
+            for si, seg in enumerate(segs):
+                is_last = si == len(segs) - 1
+                quota = (
+                    min(restart_interval, n_blocks - block)
+                    if restart_interval
+                    else n_blocks
+                )
+                rd = _ProgReader(seg, is_last)
+                pred = 0
+                eobrun = 0
+                for _ in range(quota):
+                    vals = coefs[block]
+                    if ss == 0 and ah == 0:
+                        t = rd.huff(dc_lut)
+                        pred += _extend(rd.bits(t), t) if t else 0
+                        vals[0] = pred << al
+                    elif ss == 0:
+                        if rd.bits(1):
+                            vals[0] |= 1 << al
+                    elif ah == 0:
+                        if eobrun:
+                            eobrun -= 1
+                        else:
+                            k = ss
+                            while k <= se:
+                                rs = rd.huff(ac_lut)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += rd.bits(r)
+                                        break
+                                    k += 16
+                                else:
+                                    k += r
+                                    if k > se:
+                                        raise ValueError(
+                                            "AC coefficient index overflow"
+                                        )
+                                    vals[k] = _extend(rd.bits(s), s) << al
+                                    k += 1
+                    else:
+                        eobrun = _refine_ac(
+                            rd, vals, ss, se, al, eobrun, ac_lut
+                        )
+                    block += 1
+                if not is_last and rd.leftover():
+                    raise ValueError("expected restart marker in JPEG stream")
+            saw_scan = True
+            pos = scan_end
+            continue
+        pos = pos + 2 + size
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF2/SOS")
+    fh, fw, _, qid = frame
+    if qid not in qtabs:
+        raise ValueError(f"SOF references undefined quant table {qid}")
+    bw = -(-fw // 8)
+    bh = -(-fh // 8)
+    dez = np.zeros((n_blocks, 64), dtype=np.int64)
+    dez[:, ZIGZAG] = np.asarray(coefs, dtype=np.int64)
+    blocks = _idct_blocks(
+        dez.reshape(n_blocks, 8, 8).astype(np.float64) * qtabs[qid][None, :, :]
+    )
+    plane = (
+        blocks.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+        + 128.0
+    )[:fh, :fw]
+    gray = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    return rgb, {
+        "width": int(fw),
+        "height": int(fh),
+        "format": "jpeg/progressive-gray8",
+    }
+
+
+def _entropy_end(payload: bytes, pos: int) -> int:
+    """Index of the marker that terminates the entropy-coded region
+    starting at ``pos`` — the first FF(-run) followed by anything
+    other than a stuffed 00 or an RSTn (same region rule as
+    ``_split_entropy_segments``, which needs the bytes; the
+    progressive scan walk also needs the END to resume the marker
+    loop)."""
+    i = pos
+    n = len(payload)
+    while True:
+        j = payload.find(b"\xff", i)
+        if j == -1:
+            return n
+        k = j + 1
+        while k < n and payload[k] == 0xFF:
+            k += 1
+        if k >= n:
+            return n
+        nxt = payload[k]
+        if nxt == 0x00 and k == j + 1:
+            i = j + 2  # stuffed FF — entropy data
+        elif 0xD0 <= nxt <= 0xD7:
+            i = k + 1  # restart marker — still inside the region
+        else:
+            return j
+
+
+def _optimal_huffman(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Frequency-optimized Huffman table (T.81 Annex K.2 flowcharts /
+    libjpeg jchuff.c jpeg_gen_optimal_table): progressive scans NEED
+    this — the EOBn symbols (0x10..0xE0) don't exist in the Annex K
+    sequential tables (their code space is 65535/65536 full, room for
+    exactly one more length-16 code), so real progressive files ship
+    optimized per-scan tables and this encoder does the same. Returns
+    (BITS[1..16], HUFFVAL) for the DHT segment. The reserved
+    256-pseudo-symbol guarantees no real symbol gets the all-ones
+    code, per the spec."""
+    f = [0] * 257
+    for sym, n in freq.items():
+        f[sym] = n
+    f[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = -1
+        v = None
+        for i in range(257):
+            if 0 < f[i] and (v is None or f[i] <= v):
+                v = f[i]
+                c1 = i
+        c2 = -1
+        v = None
+        for i in range(257):
+            if 0 < f[i] and i != c1 and (v is None or f[i] <= v):
+                v = f[i]
+                c2 = i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # JPEG caps code length at 16: push overflow pairs up (jchuff.c)
+    for i in range(32, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved pseudo-symbol's code point
+    vals = []
+    for length in range(1, 33):
+        for sym in range(256):
+            if codesize[sym] == length:
+                vals.append(sym)
+    return bits[1:17], vals
+
+
+class _ScanWriter:
+    """Emission sink for one progressive scan (pass 2): canonical
+    codes over the scan's optimized tables into a _BitWriter."""
+
+    def __init__(
+        self,
+        dc_table: tuple[list[int], list[int]] | None,
+        ac_table: tuple[list[int], list[int]] | None,
+    ) -> None:
+        self.w = _BitWriter()
+        self.dc = _canonical_codes(*dc_table) if dc_table else None
+        self.ac = _canonical_codes(*ac_table) if ac_table else None
+
+    def dc_symbol(self, s: int) -> None:
+        code, ln = self.dc[s]
+        self.w.write(code, ln)
+
+    def ac_symbol(self, s: int) -> None:
+        code, ln = self.ac[s]
+        self.w.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+    def restart(self, idx: int) -> None:
+        self.w.emit_marker(0xD0 + (idx & 7))
+
+    def flush(self) -> bytes:
+        return self.w.flush()
+
+
+class _ScanCounter:
+    """Emission sink for pass 1: symbol frequencies only (raw bits
+    and restarts don't influence the table)."""
+
+    def __init__(self) -> None:
+        self.dc_freq: dict[int, int] = {}
+        self.ac_freq: dict[int, int] = {}
+
+    def dc_symbol(self, s: int) -> None:
+        self.dc_freq[s] = self.dc_freq.get(s, 0) + 1
+
+    def ac_symbol(self, s: int) -> None:
+        self.ac_freq[s] = self.ac_freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self, idx: int) -> None:
+        pass
+
+
+def _emit_progressive_scan(
+    grid: list[list[int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    sink,
+) -> None:
+    """Drive one scan's entropy emission into ``sink`` (T.81 Annex G
+    encode procedures / libjpeg jcphuff.c): DC first scans use the
+    arithmetic point transform, AC scans the magnitude one; EOB runs
+    accumulate across blocks with AC-refinement correction bits
+    buffered until the next emitted symbol; restarts flush the run,
+    realign, and reset the DC predictor. Identical symbol stream on
+    both passes — the counter and the writer see the same calls."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed to the EOB run
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            sink.ac_symbol(nbits << 4)
+            sink.bits(eobrun, nbits)
+            for b in pending:
+                sink.bits(b, 1)
+            pending = []
+            eobrun = 0
+
+    pred = 0
+    for i, vals in enumerate(grid):
+        if restart_interval and i and i % restart_interval == 0:
+            flush_eobrun()
+            sink.restart(i // restart_interval - 1)
+            pred = 0
+        if ss == 0 and ah == 0:
+            v = vals[0] >> al  # arithmetic point transform (G.1.2.1)
+            diff = v - pred
+            pred = v
+            size, mag = _magnitude(diff) if diff else (0, 0)
+            sink.dc_symbol(size)
+            sink.bits(mag, size)
+        elif ss == 0:
+            sink.bits((vals[0] >> al) & 1, 1)
+        elif ah == 0:
+            r = 0
+            for k in range(ss, se + 1):
+                v = vals[k]
+                t = -((-v) >> al) if v < 0 else v >> al  # magnitude shift
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eobrun()
+                while r > 15:
+                    sink.ac_symbol(0xF0)
+                    r -= 16
+                size, mag = _magnitude(t)
+                sink.ac_symbol((r << 4) | size)
+                sink.bits(mag, size)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        else:
+            absvals = []
+            eob_pos = ss - 1  # position of the last newly-nonzero coef
+            for k in range(ss, se + 1):
+                a = (-vals[k] if vals[k] < 0 else vals[k]) >> al
+                absvals.append(a)
+                if a == 1:
+                    eob_pos = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absvals[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_pos:
+                    flush_eobrun()
+                    sink.ac_symbol(0xF0)
+                    r -= 16
+                    for b in br:
+                        sink.bits(b, 1)
+                    br = []
+                if t > 1:
+                    # nonzero scan history: one correction bit,
+                    # buffered until the next emitted symbol
+                    br.append(t & 1)
+                    continue
+                flush_eobrun()
+                sink.ac_symbol((r << 4) | 1)
+                sink.bits(0 if vals[k] < 0 else 1, 1)
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+    flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    scans: tuple[tuple[int, int, int, int], ...] = PROGRESSIVE_GRAY_SCANS,
+) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a progressive JPEG
+    (SOF2) with the given scan script (default: libjpeg's standard
+    luma script) and per-scan frequency-optimized Huffman tables
+    (progressive streams can't reuse the Annex K sequential tables —
+    they lack the EOBn symbols). The quantized coefficient grid is
+    IDENTICAL to ``encode_jpeg``'s grayscale path (same pad → FDCT →
+    quantize → zigzag), and a progressive scan script partitions
+    exactly those coefficient bits across scans — so decoding the
+    progressive stream reproduces the baseline decode's pixels
+    BIT-FOR-BIT, which is what the round-trip tests pin."""
+    assert pixels.ndim == 2 and pixels.dtype == np.uint8
+    h, w = pixels.shape
+    qy = _quality_scale(QUANT_LUMA, quality)
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(
+        pixels.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)),
+        mode="edge",
+    )
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    qz = np.round(_fdct_blocks(blocks - 128.0) / qy[None, :, :]).astype(
+        np.int64
+    )
+    grid = qz.reshape(-1, 64)[:, ZIGZAG].tolist()
+
+    # scan-script sanity: each coefficient's first scan exactly once
+    # and before its refinements, refinements one bit at a time
+    seen_al: dict[int, int] = {}
+    for ss, se, ah, al in scans:
+        if (ss == 0) != (se == 0) or se > 63 or ss > se:
+            raise ValueError("bad spectral selection in scan script")
+        for k in range(ss, se + 1):
+            if ah == 0:
+                if k in seen_al:
+                    raise ValueError(f"coefficient {k} scanned twice at Ah=0")
+            elif seen_al.get(k) != ah:
+                raise ValueError(
+                    f"refinement of coefficient {k} at Ah={ah} does not "
+                    "continue its previous scan"
+                )
+            seen_al[k] = al
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xFFDB, bytes([0]) + bytes(int(x) for x in qy.reshape(64)[ZIGZAG])
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += seg(0xFFC2, sof)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    for ss, se, ah, al in scans:
+        counter = _ScanCounter()
+        _emit_progressive_scan(grid, ss, se, ah, al, restart_interval, counter)
+        dc_table = ac_table = None
+        if ss == 0 and ah == 0:
+            dc_table = _optimal_huffman(counter.dc_freq)
+            out += seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(dc_table[0]) + bytes(dc_table[1]),
+            )
+        elif ss > 0:
+            ac_table = _optimal_huffman(counter.ac_freq)
+            out += seg(
+                0xFFC4,
+                bytes([0x10]) + bytes(ac_table[0]) + bytes(ac_table[1]),
+            )
+        # DC refinement scans carry no Huffman-coded symbols at all
+        writer = _ScanWriter(dc_table, ac_table)
+        _emit_progressive_scan(grid, ss, se, ah, al, restart_interval, writer)
+        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

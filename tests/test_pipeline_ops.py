@@ -1861,34 +1861,185 @@ def test_jpeg_missing_restart_marker_raises():
     assert px.shape == (40, 48, 3)
 
 
-def test_jpeg_progressive_rejected_with_fallback():
-    """r9 (VERDICT r8 task 7): a progressive JPEG (SOF2) must be
-    rejected with the clean non-baseline ValueError — never a crash,
-    never a silently-wrong decode — and the codec dispatch must fall
-    back to the deterministic fake. Fixture: a valid baseline encode
-    with its SOF0 marker patched to SOF2 (byte-exact otherwise, so
-    the rejection fires on the frame type alone)."""
+def test_jpeg_progressive_grayscale_decodes_real_file():
+    """r11 (VERDICT r10 "What's missing" #3): the r9 SOF2-rejection
+    fixture flips to a REAL decode — progressive grayscale now works.
+    Interop fixture: Spark's own MLlib test image
+    (data/mllib/images/origin/multi-channel/grayscale.jpg) is a
+    genuine foreign-encoder progressive grayscale JPEG (SOF2, 1
+    component, multi-scan with successive approximation). Golden
+    pins: dimensions, spot pixels, and the md5 of the full gray
+    plane — any entropy/refinement/IDCT regression breaks the hash.
+    Skips gracefully when the Spark distribution isn't present."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg
+
+    path = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("Spark MLlib image fixtures not on this machine")
+    px, meta = decode_jpeg(open(path, "rb").read())
+    assert meta == {
+        "width": 300,
+        "height": 215,
+        "format": "jpeg/progressive-gray8",
+    }
+    assert px.shape == (215, 300, 3) and px.dtype == np.uint8
+    g = px[:, :, 0]
+    assert np.array_equal(px[:, :, 1], g) and np.array_equal(px[:, :, 2], g)
+    assert (
+        int(g[0, 0]), int(g[0, -1]), int(g[-1, 0]), int(g[-1, -1]),
+        int(g[107, 150]),
+    ) == (253, 252, 254, 254, 72)
+    assert hashlib.md5(g.tobytes()).hexdigest() == (
+        "8cda7b078c8dff9b1b5fd203c2bbd3e5"
+    )
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """r11: a progressive scan script partitions exactly the same
+    quantized coefficient bits the baseline scan sends in one pass,
+    so progressive encode → decode must reproduce the BASELINE
+    decode's pixels bit-for-bit — across image shapes (including
+    non-multiples of 8), qualities, restart intervals, and scan
+    scripts exercising every scan type (DC first/refine, spectral AC
+    bands, AC refinement chains down to Al=0, EOB runs)."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape, q in (((24, 32), 90), ((17, 23), 50), ((5, 100), 100)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base, _ = decode_jpeg(encode_jpeg(img, quality=q))
+        prog, meta = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert meta["format"] == "jpeg/progressive-gray8"
+        assert np.array_equal(base, prog), (shape, q)
+
+    img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)  # 35 blocks
+    base, _ = decode_jpeg(encode_jpeg(img, quality=75))
+    for ri in (1, 3, 7, 35, 100):
+        prog, _ = decode_jpeg(
+            encode_jpeg_progressive(img, quality=75, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog), ri
+
+    scripts = (
+        # single-pass Al=0 (no successive approximation at all)
+        ((0, 0, 0, 0), (1, 63, 0, 0)),
+        # deep refinement chain + out-of-order bands
+        ((0, 0, 0, 2), (1, 2, 0, 1), (3, 63, 0, 3), (3, 63, 3, 2),
+         (3, 63, 2, 1), (1, 2, 1, 0), (0, 0, 2, 1), (0, 0, 1, 0),
+         (3, 63, 1, 0)),
+    )
+    img = rng.integers(0, 256, size=(29, 31), dtype=np.uint8)
+    base, _ = decode_jpeg(encode_jpeg(img, quality=60))
+    for sc in scripts:
+        for ri in (0, 3):
+            prog, _ = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, quality=60, scans=sc, restart_interval=ri
+                )
+            )
+            assert np.array_equal(base, prog), (sc, ri)
+
+    # flat image: the all-EOB-run degenerate case
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    base, _ = decode_jpeg(encode_jpeg(flat, quality=90))
+    prog, _ = decode_jpeg(encode_jpeg_progressive(flat, quality=90))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_rejections_and_fallback():
+    """r11: what stays rejected after the grayscale flip, each with
+    its own loud error and the deterministic-fake dispatch fallback —
+    color progressive (until it's real), a malformed progressive
+    stream whose DC scan spans the full band (the old patched
+    fixture: baseline SOF0 flipped to SOF2, whose single Ss=0/Se=63
+    scan violates T.81 B.2.3), and a refinement step wider than one
+    bit. The encoder's scan-script validation mirrors the decoder's
+    rules."""
     import numpy as np
     import pandas as pd
     import pytest
 
-    from mspr2_back_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from mspr2_back_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from mspr2_back_spark.operators.multimodal import (
         decode_image,
         decode_image_batch,
     )
 
+    # color progressive: still the pinned non-baseline rejection
+    color = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = color.find(b"\xff\xc0")
+    color[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(color))
+
+    # the old grayscale fixture is NOT valid progressive: its single
+    # scan covers Ss=0..Se=63, and a DC scan must have Se=0
     img = (np.add.outer(np.arange(24), np.arange(32)) * 3 % 256).astype(
         np.uint8
     )
     enc = encode_jpeg(img)
     sof = enc.find(b"\xff\xc0")
-    progressive = enc[: sof + 1] + b"\xc2" + enc[sof + 2 :]
-    with pytest.raises(ValueError, match="non-baseline"):
-        decode_jpeg(progressive)
-    assert decode_image(progressive) is None
-    out = decode_image_batch(pd.Series([progressive, enc]))
+    malformed = enc[: sof + 1] + b"\xc2" + enc[sof + 2 :]
+    with pytest.raises(ValueError, match="Ss=0 must have Se=0"):
+        decode_jpeg(malformed)
+    assert decode_image(malformed) is None
+    out = decode_image_batch(pd.Series([malformed, enc]))
     assert list(out["format"]) == ["fake/deterministic", "jpeg/gray8"]
+
+    # refinement step wider than one bit (Ah must equal Al+1): walk
+    # the marker stream to the LAST SOS header (a bare rfind can land
+    # inside an unstuffed DHT body) and patch its AhAl 0x10 -> 0x20
+    import struct
+
+    from mspr2_back_spark.operators.jpeg import _entropy_end
+
+    good = encode_jpeg_progressive(img, quality=90)
+    bad = bytearray(good)
+    pos, last_sos = 2, -1
+    while pos + 4 <= len(bad) and bad[pos + 1] != 0xD9:
+        size = struct.unpack_from(">H", bad, pos + 2)[0]
+        if bad[pos + 1] == 0xDA:
+            last_sos = pos
+            pos = _entropy_end(bytes(bad), pos + 2 + size)
+        else:
+            pos = pos + 2 + size
+    # SOS body: ns, (cid, tabs), Ss, Se, AhAl — the default script's
+    # final scan is (1, 63, 1, 0)
+    assert last_sos > 0 and bad[last_sos + 9] == 0x10
+    bad[last_sos + 9] = 0x20
+    with pytest.raises(ValueError, match="Ah must equal Al"):
+        decode_jpeg(bytes(bad))
+
+    # encoder-side script validation
+    with pytest.raises(ValueError, match="scanned twice"):
+        encode_jpeg_progressive(
+            img, scans=((0, 0, 0, 0), (1, 63, 0, 0), (1, 5, 0, 0))
+        )
+    with pytest.raises(ValueError, match="does not continue"):
+        encode_jpeg_progressive(
+            img, scans=((0, 0, 0, 0), (1, 63, 0, 2), (1, 63, 1, 0))
+        )
+    with pytest.raises(ValueError, match="bad spectral selection"):
+        encode_jpeg_progressive(img, scans=((0, 63, 0, 0),))
 
 
 def test_jpeg_411_sampling_rejected():
