@@ -10,20 +10,21 @@ stdlib. Supported profile:
 - encode: 8-bit RGB as 4:4:4 or 4:2:0 (2×2-mean chroma downsample,
   MCU-interleaved), or grayscale; standard Annex K quantization
   tables scaled by the libjpeg quality formula, standard Annex K
-  Huffman tables, no restart markers; plus (r11) grayscale
-  PROGRESSIVE (SOF2) with an arbitrary valid scan script and
-  per-scan frequency-optimized Huffman tables
-  (``encode_jpeg_progressive``);
+  Huffman tables, no restart markers; plus (r11) PROGRESSIVE (SOF2)
+  — grayscale or color, arbitrary valid scan script, per-scan
+  frequency-optimized Huffman tables (``encode_jpeg_progressive``);
 - decode: baseline DCT (SOF0), 8-bit, grayscale or 3 components with
   sampling factors up to 2×2 (4:4:4, 4:2:2, and the ubiquitous
   4:2:0 — chroma nearest-neighbor upsampled), MCU-interleaved single
   scan, restart markers honored (DRI), 0xFF00 byte stuffing unwound;
-  plus (r11) progressive (SOF2) GRAYSCALE — spectral selection +
-  successive approximation per T.81 Annex G (DC first/refine, AC
+  plus (r11) progressive (SOF2), grayscale AND 3-component color —
+  spectral selection + successive approximation per T.81 Annex G
+  (interleaved or per-component DC first/refine, per-component AC
   first with EOB runs, AC refinement with correction bits, restarts
-  in every scan type), interop-pinned on a real foreign-encoder
-  progressive file. Color progressive, 12-bit, arithmetic coding,
-  and >2×2 sampling still raise ValueError — the dispatch's
+  in every scan type), interop-pinned on real foreign-encoder
+  progressive files (gray + 4:4:4 color + 4:2:0 color). 12-bit,
+  arithmetic coding, >2×2 sampling, and component counts outside
+  {1, 3} still raise ValueError — the dispatch's
   total-over-mixed-columns contract turns that into the
   deterministic fake, same as any other unsupported variant. Interop
   is tested against real-world encoder output (system libjpeg-era
@@ -606,12 +607,11 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             if nc not in (1, 3):
                 raise ValueError("only grayscale or 3-component JPEG supported")
             frame = (fh, fw, comps)
-        elif marker == 0xC2:  # SOF2 progressive (r11: grayscale decodes)
-            if len(body) >= 6 and body[5] == 1:
-                return _decode_progressive_gray(payload)
+        elif marker == 0xC2:  # SOF2 progressive (r11)
+            if len(body) >= 6 and body[5] in (1, 3):
+                return _decode_progressive(payload)
             raise ValueError(
-                "non-baseline JPEG (color progressive unsupported — "
-                "progressive decode is grayscale-only)"
+                "only grayscale or 3-component JPEG supported"
             )
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG (progressive/arithmetic)")
@@ -1065,24 +1065,35 @@ def _refine_ac(
     return eobrun
 
 
-def _decode_progressive_gray(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
-    """Decode a single-component progressive JPEG (SOF2, 8-bit).
+def _decode_progressive(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Decode a progressive JPEG (SOF2, 8-bit, grayscale or 3
+    components with sampling factors up to 2x2) — r11 grayscale,
+    extended to color in the same round once the grayscale entropy
+    machinery was pinned on a real file.
 
     Its own marker walk (tables MAY be redefined between scans, and
     the scan loop continues past each SOS instead of breaking at the
-    first one like the baseline path); the coefficient grid persists
-    across scans and the IDCT runs once at EOI. Restart handling
+    first one like the baseline path); the per-component coefficient
+    grids persist across scans and the IDCT runs once at EOI.
+
+    Scan shapes per T.81: a multi-component scan must be a DC scan
+    and iterates the MCU grid (each component contributing its
+    v_i x h_i blocks per MCU, dummy pad blocks included — their DC
+    keeps the predictors in sync); a single-component scan is
+    non-interleaved and iterates that component's REAL block grid
+    (ceil(comp_pix/8), raster order), which for subsampled chroma is
+    smaller than its MCU-padded storage grid. Restart handling
     reuses the baseline contract per scan: count-aware marker
-    accounting, per-segment MCU quotas, entropy state (DC predictor +
-    EOB run) reset at every restart."""
+    accounting over the scan's unit count (MCUs or blocks),
+    per-segment quotas, entropy state (DC predictors + EOB run)
+    reset at every restart."""
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, array.array] = {}
     ac_tabs: dict[int, array.array] = {}
     frame = None
     restart_interval = 0
-    coefs: list[list[int]] | None = None
-    n_blocks = 0
+    coefs: list[list[list[int]]] = []
     saw_scan = False
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1124,19 +1135,43 @@ def _decode_progressive_gray(payload: bytes) -> tuple[np.ndarray, dict[str, Any]
             nc = body[5]
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
-            if nc != 1:
+            if nc not in (1, 3):
                 raise ValueError(
-                    "non-baseline JPEG (color progressive unsupported — "
-                    "progressive decode is grayscale-only)"
+                    "only grayscale or 3-component JPEG supported"
                 )
-            cid, _, qid = body[6:9]
-            frame = (fh, fw, cid, qid)
-            # single-component scans are non-interleaved (T.81 A.2):
-            # one block per MCU in raster order, sampling ignored
-            bw = -(-fw // 8)
-            bh = -(-fh // 8)
-            n_blocks = bw * bh
-            coefs = [[0] * 64 for _ in range(n_blocks)]
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, qid))
+            hs = [c[1] for c in comps]
+            vs = [c[2] for c in comps]
+            if any(not 1 <= f <= 2 for f in hs + vs):
+                raise ValueError("sampling factors beyond 2x2 unsupported")
+            if nc == 1:
+                # single-component frames are non-interleaved per
+                # T.81 A.2 regardless of declared sampling
+                hs = [1]
+                vs = [1]
+            hmax, vmax = max(hs), max(vs)
+            mcu_x = -(-fw // (8 * hmax))
+            mcu_y = -(-fh // (8 * vmax))
+            # storage grid is MCU-padded (interleaved DC scans visit
+            # dummy blocks); real grid is what non-interleaved scans
+            # cover
+            comp_bw = [mcu_x * h for h in hs]
+            comp_bh = [mcu_y * v for v in vs]
+            # ceil(ceil(dim * f / fmax) / 8) — the component's true
+            # pixel extent in blocks (T.81 A.1.1)
+            comp_pw = [-(-fw * hs[i] // hmax) for i in range(nc)]
+            comp_ph = [-(-fh * vs[i] // vmax) for i in range(nc)]
+            real_bw = [-(-pw // 8) for pw in comp_pw]
+            real_bh = [-(-ph // 8) for ph in comp_ph]
+            frame = (fh, fw, nc, comps, hs, vs, hmax, vmax, mcu_x, mcu_y,
+                     comp_bw, comp_bh, real_bw, real_bh)
+            coefs = [
+                [[0] * 64 for _ in range(comp_bw[i] * comp_bh[i])]
+                for i in range(nc)
+            ]
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("unexpected second frame marker in JPEG stream")
         elif marker == 0xDD:
@@ -1144,16 +1179,17 @@ def _decode_progressive_gray(payload: bytes) -> tuple[np.ndarray, dict[str, Any]
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("JPEG scan before SOF2 frame header")
+            (fh, fw, nc, comps, hs, vs, hmax, vmax, mcu_x, mcu_y,
+             comp_bw, comp_bh, real_bw, real_bh) = frame
             ns = body[0]
-            if ns != 1:
-                raise ValueError(
-                    "non-baseline JPEG (color progressive unsupported — "
-                    "progressive decode is grayscale-only)"
-                )
-            scid, tabs = body[1], body[2]
-            if scid != frame[2]:
-                raise ValueError("scan component not in SOF2 frame")
-            ss, se, ahal = body[3], body[4], body[5]
+            cid_to_idx = {comps[i][0]: i for i in range(nc)}
+            sel = []
+            for i in range(ns):
+                scid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                if scid not in cid_to_idx:
+                    raise ValueError("scan component not in SOF2 frame")
+                sel.append((cid_to_idx[scid], tabs >> 4, tabs & 0xF))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             if ss == 0 and se != 0:
                 raise ValueError(
@@ -1167,26 +1203,41 @@ def _decode_progressive_gray(payload: bytes) -> tuple[np.ndarray, dict[str, Any]
                     "successive approximation must refine one bit "
                     "per scan (Ah must equal Al+1)"
                 )
+            if ns > 1 and ss != 0:
+                raise ValueError(
+                    "progressive AC scans must be single-component "
+                    "(T.81 B.2.3)"
+                )
+            dc_luts = [None] * len(sel)
+            ac_lut = None
             if ss == 0 and ah == 0:
-                dc_lut = dc_tabs.get(tabs >> 4)
-                if dc_lut is None:
+                for i, (_, d, _a) in enumerate(sel):
+                    if d not in dc_tabs:
+                        raise ValueError(
+                            f"SOS references undefined DC table {d}"
+                        )
+                    dc_luts[i] = dc_tabs[d]
+            elif ss > 0:
+                a = sel[0][2]
+                if a not in ac_tabs:
                     raise ValueError(
-                        f"SOS references undefined DC table {tabs >> 4}"
+                        f"SOS references undefined AC table {a}"
                     )
-                ac_lut = None
-            elif ss == 0:
-                dc_lut = ac_lut = None  # DC refinement: raw bits only
+                ac_lut = ac_tabs[a]
+            # unit geometry: interleaved scans walk MCUs; a
+            # single-component scan walks that component's real grid
+            if ns > 1:
+                n_units = mcu_x * mcu_y
             else:
-                dc_lut = None
-                ac_lut = ac_tabs.get(tabs & 0xF)
-                if ac_lut is None:
-                    raise ValueError(
-                        f"SOS references undefined AC table {tabs & 0xF}"
-                    )
+                ci0 = sel[0][0]
+                if nc == 1:
+                    n_units = comp_bw[0] * comp_bh[0]
+                else:
+                    n_units = real_bw[ci0] * real_bh[ci0]
             scan_start = pos + 2 + size
             scan_end = _entropy_end(payload, scan_start)
             segs = _split_entropy_segments(payload[scan_start:scan_end])
-            n_rst = (n_blocks - 1) // restart_interval if restart_interval else 0
+            n_rst = (n_units - 1) // restart_interval if restart_interval else 0
             if restart_interval and len(segs) == n_rst + 2 and segs[-1] == b"":
                 segs = segs[:-1]
             if len(segs) != n_rst + 1:
@@ -1194,54 +1245,80 @@ def _decode_progressive_gray(payload: bytes) -> tuple[np.ndarray, dict[str, Any]
                     f"restart marker accounting mismatch in JPEG stream: "
                     f"{len(segs) - 1} markers for {n_rst} expected"
                 )
-            block = 0
+            unit = 0
             for si, seg in enumerate(segs):
                 is_last = si == len(segs) - 1
                 quota = (
-                    min(restart_interval, n_blocks - block)
+                    min(restart_interval, n_units - unit)
                     if restart_interval
-                    else n_blocks
+                    else n_units
                 )
                 rd = _ProgReader(seg, is_last)
-                pred = 0
+                preds = [0] * len(sel)
                 eobrun = 0
                 for _ in range(quota):
-                    vals = coefs[block]
-                    if ss == 0 and ah == 0:
-                        t = rd.huff(dc_lut)
-                        pred += _extend(rd.bits(t), t) if t else 0
-                        vals[0] = pred << al
-                    elif ss == 0:
-                        if rd.bits(1):
-                            vals[0] |= 1 << al
-                    elif ah == 0:
-                        if eobrun:
-                            eobrun -= 1
-                        else:
-                            k = ss
-                            while k <= se:
-                                rs = rd.huff(ac_lut)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r != 15:
-                                        eobrun = (1 << r) - 1
-                                        if r:
-                                            eobrun += rd.bits(r)
-                                        break
-                                    k += 16
-                                else:
-                                    k += r
-                                    if k > se:
-                                        raise ValueError(
-                                            "AC coefficient index overflow"
+                    if ns > 1:
+                        # interleaved DC scan: MCU order, every scan
+                        # component's v_i x h_i block grid
+                        my, mx = divmod(unit, mcu_x)
+                        for i, (ci, _d, _a) in enumerate(sel):
+                            for byi in range(vs[ci]):
+                                for bxi in range(hs[ci]):
+                                    row = my * vs[ci] + byi
+                                    col = mx * hs[ci] + bxi
+                                    vals = coefs[ci][row * comp_bw[ci] + col]
+                                    if ah == 0:
+                                        t = rd.huff(dc_luts[i])
+                                        preds[i] += (
+                                            _extend(rd.bits(t), t) if t else 0
                                         )
-                                    vals[k] = _extend(rd.bits(s), s) << al
-                                    k += 1
+                                        vals[0] = preds[i] << al
+                                    elif rd.bits(1):
+                                        vals[0] |= 1 << al
                     else:
-                        eobrun = _refine_ac(
-                            rd, vals, ss, se, al, eobrun, ac_lut
-                        )
-                    block += 1
+                        ci = sel[0][0]
+                        if nc == 1:
+                            idx = unit
+                        else:
+                            by, bx = divmod(unit, real_bw[ci])
+                            idx = by * comp_bw[ci] + bx
+                        vals = coefs[ci][idx]
+                        if ss == 0 and ah == 0:
+                            t = rd.huff(dc_luts[0])
+                            preds[0] += _extend(rd.bits(t), t) if t else 0
+                            vals[0] = preds[0] << al
+                        elif ss == 0:
+                            if rd.bits(1):
+                                vals[0] |= 1 << al
+                        elif ah == 0:
+                            if eobrun:
+                                eobrun -= 1
+                            else:
+                                k = ss
+                                while k <= se:
+                                    rs = rd.huff(ac_lut)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r != 15:
+                                            eobrun = (1 << r) - 1
+                                            if r:
+                                                eobrun += rd.bits(r)
+                                            break
+                                        k += 16
+                                    else:
+                                        k += r
+                                        if k > se:
+                                            raise ValueError(
+                                                "AC coefficient index "
+                                                "overflow"
+                                            )
+                                        vals[k] = _extend(rd.bits(s), s) << al
+                                        k += 1
+                        else:
+                            eobrun = _refine_ac(
+                                rd, vals, ss, se, al, eobrun, ac_lut
+                            )
+                    unit += 1
                 if not is_last and rd.leftover():
                     raise ValueError("expected restart marker in JPEG stream")
             saw_scan = True
@@ -1250,29 +1327,39 @@ def _decode_progressive_gray(payload: bytes) -> tuple[np.ndarray, dict[str, Any]
         pos = pos + 2 + size
     if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF2/SOS")
-    fh, fw, _, qid = frame
-    if qid not in qtabs:
-        raise ValueError(f"SOF references undefined quant table {qid}")
-    bw = -(-fw // 8)
-    bh = -(-fh // 8)
-    dez = np.zeros((n_blocks, 64), dtype=np.int64)
-    dez[:, ZIGZAG] = np.asarray(coefs, dtype=np.int64)
-    blocks = _idct_blocks(
-        dez.reshape(n_blocks, 8, 8).astype(np.float64) * qtabs[qid][None, :, :]
-    )
-    plane = (
-        blocks.reshape(bh, bw, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(bh * 8, bw * 8)
-        + 128.0
-    )[:fh, :fw]
-    gray = np.clip(np.round(plane), 0, 255).astype(np.uint8)
-    rgb = np.repeat(gray[:, :, None], 3, axis=2)
-    return rgb, {
-        "width": int(fw),
-        "height": int(fh),
-        "format": "jpeg/progressive-gray8",
-    }
+    (fh, fw, nc, comps, hs, vs, hmax, vmax, mcu_x, mcu_y,
+     comp_bw, comp_bh, real_bw, real_bh) = frame
+    planes = []
+    for ci in range(nc):
+        qid = comps[ci][3]
+        if qid not in qtabs:
+            raise ValueError(f"SOF references undefined quant table {qid}")
+        nb = comp_bw[ci] * comp_bh[ci]
+        dez = np.zeros((nb, 64), dtype=np.int64)
+        dez[:, ZIGZAG] = np.asarray(coefs[ci], dtype=np.int64)
+        blocks = _idct_blocks(
+            dez.reshape(nb, 8, 8).astype(np.float64) * qtabs[qid][None, :, :]
+        )
+        plane = (
+            blocks.reshape(comp_bh[ci], comp_bw[ci], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(comp_bh[ci] * 8, comp_bw[ci] * 8)
+            + 128.0
+        )
+        ry, rx = vmax // vs[ci], hmax // hs[ci]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:fh, :fw])
+    if nc == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        fmt = "jpeg/progressive-gray8"
+    else:
+        rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        fmt = "jpeg/progressive"
+    return rgb, {"width": int(fw), "height": int(fh), "format": fmt}
 
 
 def _entropy_end(payload: bytes, pos: int) -> int:
@@ -1424,7 +1511,9 @@ class _ScanCounter:
 
 
 def _emit_progressive_scan(
-    grid: list[list[int]],
+    grids: list[list[list[int]]],
+    sel: list[int],
+    geom: tuple,
     ss: int,
     se: int,
     ah: int,
@@ -1437,8 +1526,13 @@ def _emit_progressive_scan(
     arithmetic point transform, AC scans the magnitude one; EOB runs
     accumulate across blocks with AC-refinement correction bits
     buffered until the next emitted symbol; restarts flush the run,
-    realign, and reset the DC predictor. Identical symbol stream on
-    both passes — the counter and the writer see the same calls."""
+    realign, and reset the DC predictors. A multi-component ``sel``
+    (DC scans only) walks the MCU grid, each component contributing
+    its v_i x h_i blocks per MCU (dummy pad blocks included); a
+    single-component sel walks that component's REAL block grid.
+    Identical symbol stream on both passes — the counter and the
+    writer see the same calls."""
+    hs, vs, mcu_x, mcu_y, comp_bw, real_bw, real_bh = geom
     eobrun = 0
     pending: list[int] = []  # correction bits owed to the EOB run
 
@@ -1453,22 +1547,22 @@ def _emit_progressive_scan(
             pending = []
             eobrun = 0
 
-    pred = 0
-    for i, vals in enumerate(grid):
-        if restart_interval and i and i % restart_interval == 0:
-            flush_eobrun()
-            sink.restart(i // restart_interval - 1)
-            pred = 0
-        if ss == 0 and ah == 0:
+    preds = [0] * len(sel)
+
+    def dc_block(i: int, vals: list[int]) -> None:
+        if ah == 0:
             v = vals[0] >> al  # arithmetic point transform (G.1.2.1)
-            diff = v - pred
-            pred = v
+            diff = v - preds[i]
+            preds[i] = v
             size, mag = _magnitude(diff) if diff else (0, 0)
             sink.dc_symbol(size)
             sink.bits(mag, size)
-        elif ss == 0:
+        else:
             sink.bits((vals[0] >> al) & 1, 1)
-        elif ah == 0:
+
+    def ac_block(vals: list[int]) -> None:
+        nonlocal eobrun, pending
+        if ah == 0:
             r = 0
             for k in range(ss, se + 1):
                 v = vals[k]
@@ -1527,73 +1621,201 @@ def _emit_progressive_scan(
                 pending.extend(br)
                 if eobrun == 0x7FFF:
                     flush_eobrun()
+
+    if len(sel) > 1:
+        n_units = mcu_x * mcu_y
+    else:
+        ci0 = sel[0]
+        n_units = real_bw[ci0] * real_bh[ci0]
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eobrun()
+            sink.restart(unit // restart_interval - 1)
+            preds[:] = [0] * len(sel)
+        if len(sel) > 1:
+            my, mx = divmod(unit, mcu_x)
+            for i, ci in enumerate(sel):
+                for byi in range(vs[ci]):
+                    for bxi in range(hs[ci]):
+                        row = my * vs[ci] + byi
+                        col = mx * hs[ci] + bxi
+                        dc_block(i, grids[ci][row * comp_bw[ci] + col])
+        else:
+            ci = sel[0]
+            by, bx = divmod(unit, real_bw[ci])
+            vals = grids[ci][by * comp_bw[ci] + bx]
+            if ss == 0:
+                dc_block(0, vals)
+            else:
+                ac_block(vals)
     flush_eobrun()
+
+
+#: libjpeg's standard 3-component scan script (jcparam.c): one
+#: interleaved DC first scan, luma/chroma spectral bands, refinement
+#: chains down to Al=0, one interleaved DC refinement.
+PROGRESSIVE_COLOR_SCANS: tuple[tuple, ...] = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
 
 
 def encode_jpeg_progressive(
     pixels: np.ndarray,
     quality: int = 90,
     restart_interval: int = 0,
-    scans: tuple[tuple[int, int, int, int], ...] = PROGRESSIVE_GRAY_SCANS,
+    scans: tuple[tuple, ...] | None = None,
+    subsampling: str = "444",
 ) -> bytes:
-    """Encode an (h, w) uint8 grayscale array as a progressive JPEG
-    (SOF2) with the given scan script (default: libjpeg's standard
-    luma script) and per-scan frequency-optimized Huffman tables
-    (progressive streams can't reuse the Annex K sequential tables —
-    they lack the EOBn symbols). The quantized coefficient grid is
-    IDENTICAL to ``encode_jpeg``'s grayscale path (same pad → FDCT →
-    quantize → zigzag), and a progressive scan script partitions
-    exactly those coefficient bits across scans — so decoding the
-    progressive stream reproduces the baseline decode's pixels
-    BIT-FOR-BIT, which is what the round-trip tests pin."""
-    assert pixels.ndim == 2 and pixels.dtype == np.uint8
-    h, w = pixels.shape
-    qy = _quality_scale(QUANT_LUMA, quality)
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.pad(
-        pixels.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)),
-        mode="edge",
-    )
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    qz = np.round(_fdct_blocks(blocks - 128.0) / qy[None, :, :]).astype(
-        np.int64
-    )
-    grid = qz.reshape(-1, 64)[:, ZIGZAG].tolist()
+    """Encode an (h, w) uint8 grayscale array or an (h, w, 3) uint8
+    RGB array as a progressive JPEG (SOF2) with the given scan script
+    (defaults: libjpeg's standard luma / 3-component scripts) and
+    per-scan frequency-optimized Huffman tables (progressive streams
+    can't reuse the Annex K sequential tables — they lack the EOBn
+    symbols). Grayscale scan entries are (Ss, Se, Ah, Al); color
+    entries are (comps, Ss, Se, Ah, Al) with comps a tuple of
+    component indices (multi-component entries must be DC scans, per
+    T.81 B.2.3 — they emit in MCU-interleaved order with one shared
+    optimized DC table).
 
-    # scan-script sanity: each coefficient's first scan exactly once
-    # and before its refinements, refinements one bit at a time
-    seen_al: dict[int, int] = {}
-    for ss, se, ah, al in scans:
+    The quantized coefficient grids are IDENTICAL to ``encode_jpeg``'s
+    (same pad → FDCT → quantize → zigzag, same 4:4:4 / 4:2:0 chroma
+    prep), and a progressive scan script partitions exactly those
+    coefficient bits across scans — so decoding the progressive
+    stream reproduces the baseline decode's pixels BIT-FOR-BIT, which
+    is what the round-trip tests pin."""
+    gray = pixels.ndim == 2
+    assert pixels.dtype == np.uint8
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    if gray:
+        h, w = pixels.shape
+        planes = [pixels.astype(np.float64)]
+        qtabs = [_quality_scale(QUANT_LUMA, quality)]
+        samp = [(1, 1)]
+        if scans is None:
+            scans = PROGRESSIVE_GRAY_SCANS
+        scans = tuple(
+            ((0,),) + tuple(sc) if len(sc) == 4 else tuple(sc)
+            for sc in scans
+        )
+    else:
+        h, w, c = pixels.shape
+        assert c == 3
+        qy = _quality_scale(QUANT_LUMA, quality)
+        qc = _quality_scale(QUANT_CHROMA, quality)
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[:, :, i] for i in range(3)]
+        qtabs = [qy, qc, qc]
+        if subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            for i in (1, 2):
+                p = planes[i]
+                p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                planes[i] = 0.25 * (
+                    p[0::2, 0::2] + p[0::2, 1::2]
+                    + p[1::2, 0::2] + p[1::2, 1::2]
+                )
+        else:
+            samp = [(1, 1)] * 3
+        if scans is None:
+            scans = PROGRESSIVE_COLOR_SCANS
+        scans = tuple(tuple(sc) for sc in scans)
+    ncomp = len(planes)
+    hs = [s[0] for s in samp]
+    vs = [s[1] for s in samp]
+    hmax, vmax = max(hs), max(vs)
+    mcu_x = -(-w // (8 * hmax))
+    mcu_y = -(-h // (8 * vmax))
+
+    # identical prep to encode_jpeg: MCU-aligned edge pad per
+    # component, block, FDCT, quantize, zigzag
+    grids: list[list[list[int]]] = []
+    comp_bw: list[int] = []
+    real_bw: list[int] = []
+    real_bh: list[int] = []
+    for (hi, vi), plane, q in zip(samp, planes, qtabs):
+        th, tw = mcu_y * 8 * vi, mcu_x * 8 * hi
+        ph, pw = plane.shape
+        padded = np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge")
+        blocks = (
+            padded.reshape(th // 8, 8, tw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        qz = np.round(_fdct_blocks(blocks - 128.0) / q[None, :, :]).astype(
+            np.int64
+        )
+        grids.append(qz.reshape(-1, 64)[:, ZIGZAG].tolist())
+        comp_bw.append(tw // 8)
+        real_bw.append(-(-pw // 8))
+        real_bh.append(-(-ph // 8))
+    geom = (hs, vs, mcu_x, mcu_y, comp_bw, real_bw, real_bh)
+
+    # scan-script sanity, per component: first scan exactly once and
+    # before refinements, refinements one bit at a time, AC scans
+    # single-component
+    seen_al: dict[tuple[int, int], int] = {}
+    for sel, ss, se, ah, al in scans:
         if (ss == 0) != (se == 0) or se > 63 or ss > se:
             raise ValueError("bad spectral selection in scan script")
-        for k in range(ss, se + 1):
-            if ah == 0:
-                if k in seen_al:
-                    raise ValueError(f"coefficient {k} scanned twice at Ah=0")
-            elif seen_al.get(k) != ah:
-                raise ValueError(
-                    f"refinement of coefficient {k} at Ah={ah} does not "
-                    "continue its previous scan"
-                )
-            seen_al[k] = al
+        if len(sel) > 1 and ss != 0:
+            raise ValueError("AC scans must be single-component")
+        if any(not 0 <= ci < ncomp for ci in sel):
+            raise ValueError("scan names an unknown component")
+        for ci in sel:
+            for k in range(ss, se + 1):
+                if ah == 0:
+                    if (ci, k) in seen_al:
+                        raise ValueError(
+                            f"coefficient {k} of component {ci} scanned "
+                            "twice at Ah=0"
+                        )
+                elif seen_al.get((ci, k)) != ah:
+                    raise ValueError(
+                        f"refinement of coefficient {k} of component "
+                        f"{ci} at Ah={ah} does not continue its previous "
+                        "scan"
+                    )
+                seen_al[(ci, k)] = al
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(
-        0xFFDB, bytes([0]) + bytes(int(x) for x in qy.reshape(64)[ZIGZAG])
-    )
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    if gray:
+        out += seg(
+            0xFFDB,
+            bytes([0]) + bytes(int(x) for x in qtabs[0].reshape(64)[ZIGZAG]),
+        )
+    else:
+        for tid, q in ((0, qtabs[0]), (1, qtabs[1])):
+            out += seg(
+                0xFFDB,
+                bytes([tid]) + bytes(int(x) for x in q.reshape(64)[ZIGZAG]),
+            )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        qid = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, (hs[ci] << 4) | vs[ci], qid if not gray else 0])
     out += seg(0xFFC2, sof)
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    for ss, se, ah, al in scans:
+    for sel, ss, se, ah, al in scans:
+        sel = list(sel)
         counter = _ScanCounter()
-        _emit_progressive_scan(grid, ss, se, ah, al, restart_interval, counter)
+        _emit_progressive_scan(
+            grids, sel, geom, ss, se, ah, al, restart_interval, counter
+        )
         dc_table = ac_table = None
         if ss == 0 and ah == 0:
             dc_table = _optimal_huffman(counter.dc_freq)
@@ -1609,8 +1831,14 @@ def encode_jpeg_progressive(
             )
         # DC refinement scans carry no Huffman-coded symbols at all
         writer = _ScanWriter(dc_table, ac_table)
-        _emit_progressive_scan(grid, ss, se, ah, al, restart_interval, writer)
-        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        _emit_progressive_scan(
+            grids, sel, geom, ss, se, ah, al, restart_interval, writer
+        )
+        sos = bytes([len(sel)])
+        for ci in sel:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
         out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)

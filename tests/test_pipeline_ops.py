@@ -1636,10 +1636,17 @@ class TestJpegCodec:
 
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG not a jpeg")
-        # flip SOF0 -> SOF2 (progressive) in a valid stream
+        # flip SOF0 -> SOF2 in a valid BASELINE stream: since r11 the
+        # progressive path owns SOF2, and this stream's single
+        # full-band scan is malformed progressive (a DC scan must
+        # have Se=0) — still a loud rejection, never a wrong decode
         buf = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
         sof = buf.find(b"\xff\xc0")
         buf[sof + 1] = 0xC2
+        with pytest.raises(ValueError, match="Ss=0 must have Se=0"):
+            decode_jpeg(bytes(buf))
+        # arithmetic-coded frames keep the pinned non-baseline error
+        buf[sof + 1] = 0xC9
         with pytest.raises(ValueError, match="non-baseline"):
             decode_jpeg(bytes(buf))
 
@@ -1960,6 +1967,59 @@ def test_jpeg_progressive_matches_baseline_pixels():
     prog, _ = decode_jpeg(encode_jpeg_progressive(flat, quality=90))
     assert np.array_equal(base, prog)
 
+    # COLOR (same round): the identity holds per component through
+    # the interleaved DC scans and the per-component AC scans, at
+    # both 4:4:4 and the subsampled 4:2:0 geometry (where luma's
+    # real block grid is narrower than its MCU-padded storage grid),
+    # with and without restarts
+    rgb = rng.integers(0, 256, size=(25, 38, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        base, _ = decode_jpeg(encode_jpeg(rgb, quality=80, subsampling=sub))
+        for ri in (0, 3):
+            prog, meta = decode_jpeg(
+                encode_jpeg_progressive(
+                    rgb, quality=80, subsampling=sub, restart_interval=ri
+                )
+            )
+            assert meta["format"] == "jpeg/progressive"
+            assert np.array_equal(base, prog), (sub, ri)
+
+
+def test_jpeg_progressive_color_decodes_real_files():
+    """r11: interop for COLOR progressive — real foreign-encoder
+    SOF2 files present on common systems, covering per-component DC
+    scans, spectral AC bands, AC refinement (full-white-stripe's
+    Ah=1 chroma scans), 4:4:4 and 4:2:0 (pyparsing's 2x2 luma).
+    Golden pins on the nodejs logo: dims + full-plane md5. Skips
+    gracefully when absent."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import decode_jpeg
+
+    path = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not os.path.exists(path):
+        pytest.skip("nodejs doc images not on this machine")
+    px, meta = decode_jpeg(open(path, "rb").read())
+    assert meta == {
+        "width": 493,
+        "height": 312,
+        "format": "jpeg/progressive",
+    }
+    assert px.shape == (312, 493, 3) and px.dtype == np.uint8
+    assert hashlib.md5(px.tobytes()).hexdigest() == (
+        "85b122593b02b705b60a049d13266fd9"
+    )
+    # the thin variant shares the encoder family; dims-only pin
+    thin = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if os.path.exists(thin):
+        px2, meta2 = decode_jpeg(open(thin, "rb").read())
+        assert (meta2["width"], meta2["height"]) == (493, 58)
+        assert meta2["format"] == "jpeg/progressive"
+
 
 def test_jpeg_progressive_rejections_and_fallback():
     """r11: what stays rejected after the grayscale flip, each with
@@ -1984,26 +2044,33 @@ def test_jpeg_progressive_rejections_and_fallback():
         decode_image_batch,
     )
 
-    # color progressive: still the pinned non-baseline rejection
-    color = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
-    sof = color.find(b"\xff\xc0")
-    color[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
-        decode_jpeg(bytes(color))
-
-    # the old grayscale fixture is NOT valid progressive: its single
-    # scan covers Ss=0..Se=63, and a DC scan must have Se=0
+    # a baseline stream with its SOF0 flipped to SOF2 is NOT valid
+    # progressive (gray or color): its single scan covers
+    # Ss=0..Se=63, and a progressive DC scan must have Se=0
     img = (np.add.outer(np.arange(24), np.arange(32)) * 3 % 256).astype(
         np.uint8
     )
+    for fixture in (img, np.stack([img] * 3, axis=2)):
+        enc = encode_jpeg(fixture)
+        sof = enc.find(b"\xff\xc0")
+        malformed = enc[: sof + 1] + b"\xc2" + enc[sof + 2 :]
+        with pytest.raises(ValueError, match="Ss=0 must have Se=0"):
+            decode_jpeg(malformed)
+        assert decode_image(malformed) is None
     enc = encode_jpeg(img)
     sof = enc.find(b"\xff\xc0")
     malformed = enc[: sof + 1] + b"\xc2" + enc[sof + 2 :]
-    with pytest.raises(ValueError, match="Ss=0 must have Se=0"):
-        decode_jpeg(malformed)
-    assert decode_image(malformed) is None
     out = decode_image_batch(pd.Series([malformed, enc]))
     assert list(out["format"]) == ["fake/deterministic", "jpeg/gray8"]
+
+    # component counts outside {1, 3} stay rejected at the frame
+    color = encode_jpeg(np.stack([img] * 3, axis=2))
+    sof = color.find(b"\xff\xc0")
+    twocomp = bytearray(color)
+    twocomp[sof + 1] = 0xC2
+    twocomp[sof + 4 + 5] = 2  # nc byte
+    with pytest.raises(ValueError, match="grayscale or 3-component"):
+        decode_jpeg(bytes(twocomp))
 
     # refinement step wider than one bit (Ah must equal Al+1): walk
     # the marker stream to the LAST SOS header (a bare rfind can land
