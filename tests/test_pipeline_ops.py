@@ -2595,14 +2595,14 @@ def test_wav_rejection_surface_pinned_per_format():
         decode_wav(bytes(bare))
 
     # a real extension, but a sub-format this decoder does not own
-    # (KSDATAFORMAT_SUBTYPE_ALAW, Data1=6)
+    # (KSDATAFORMAT_SUBTYPE_MPEGLAYER3, Data1=0x55)
     ext = encode_wav(samples, 8000, extensible=True)
-    alaw = bytearray(ext)
+    mp3 = bytearray(ext)
     guid_off = ext.find(b"fmt ") + 8 + 24
     assert ext[guid_off + 4 : guid_off + 16] == _KSDATAFORMAT_TAIL
-    struct.pack_into("<I", alaw, guid_off, 6)
-    with pytest.raises(ValueError, match="neither KSDATAFORMAT_SUBTYPE_PCM"):
-        decode_wav(bytes(alaw))
+    struct.pack_into("<I", mp3, guid_off, 0x55)
+    with pytest.raises(ValueError, match="none of KSDATAFORMAT_SUBTYPE_PCM"):
+        decode_wav(bytes(mp3))
 
     # valid bits narrower than the container (24-in-32 style)
     narrowed = bytearray(ext)
@@ -2719,3 +2719,61 @@ def test_minhash_verify_joins_reuse_cached_doc_partitioning(spark, sf_dir):
             "a verify join re-exchanged the cached shingle-array "
             "relation — the r10 partitioning contract regressed"
         )
+
+
+def test_wav_g711_alaw_ulaw_decode():
+    """r11: G.711 telephony WAVs (format 6 A-law / 7 µ-law) expand to
+    16-bit linear through the CCITT reference tables. Pins: the
+    published table values for known code bytes (Sun/CCITT
+    ulaw2linear / alaw2linear), full-range sign symmetry, and the
+    EXTENSIBLE-wrapped dispatch; G.711 at a declared width other than
+    8 bits stays rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import decode_wav, encode_wav
+
+    codes = np.arange(256, dtype=np.uint8).reshape(-1, 1)
+    enc = encode_wav(codes, 8000)  # 8-bit PCM container for raw bytes
+    fmt_off = enc.find(b"fmt ") + 8
+
+    ulaw = bytearray(enc)
+    struct.pack_into("<H", ulaw, fmt_off, 7)
+    arr, meta = decode_wav(bytes(ulaw))
+    assert meta["format"] == "wav/ulaw8" and meta["bits"] == 8
+    assert arr.dtype == np.int16
+    by_code = {int(c): int(v) for c, v in zip(codes[:, 0], arr[:, 0])}
+    # published µ-law expansions
+    assert by_code[0x00] == -32124 and by_code[0x80] == 32124
+    assert by_code[0x01] == -31100 and by_code[0xFF] == 0
+    assert by_code[0x7F] == 0
+    # sign symmetry: byte b and b|0x80 are negatives of each other
+    assert all(by_code[b] == -by_code[b | 0x80] for b in range(128))
+
+    alaw = bytearray(enc)
+    struct.pack_into("<H", alaw, fmt_off, 6)
+    arr, meta = decode_wav(bytes(alaw))
+    assert meta["format"] == "wav/alaw8" and meta["bits"] == 8
+    by_code = {int(c): int(v) for c, v in zip(codes[:, 0], arr[:, 0])}
+    # published A-law expansions
+    assert by_code[0x55] == -8 and by_code[0xD5] == 8
+    assert by_code[0x00] == -5504 and by_code[0x80] == 5504
+    assert by_code[0xFF] == 848
+    assert all(by_code[b] == -by_code[b | 0x80] for b in range(128))
+
+    # EXTENSIBLE-wrapped µ-law dispatches onto the same path
+    ext = bytearray(encode_wav(codes, 8000, extensible=True))
+    guid_off = bytes(ext).find(b"fmt ") + 8 + 24
+    struct.pack_into("<I", ext, guid_off, 7)
+    arr, meta = decode_wav(bytes(ext))
+    assert meta["format"] == "wav/ulaw8"
+    assert int(arr[0, 0]) == -32124
+
+    # G.711 must be 8-bit
+    bad = bytearray(enc)
+    struct.pack_into("<H", bad, fmt_off, 7)
+    struct.pack_into("<H", bad, fmt_off + 14, 16)
+    with pytest.raises(ValueError, match="G.711 must be 8-bit"):
+        decode_wav(bytes(bad))
