@@ -4,15 +4,20 @@ metadata, processed by Arrow-batched pandas iterators.
 The Spark-side architecture is real and tested — binary columns,
 `mapInPandas` with explicit result schemas, per-batch vectorized
 work. As of round 6 the codec seam is FORMAT DISPATCH, not a dead
-end: uncompressed BMP (24-bit) and PCM WAV are decoded for real in
-pure numpy (`decode_bmp` / `decode_wav` — a header parse plus stride
-arithmetic needs no image library), and round 7 adds PNG via the
-stdlib: `decode_png` is an IHDR/IDAT chunk walk + `zlib` inflate +
-per-row unfilter (all five filter types 0–4, Paeth included) for
-8-bit grayscale/truecolor/RGBA, with `encode_png` closing the
-round-trip (its `filter_type` knob lets tests exercise every
-unfilter path), and `operators/jpeg.py` decodes/encodes baseline
-sequential JPEG (Annex K Huffman + numpy DCT — bounded-error
+end: uncompressed BMP (24-bit) and WAV (integer PCM, IEEE float32,
+G.711 A-law/µ-law, plain or WAVE_FORMAT_EXTENSIBLE-wrapped — r10/r11)
+are decoded for real in pure numpy (`decode_bmp` / `decode_wav` — a
+header parse plus stride arithmetic needs no image library), and
+round 7 adds PNG via the stdlib: `decode_png` is an IHDR/IDAT chunk
+walk + `zlib` inflate + per-row unfilter (all five filter types 0–4,
+Paeth included) for grayscale (depths 1/2/4/8), truecolor, palette
+(1/2/4/8-bit + tRNS), gray+alpha, and RGBA, sequential or Adam7
+interlaced (r11 widened it from the 8-bit non-interlaced subset),
+with `encode_png` closing the round-trip (its `filter_type` and
+`interlace` knobs let tests exercise every unfilter path and the
+interlaced reassembly), and `operators/jpeg.py` decodes/encodes
+baseline sequential AND progressive (SOF2, gray + color — r11) JPEG
+(Annex K Huffman + numpy DCT — bounded-error
 round-trip since JPEG is lossy). Only codecs that genuinely need
 env-absent libraries (video/ffmpeg territory) remain behind
 `NotImplementedError`. Payloads that parse as none of these fall
@@ -314,12 +319,18 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
     using only the stdlib (`zlib` deflate + CRC32). ``filter_type``
     applies that scanline filter (0–4) to EVERY row — the knob the
     golden-pixel tests turn to exercise each of the decoder's
-    unfilter paths, including Paeth."""
+    unfilter paths, including Paeth. ``interlace=True`` writes Adam7
+    (r11): each of the seven sub-images is extracted on the standard
+    origin/step grid and filtered independently (empty passes emit
+    nothing, per spec) — the encode twin that lets the round-trip
+    tests pin the decoder's interlaced reassembly."""
     import zlib
 
     h, w, c = pixels.shape
@@ -335,44 +346,24 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    stride = w * 3
-    zero = np.zeros(stride, dtype=np.uint8)
+    if interlace:
+        passes = [
+            pixels[yo::ys, xo::xs]
+            for xo, yo, xs, ys in _ADAM7
+            if pixels[yo::ys, xo::xs].size
+        ]
+    else:
+        passes = [pixels]
     scanlines = []
-    prev = zero
-    for y in range(h):
-        row = pixels[y].reshape(stride)
-        if filter_type == 0:
-            filt = row
-        elif filter_type == 1:  # Sub: minus left neighbor (bpp back)
-            left = np.concatenate([np.zeros(3, np.uint8), row[:-3]])
-            filt = row - left  # uint8 wraps = mod-256, the PNG rule
-        elif filter_type == 2:  # Up
-            filt = row - prev
-        elif filter_type == 3:  # Average
-            left = np.concatenate([np.zeros(3, np.uint8), row[:-3]])
-            filt = row - (
-                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
-            ).astype(np.uint8)
-        else:  # Paeth — vectorizable at ENCODE time: the predictor
-            # reads only raw bytes (left/up/up-left of the original
-            # image), so there is no sequential dependency here;
-            # only the decoder's reconstruction chain is sequential
-            a = np.concatenate([np.zeros(3, np.uint8), row[:-3]]).astype(
-                np.int16
-            )
-            b = prev.astype(np.int16)
-            cc = np.concatenate([np.zeros(3, np.uint8), prev[:-3]]).astype(
-                np.int16
-            )
-            p = a + b - cc
-            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc)
-            )
-            filt = (row.astype(np.int16) - pred).astype(np.uint8)
-        scanlines.append(bytes([filter_type]) + filt.tobytes())
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    for sub in passes:
+        ph, pw = sub.shape[:2]
+        stride = pw * 3
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(ph):
+            row = sub[y].reshape(stride)
+            scanlines.append(_png_filter_row(row, prev, filter_type))
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -381,57 +372,67 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
-    """Pure-stdlib PNG decode (r7, VERDICT task 3): chunk walk →
-    IHDR parse → concatenated-IDAT `zlib` inflate → per-scanline
-    unfilter (types 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) →
-    (h, w, 3) uint8 RGB. Supports 8-bit non-interlaced grayscale
-    (expanded to RGB), truecolor, and RGBA (alpha dropped — metadata
-    records it); raises ValueError on anything else (16-bit, palette,
-    Adam7). No image library — IDAT is DEFLATE, which is stdlib."""
-    import zlib
-
-    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        size = struct.unpack_from(">I", payload, pos)[0]
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + size]
-        if len(body) < size:
-            raise ValueError("truncated PNG chunk")
-        if tag == b"IHDR":
-            ihdr = struct.unpack_from(">IIBBBBB", body, 0)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + size  # len + tag + body + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if (
-        depth != 8
-        or color_type not in _PNG_CHANNELS
-        or comp != 0
-        or filt != 0
-        or interlace != 0
-    ):
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth}, color={color_type}, "
-            f"interlace={interlace}) — 8-bit non-interlaced gray/RGB/RGBA only"
+def _png_filter_row(
+    row: np.ndarray, prev: np.ndarray, filter_type: int
+) -> bytes:
+    """Apply one PNG scanline filter at encode time (bpp = 3)."""
+    if filter_type == 0:
+        filt = row
+    elif filter_type == 1:  # Sub: minus left neighbor (bpp back)
+        left = np.concatenate([np.zeros(3, np.uint8), row[:-3]])
+        filt = row - left  # uint8 wraps = mod-256, the PNG rule
+    elif filter_type == 2:  # Up
+        filt = row - prev
+    elif filter_type == 3:  # Average
+        left = np.concatenate([np.zeros(3, np.uint8), row[:-3]])
+        filt = row - (
+            (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+        ).astype(np.uint8)
+    else:  # Paeth — vectorizable at ENCODE time: the predictor
+        # reads only raw bytes (left/up/up-left of the original
+        # image), so there is no sequential dependency here;
+        # only the decoder's reconstruction chain is sequential
+        a = np.concatenate([np.zeros(3, np.uint8), row[:-3]]).astype(
+            np.int16
         )
-    channels = _PNG_CHANNELS[color_type]
-    stride = w * channels
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:  # corrupt deflate stream → total contract
-        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) < h * (stride + 1) or w == 0 or h == 0:
+        b = prev.astype(np.int16)
+        cc = np.concatenate([np.zeros(3, np.uint8), prev[:-3]]).astype(
+            np.int16
+        )
+        p = a + b - cc
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc)
+        )
+        filt = (row.astype(np.int16) - pred).astype(np.uint8)
+    return bytes([filter_type]) + filt.tobytes()
+
+
+# Adam7 interlace grid: per pass, (x origin, y origin, x step, y step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, pw: int, ph: int,
+                  channels: int, depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of ``ph`` scanlines at ``pw`` pixels
+    (types 0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth over the
+    byte-level stride; for depths < 8 the filter distance bpp rounds
+    up to one byte per the spec). Returns the reconstructed
+    (ph, stride) byte matrix and the new read position."""
+    stride = (pw * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    if len(raw) < pos + ph * (stride + 1):
         raise ValueError("truncated PNG scanline data")
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
-    for y in range(h):
+    recon = np.zeros((ph, stride), dtype=np.uint8)
+    for y in range(ph):
         ftype = raw[pos]
         pos += 1
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos)
@@ -442,15 +443,19 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         elif ftype == 2:
             recon[y] = line + prev  # uint8 wrap = the mod-256 rule
         elif ftype == 1:
-            # Sub's recurrence r[k] = f[k] + r[k-bpp] is a per-channel
-            # prefix sum — cumsum over the (w, channels) view mod 256
-            recon[y] = (
+            # Sub's recurrence r[k] = f[k] + r[k-bpp] is a per-lane
+            # prefix sum — cumsum over the (n, bpp) view mod 256
+            n = stride // bpp
+            head = (
                 np.cumsum(
-                    line.reshape(-1, channels).astype(np.int64), axis=0
+                    line[: n * bpp].reshape(-1, bpp).astype(np.int64), axis=0
                 )
                 .astype(np.uint8)
-                .reshape(stride)
+                .reshape(n * bpp)
             )
+            recon[y, : n * bpp] = head
+            for x in range(n * bpp, stride):  # ragged tail (sub-byte)
+                recon[y, x] = (int(line[x]) + int(recon[y, x - bpp])) & 0xFF
         elif ftype in (3, 4):
             # genuinely sequential (each byte needs the RECONSTRUCTED
             # left neighbor); run the chain over plain Python ints —
@@ -459,12 +464,12 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             prev_l = prev.tolist()
             out = [0] * stride
             for x in range(stride):
-                a = out[x - channels] if x >= channels else 0
+                a = out[x - bpp] if x >= bpp else 0
                 b = prev_l[x]
                 if ftype == 3:
                     pred = (a + b) // 2
                 else:
-                    cc = prev_l[x - channels] if x >= channels else 0
+                    cc = prev_l[x - bpp] if x >= bpp else 0
                     p = a + b - cc
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                     pred = (
@@ -476,19 +481,142 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             recon[y] = out
         else:
             raise ValueError(f"bad PNG filter byte {ftype}")
-    px = recon.reshape(h, w, channels)
-    if channels == 1:
-        rgb = np.repeat(px, 3, axis=2)
-    elif channels == 4:
-        rgb = px[:, :, :3]
+    return recon, pos
+
+
+def _png_samples(recon: np.ndarray, pw: int, channels: int,
+                 depth: int) -> np.ndarray:
+    """Byte matrix → (ph, pw, channels) per-pixel sample values
+    (raw code points: 0..2^depth-1 for sub-byte depths, 0..255 for
+    depth 8 — scaling/palette lookup happens at color mapping)."""
+    ph = recon.shape[0]
+    if depth == 8:
+        return recon[:, : pw * channels].reshape(ph, pw, channels)
+    # sub-byte: unpack MSB-first, regroup depth-sized fields, trim
+    # the row-padding bits
+    bits = np.unpackbits(recon, axis=1)
+    fields = bits[:, : (bits.shape[1] // depth) * depth].reshape(
+        ph, -1, depth
+    )
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (fields * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :pw].reshape(ph, pw, 1)
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
+    """Pure-stdlib PNG decode (r7, VERDICT task 3; widened r11):
+    chunk walk → IHDR parse → concatenated-IDAT `zlib` inflate →
+    per-scanline unfilter (types 0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth) → (h, w, 3) uint8 RGB. Supports:
+
+    - color types 0 (grayscale, depths 1/2/4/8 — sub-byte values
+      scaled to 8-bit), 2 (truecolor), 3 (palette, depths 1/2/4/8,
+      PLTE lookup + optional tRNS alpha), 4 (gray+alpha), and
+      6 (RGBA); alpha channels are dropped from the pixel output and
+      recorded in the metadata, matching the RGB contract the feature
+      extractors consume;
+    - interlace 0 (sequential) and 1 (Adam7 — seven sub-images, each
+      filtered independently at its own pass geometry including the
+      rounded-up sub-byte strides, scattered into the full grid);
+
+    raises ValueError on 16-bit depths and malformed streams. No
+    image library — IDAT is DEFLATE, which is stdlib."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", body, 0)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"PLTE":
+            if size % 3:
+                raise ValueError("PNG PLTE size not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif tag == b"IEND":
+            break
+        pos += 12 + size  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    sub_byte_ok = color_type in (0, 3)
+    if (
+        comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+        or color_type not in (0, 2, 3, 4, 6)
+        or depth not in ((1, 2, 4, 8) if sub_byte_ok else (8,))
+    ):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}, "
+            f"interlace={interlace}) — depths 1/2/4/8 (gray/palette) or "
+            "8 (truecolor/alpha), sequential or Adam7"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt deflate stream → total contract
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if w == 0 or h == 0:
+        raise ValueError("truncated PNG scanline data")
+    if interlace == 0:
+        recon, _ = _png_unfilter(raw, 0, w, h, channels, depth)
+        px = _png_samples(recon, w, channels, depth)
     else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for xo, yo, xs, ys in _ADAM7:
+            pw = (w - xo + xs - 1) // xs
+            ph = (h - yo + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes no bytes at all
+            recon, pos = _png_unfilter(raw, pos, pw, ph, channels, depth)
+            px[yo::ys, xo::xs] = _png_samples(recon, pw, channels, depth)
+    has_alpha = False
+    if color_type == 0:
+        if depth < 8:  # scale code points onto the 8-bit range
+            px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8
+            )
+        rgb = np.repeat(px, 3, axis=2)
+    elif color_type == 2:
         rgb = px
-    fmt = {0: "png/gray8", 2: "png/rgb8", 6: "png/rgba8"}[color_type]
-    return np.ascontiguousarray(rgb), {
-        "width": int(w),
-        "height": int(h),
-        "format": fmt,
-    }
+    elif color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max()) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        has_alpha = trns is not None and bool((trns < 255).any())
+    elif color_type == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        has_alpha = True
+    else:
+        rgb = px[:, :, :3]
+        has_alpha = True
+    fmt = {
+        0: f"png/gray{depth}",
+        2: "png/rgb8",
+        3: f"png/palette{depth}",
+        4: "png/graya8",
+        6: "png/rgba8",
+    }[color_type]
+    if interlace:
+        fmt += "-adam7"
+    meta = {"width": int(w), "height": int(h), "format": fmt}
+    if has_alpha:
+        meta["has_alpha"] = True
+    return np.ascontiguousarray(rgb), meta
 
 
 def _decode_real(payload: bytes) -> dict[str, Any]:

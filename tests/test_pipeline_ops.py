@@ -2777,3 +2777,159 @@ def test_wav_g711_alaw_ulaw_decode():
     struct.pack_into("<H", bad, fmt_off + 14, 16)
     with pytest.raises(ValueError, match="G.711 must be 8-bit"):
         decode_wav(bytes(bad))
+
+
+def _build_png(w, h, depth, ctype, idat_raw, plte=b"", trns=b""):
+    import struct
+    import zlib
+
+    from mspr2_back_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    out = _PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    )
+    if plte:
+        out += chunk(b"PLTE", plte)
+    if trns:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_subbyte_and_alpha_golden():
+    """r11: PNG color types 3 (palette, depths 1/2/4/8 + tRNS) and 4
+    (gray+alpha), and sub-byte grayscale, on HAND-BUILT fixtures —
+    the PLTE bytes and packed index bits are written in the test, so
+    the expected pixel arrays are golden by construction, not
+    round-tripped through the encoder. Rejections: out-of-range
+    palette indices, missing PLTE, 16-bit palette."""
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import decode_png
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    # 8-bit palette, 2x2: indices [[0,1],[2,3]]
+    px, meta = decode_png(
+        _build_png(2, 2, 8, 3, b"\x00\x00\x01" + b"\x00\x02\x03", plte)
+    )
+    assert meta["format"] == "png/palette8" and "has_alpha" not in meta
+    assert px.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [10, 20, 30]],
+    ]
+    # 4-bit palette, 3 px/row (odd → padded low nibble)
+    px, meta = decode_png(
+        _build_png(
+            3, 2, 4, 3,
+            b"\x00" + bytes([0x01, 0x20]) + b"\x00" + bytes([0x30, 0x10]),
+            plte,
+        )
+    )
+    assert meta["format"] == "png/palette4"
+    assert px.tolist() == [
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        [[10, 20, 30], [255, 0, 0], [0, 255, 0]],
+    ]
+    # 2-bit palette, 5 px/row: 00 01 10 11 | 00 + pad bits
+    px, _ = decode_png(
+        _build_png(5, 1, 2, 3, b"\x00" + bytes([0b00011011, 0]), plte)
+    )
+    assert px.tolist()[0] == [
+        [255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30], [255, 0, 0]
+    ]
+    # 1-bit palette across a byte boundary (10 px)
+    px, _ = decode_png(
+        _build_png(
+            10, 1, 1, 3, b"\x00" + bytes([0b01101001, 0b11000000]), plte[:6]
+        )
+    )
+    want = [0, 1, 1, 0, 1, 0, 0, 1, 1, 1]
+    assert px.tolist()[0] == [
+        [255, 0, 0] if i == 0 else [0, 255, 0] for i in want
+    ]
+    # sub-byte grayscale scales code points onto 0..255
+    px, meta = decode_png(_build_png(4, 1, 1, 0, b"\x00" + bytes([0b10100000])))
+    assert meta["format"] == "png/gray1"
+    assert [p[0] for p in px.tolist()[0]] == [255, 0, 255, 0]
+    px, _ = decode_png(_build_png(4, 1, 2, 0, b"\x00" + bytes([0b00011011])))
+    assert [p[0] for p in px.tolist()[0]] == [0, 85, 170, 255]
+    # gray+alpha drops alpha into metadata
+    px, meta = decode_png(
+        _build_png(2, 1, 8, 4, b"\x00" + bytes([7, 9, 200, 255]))
+    )
+    assert meta["format"] == "png/graya8" and meta["has_alpha"] is True
+    assert px.tolist()[0] == [[7, 7, 7], [200, 200, 200]]
+    # tRNS on a palette flags alpha
+    _, meta = decode_png(
+        _build_png(2, 1, 8, 3, b"\x00\x00\x01", plte, trns=bytes([0, 255]))
+    )
+    assert meta["has_alpha"] is True
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_png(_build_png(2, 1, 8, 3, b"\x00\x00\x09", plte))
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(_build_png(2, 1, 8, 3, b"\x00\x00\x01"))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(_build_png(2, 1, 16, 3, b"\x00" + bytes(4), plte))
+
+
+def test_png_adam7_roundtrip_all_filters_and_shapes():
+    """r11: encode_png(interlace=True) -> decode_png is the identity
+    across every filter type and shapes exercising the Adam7 corner
+    cases — dims under 8 (passes with zero width/height contribute
+    NO bytes), dims that leave ragged final passes, and exact
+    8-multiples."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (2, 3), (5, 5), (7, 9), (8, 8), (13, 17), (16, 33)]:
+        for ft in range(5):
+            img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+            px, meta = decode_png(
+                encode_png(img, filter_type=ft, interlace=True)
+            )
+            assert meta["format"] == "png/rgb8-adam7"
+            assert np.array_equal(px, img), (shape, ft)
+
+
+def test_png_decodes_real_world_variants():
+    """r11 interop: real foreign-encoder PNGs covering every newly
+    supported class — 8/4/2-bit palette, gray+alpha, and Adam7
+    interlaced RGBA (libpng's own canonical pngtest.png). Full-plane
+    md5 golden pins; each skips independently when absent."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import decode_png
+
+    fixtures = [
+        ("/usr/share/gitweb/static/git-logo.png",
+         "png/palette8", (72, 27), "d0388f2b65d5feaac2f7d0c94e53e562"),
+        ("/usr/share/icons/locolor/16x16/apps/gvim.png",
+         "png/palette4", (16, 16), "bdaf530d548ae16bec25dc6416e19cca"),
+        ("/usr/share/gitweb/static/git-favicon.png",
+         "png/palette2", (16, 16), "166632a72fc081d03e0c322dc8854bd8"),
+        ("/usr/share/icons/Adwaita/48x48/legacy/"
+         "preferences-system-privacy.png",
+         "png/graya8", (48, 48), "8b989ee3f94f66f45676b0f53f566697"),
+        ("/usr/share/doc/libpng-dev/examples/pngtest.png",
+         "png/rgba8-adam7", (91, 69), "5e8924c106ce28226e2a8412b6d58cb8"),
+    ]
+    present = [f for f in fixtures if os.path.exists(f[0])]
+    if not present:
+        pytest.skip("no system PNG fixtures on this machine")
+    for path, fmt, (w, h), md5 in present:
+        px, meta = decode_png(open(path, "rb").read())
+        assert meta["format"] == fmt, path
+        assert (meta["width"], meta["height"]) == (w, h), path
+        assert hashlib.md5(px.tobytes()).hexdigest() == md5, path
