@@ -262,6 +262,41 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _parse_dqt(body: bytes, qtabs: dict[int, np.ndarray]) -> None:
+    """One DQT segment (possibly several tables) into ``qtabs`` —
+    shared by the baseline and progressive marker walks (r11 review:
+    the two walks had drifted-by-copy parsers)."""
+    off = 0
+    while off < len(body):
+        pq, tq = body[off] >> 4, body[off] & 0xF
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        vals = np.frombuffer(
+            body, dtype=np.uint8, count=64, offset=off + 1
+        ).astype(np.int64)
+        table = np.zeros(64, dtype=np.int64)
+        table[ZIGZAG] = vals
+        qtabs[tq] = table.reshape(8, 8)
+        off += 65
+
+
+def _parse_dht(
+    body: bytes,
+    dc_tabs: dict[int, array.array],
+    ac_tabs: dict[int, array.array],
+) -> None:
+    """One DHT segment (possibly several tables) into the DC/AC LUT
+    maps — shared by both marker walks."""
+    off = 0
+    while off < len(body):
+        tc, th = body[off] >> 4, body[off] & 0xF
+        bits = list(body[off + 1 : off + 17])
+        n = sum(bits)
+        vals = list(body[off + 17 : off + 17 + n])
+        (ac_tabs if tc else dc_tabs)[th] = _decode_table(bits, vals)
+        off += 17 + n
+
+
 def _split_entropy_segments(data: bytes) -> list[bytes]:
     """Split the entropy-coded region at RSTn markers and unstuff
     each segment (FF 00 → FF) — ONE byte-level pass up front, so the
@@ -572,28 +607,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         size = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + size]
         if marker == 0xDB:  # DQT — possibly several tables per segment
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                vals = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=off + 1
-                ).astype(np.int64)
-                table = np.zeros(64, dtype=np.int64)
-                table[ZIGZAG] = vals
-                qtabs[tq] = table.reshape(8, 8)
-                off += 65
+            _parse_dqt(body, qtabs)
         elif marker == 0xC4:  # DHT — possibly several tables
-            off = 0
-            while off < len(body):
-                tc, th = body[off] >> 4, body[off] & 0xF
-                bits = list(body[off + 1 : off + 17])
-                n = sum(bits)
-                vals = list(body[off + 17 : off + 17 + n])
-                tab = _decode_table(bits, vals)
-                (ac_tabs if tc else dc_tabs)[th] = tab
-                off += 17 + n
+            _parse_dht(body, dc_tabs, ac_tabs)
         elif marker == 0xC0:  # SOF0 baseline
             precision = body[0]
             fh, fw = struct.unpack_from(">HH", body, 1)
@@ -776,6 +792,16 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                         else:
                             nbits -= length
                         size = t & 0xFF
+                        if size > 11:
+                            # T.81 F.1.2.1.1: 8-bit DC diff categories
+                            # are 0..11 — an adversarial DHT can map a
+                            # code to any byte, and an unchecked size
+                            # shifts the magnitude past int64 (an
+                            # OverflowError the dispatch fallback
+                            # doesn't own, r11 review finding)
+                            raise ValueError(
+                                "invalid DC size symbol in JPEG stream"
+                            )
                         # --- DC magnitude ---
                         if size:
                             if nbits < size:
@@ -1108,27 +1134,9 @@ def _decode_progressive(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         size = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + size]
         if marker == 0xDB:
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                vals = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=off + 1
-                ).astype(np.int64)
-                table = np.zeros(64, dtype=np.int64)
-                table[ZIGZAG] = vals
-                qtabs[tq] = table.reshape(8, 8)
-                off += 65
+            _parse_dqt(body, qtabs)
         elif marker == 0xC4:
-            off = 0
-            while off < len(body):
-                tc, th = body[off] >> 4, body[off] & 0xF
-                bits = list(body[off + 1 : off + 17])
-                n = sum(bits)
-                vals = list(body[off + 17 : off + 17 + n])
-                (ac_tabs if tc else dc_tabs)[th] = _decode_table(bits, vals)
-                off += 17 + n
+            _parse_dht(body, dc_tabs, ac_tabs)
         elif marker == 0xC2:
             precision = body[0]
             fh, fw = struct.unpack_from(">HH", body, 1)
@@ -1269,6 +1277,11 @@ def _decode_progressive(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                                     vals = coefs[ci][row * comp_bw[ci] + col]
                                     if ah == 0:
                                         t = rd.huff(dc_luts[i])
+                                        if t > 11:  # T.81 F.1.2.1.1
+                                            raise ValueError(
+                                                "invalid DC size symbol "
+                                                "in JPEG stream"
+                                            )
                                         preds[i] += (
                                             _extend(rd.bits(t), t) if t else 0
                                         )
@@ -1285,6 +1298,10 @@ def _decode_progressive(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                         vals = coefs[ci][idx]
                         if ss == 0 and ah == 0:
                             t = rd.huff(dc_luts[0])
+                            if t > 11:  # T.81 F.1.2.1.1
+                                raise ValueError(
+                                    "invalid DC size symbol in JPEG stream"
+                                )
                             preds[0] += _extend(rd.bits(t), t) if t else 0
                             vals[0] = preds[0] << al
                         elif ss == 0:
@@ -1434,6 +1451,14 @@ def _optimal_huffman(freq: dict[int, int]) -> tuple[list[int], list[int]]:
     bits = [0] * 33
     for i in range(257):
         if codesize[i]:
+            if codesize[i] > 32:
+                # jchuff.c's JERR_HUFF_CLEN_OVERFLOW twin: a
+                # Fibonacci-like frequency skew can push raw lengths
+                # past 32, which the 16-bit adjustment below can't
+                # absorb (r11 review finding)
+                raise ValueError(
+                    "Huffman code length overflow in progressive scan"
+                )
             bits[codesize[i]] += 1
     # JPEG caps code length at 16: push overflow pairs up (jchuff.c)
     for i in range(32, 16, -1):

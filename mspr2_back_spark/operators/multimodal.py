@@ -314,9 +314,10 @@ def encode_wav(
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-# color type → channel count for the subset decoded here (8-bit,
-# non-interlaced): 0 grayscale, 2 truecolor RGB, 6 RGBA
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# color type → IDAT channel count for the types decoded here:
+# 0 grayscale, 2 truecolor RGB, 3 palette indices, 4 gray+alpha,
+# 6 RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def encode_png(
@@ -563,7 +564,7 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    channels = _PNG_CHANNELS[color_type]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:  # corrupt deflate stream → total contract
@@ -590,8 +591,13 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
                 np.uint8
             )
         rgb = np.repeat(px, 3, axis=2)
+        # a tRNS on gray/truecolor is a transparent COLOR KEY (16-bit
+        # sample values — presence alone means transparency exists;
+        # the values aren't consulted since alpha is dropped anyway)
+        has_alpha = trns is not None
     elif color_type == 2:
         rgb = px
+        has_alpha = trns is not None
     elif color_type == 3:
         idx = px[:, :, 0]
         if int(idx.max()) >= plte.shape[0]:

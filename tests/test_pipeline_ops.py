@@ -2933,3 +2933,80 @@ def test_png_decodes_real_world_variants():
         assert meta["format"] == fmt, path
         assert (meta["width"], meta["height"]) == (w, h), path
         assert hashlib.md5(px.tobytes()).hexdigest() == md5, path
+
+
+def test_jpeg_adversarial_dc_size_rejected_not_overflow():
+    """r11 review finding: an adversarial DHT can map a Huffman code
+    to ANY byte, and an unchecked DC size symbol (e.g. 0xFF) used as
+    a shift width pushed the coefficient past int64 — an
+    OverflowError the dispatch fallback doesn't catch, crashing the
+    whole Arrow batch. T.81 F.1.2.1.1 caps 8-bit DC categories at 11;
+    both decoders (baseline and progressive) must reject larger
+    symbols with the per-format ValueError, and the dispatch must
+    fall back to the deterministic fake."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from mspr2_back_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from mspr2_back_spark.operators.multimodal import decode_image_batch
+
+    # flat 128 level-shifts to zero, so the single block's DC diff is
+    # 0 and the decoder reads the size-0 symbol this test poisons
+    img = np.full((8, 8), 128, dtype=np.uint8)
+
+    # baseline: patch the Annex K DC table's first symbol (size 0,
+    # the code a flat block's zero DC diff decodes) to 0xFF
+    enc = bytearray(encode_jpeg(img, quality=90))
+    dht = bytes(enc).find(b"\xff\xc4")
+    assert enc[dht + 4] == 0x00  # DC luma table header
+    vals_off = dht + 5 + 16
+    assert enc[vals_off] == 0  # symbol for size category 0
+    enc[vals_off] = 0xFF
+    with pytest.raises(ValueError, match="invalid DC size symbol"):
+        decode_jpeg(bytes(enc))
+
+    # progressive: same patch on the optimized DC table's sole
+    # zero-size symbol (flat image -> all DC diffs are 0)
+    prog = bytearray(encode_jpeg_progressive(img, quality=90))
+    dht = bytes(prog).find(b"\xff\xc4")
+    assert prog[dht + 4] == 0x00
+    vals_off = dht + 5 + 16
+    assert prog[vals_off] == 0
+    prog[vals_off] = 0xFF
+    with pytest.raises(ValueError, match="invalid DC size symbol"):
+        decode_jpeg(bytes(prog))
+
+    # the dispatch contract holds: fake fallback, batch survives
+    out = decode_image_batch(
+        pd.Series([bytes(enc), bytes(prog), encode_jpeg(img, quality=90)])
+    )
+    assert list(out["format"]) == [
+        "fake/deterministic", "fake/deterministic", "jpeg/gray8",
+    ]
+
+
+def test_png_trns_color_key_flags_alpha():
+    """r11 review finding: a tRNS chunk on grayscale/truecolor PNGs
+    is a transparent color key — has_alpha must flag it just like a
+    palette tRNS or a real alpha channel does."""
+    from mspr2_back_spark.operators.multimodal import decode_png
+
+    # truecolor 1x1 + 16-bit-per-sample tRNS color key (6 bytes)
+    png = _build_png(
+        1, 1, 8, 2, b"\x00\x01\x02\x03", trns=bytes([0, 1, 0, 2, 0, 3])
+    )
+    px, meta = decode_png(png)
+    assert meta["has_alpha"] is True and px.tolist() == [[[1, 2, 3]]]
+    # grayscale + 2-byte tRNS key
+    _, meta = decode_png(
+        _build_png(2, 1, 8, 0, b"\x00\x07\x08", trns=bytes([0, 7]))
+    )
+    assert meta["has_alpha"] is True
+    # and absent tRNS still means no alpha key in the metadata
+    _, meta = decode_png(_build_png(1, 1, 8, 2, b"\x00\x01\x02\x03"))
+    assert "has_alpha" not in meta
