@@ -134,6 +134,101 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ALAW_TABLE, _ULAW_TABLE = _g711_tables()
 
+# IMA/DVI ADPCM step-size and index-adjustment tables (the IMA
+# reference algorithm; arithmetic chain cross-checked in the tests
+# against the stdlib's independent implementation)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _decode_ima_adpcm(
+    data: bytes, fmt: tuple, channels: int, bits: int, fact: int | None
+) -> np.ndarray:
+    """WAV format 0x11 (IMA/DVI ADPCM) → (n_samples, channels) int16.
+
+    Block layout per the multimedia registration: each block_align-
+    sized block carries a 4-byte header PER CHANNEL (int16 initial
+    predictor — which IS the block's first output sample — uint8 step
+    index, reserved byte) followed by 4-byte nibble units round-robin
+    across channels (low nibble first). A trailing partial block is
+    ignored (same tolerance as the PCM path's frame floor); the fact
+    chunk's sample count, when present, trims the final block's
+    zero-padding."""
+    if bits != 4:
+        raise ValueError(
+            f"unsupported WAV (IMA ADPCM must be 4-bit, got {bits})"
+        )
+    block_align = fmt[4]
+    data_per_block = block_align - 4 * channels
+    if data_per_block < 4 * channels or data_per_block % (4 * channels):
+        raise ValueError(
+            f"malformed IMA ADPCM block layout (block_align={block_align},"
+            f" channels={channels})"
+        )
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        raise ValueError("truncated WAV data chunk")
+    blocks = np.frombuffer(
+        data, dtype=np.uint8, count=n_blocks * block_align
+    ).reshape(n_blocks, block_align)
+    units = blocks[:, 4 * channels :].reshape(n_blocks, -1, 4)
+    chans = []
+    for c in range(channels):
+        pred0 = (
+            blocks[:, 4 * c : 4 * c + 2].copy().view("<i2")[:, 0]
+        ).astype(np.int64)
+        idx0 = blocks[:, 4 * c + 2].astype(np.int64)
+        if (idx0 > 88).any():
+            raise ValueError("IMA ADPCM step index out of range")
+        mine = units[:, c::channels, :].reshape(n_blocks, -1)
+        nibs = np.empty((n_blocks, mine.shape[1] * 2), dtype=np.uint8)
+        nibs[:, 0::2] = mine & 0xF
+        nibs[:, 1::2] = mine >> 4
+        dec = _ima_decode_nibbles(nibs, pred0, idx0)
+        full = np.concatenate(
+            [pred0.astype(np.int16)[:, None], dec], axis=1
+        )
+        chans.append(full.reshape(-1))
+    samples = np.stack(chans, axis=1)
+    if fact is not None and 0 < fact <= samples.shape[0]:
+        samples = samples[:fact]
+    return samples
+
+
+def _ima_decode_nibbles(
+    nibbles: np.ndarray, pred0: np.ndarray, idx0: np.ndarray
+) -> np.ndarray:
+    """Decode IMA ADPCM nibble streams, vectorized ACROSS blocks (the
+    predictor chain is sequential within a block but blocks are
+    independent, so the loop runs once per nibble position over all
+    blocks at once). nibbles (n_blocks, n_nib), pred0/idx0 (n_blocks,)
+    → (n_blocks, n_nib) int16."""
+    pred = pred0.astype(np.int64).copy()
+    idx = idx0.astype(np.int64).copy()
+    out = np.empty(nibbles.shape, dtype=np.int16)
+    for j in range(nibbles.shape[1]):
+        nib = nibbles[:, j].astype(np.int64)
+        step = _IMA_STEP[idx]
+        diff = (
+            (step >> 3)
+            + np.where(nib & 1, step >> 2, 0)
+            + np.where(nib & 2, step >> 1, 0)
+            + np.where(nib & 4, step, 0)
+        )
+        pred = np.where(nib & 8, pred - diff, pred + diff)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + _IMA_INDEX[nib & 7], 0, 88)
+        out[:, j] = pred
+    return out
+
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """Parse a WAV (RIFF/WAVE, fmt + data chunks) into
@@ -159,7 +254,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data, fmt_ext = 12, None, None, b""
+    pos, fmt, data, fmt_ext, fact = 12, None, None, b"", None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -176,6 +271,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             if len(body) < size:
                 raise ValueError("truncated WAV data chunk")
             data = body
+        elif cid == b"fact" and len(body) >= 4:
+            # true sample count — compressed formats need it because
+            # the final ADPCM block may be partially filled
+            fact = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -198,21 +297,35 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
             b"\x03\x00\x00\x00",
             b"\x06\x00\x00\x00",
             b"\x07\x00\x00\x00",
+            b"\x11\x00\x00\x00",
         ):
             raise ValueError(
                 "unsupported WAV: WAVE_FORMAT_EXTENSIBLE sub-format "
                 f"GUID {sub.hex()} is none of KSDATAFORMAT_SUBTYPE_PCM"
-                " / IEEE_FLOAT / ALAW / MULAW"
+                " / IEEE_FLOAT / ALAW / MULAW / IMA_ADPCM"
             )
-        if valid_bits not in (0, bits):
+        # the extension's Samples union holds wValidBitsPerSample only
+        # for uncompressed sub-formats (for ADPCM it's samples-per-
+        # block, for G.711 it's 8 anyway) — the narrowing check
+        # applies to PCM/float alone
+        if sub[0] in (1, 3) and valid_bits not in (0, bits):
             raise ValueError(
                 "unsupported WAV: WAVE_FORMAT_EXTENSIBLE declares "
                 f"{valid_bits} valid bits in a {bits}-bit container — "
                 "narrowed layouts are not masked here"
             )
-        audio_format = sub[0]  # 1 PCM / 3 IEEE float / 6 A-law / 7 µ-law
+        audio_format = sub[0]  # 1 PCM / 3 float / 6 A-law / 7 µ-law / 0x11 IMA
     if channels < 1:
         raise ValueError(f"unsupported WAV (channels={channels})")
+    if audio_format == 0x11:
+        samples = _decode_ima_adpcm(data, fmt, channels, bits, fact)
+        return samples, {
+            "channels": int(channels),
+            "sample_rate": int(sample_rate),
+            "bits": int(bits),
+            "n_samples": int(samples.shape[0]),
+            "format": "wav/ima-adpcm4",
+        }
     g711 = None
     if audio_format == 3:
         if bits != 32:

@@ -3010,3 +3010,112 @@ def test_png_trns_color_key_flags_alpha():
     # and absent tRNS still means no alpha key in the metadata
     _, meta = decode_png(_build_png(1, 1, 8, 2, b"\x00\x01\x02\x03"))
     assert "has_alpha" not in meta
+
+
+def test_wav_ima_adpcm_decode():
+    """r11: IMA/DVI ADPCM WAVs (format 0x11) decode block-wise —
+    per-channel 4-byte headers (the predictor IS the first sample),
+    4-byte nibble units round-robin across channels, low nibble
+    first, fact-chunk trim. The arithmetic chain is cross-checked
+    against the stdlib's INDEPENDENT IMA implementation
+    (audioop.adpcm2lin decodes high-nibble-first raw DVI streams, so
+    the reference feeds nibble-swapped bytes); rejections stay loud
+    for out-of-range step indices, non-4-bit declarations, and
+    malformed block layouts."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import decode_wav
+
+    audioop = pytest.importorskip("audioop")
+
+    def build_wav(
+        channels, block_align, blocks, fact=None, rate=8000, fmt_tag=0x11
+    ):
+        spb = (block_align - 4 * channels) * 2 // channels + 1
+        fmt = struct.pack(
+            "<HHIIHHHH", fmt_tag, channels, rate,
+            rate * block_align // spb, block_align, 4, 2, spb,
+        )
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+        payload = chunk(b"fmt ", fmt)
+        if fact is not None:
+            payload += chunk(b"fact", struct.pack("<I", fact))
+        payload += chunk(b"data", blocks)
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+    rng = np.random.default_rng(17)
+
+    def ref_block(nib_bytes, pred, idx):
+        # audioop is high-nibble-first; swap nibbles to express the
+        # WAV block's low-first order in its terms
+        swapped = bytes(((b & 0xF) << 4) | (b >> 4) for b in nib_bytes)
+        lin, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
+        return [pred] + list(np.frombuffer(lin, dtype=np.int16))
+
+    # mono, 3 blocks of block_align=32 (28 data bytes -> 57 samples)
+    blocks, want = b"", []
+    for _ in range(3):
+        pred = int(rng.integers(-32768, 32768))
+        idx = int(rng.integers(0, 89))
+        body = bytes(rng.integers(0, 256, 28, dtype=np.uint8))
+        blocks += struct.pack("<hBB", pred, idx, 0) + body
+        want += ref_block(body, pred, idx)
+    arr, meta = decode_wav(build_wav(1, 32, blocks))
+    assert meta == {
+        "channels": 1, "sample_rate": 8000, "bits": 4,
+        "n_samples": 171, "format": "wav/ima-adpcm4",
+    }
+    assert arr[:, 0].tolist() == want
+
+    # the fact chunk trims the final block's padding
+    arr, meta = decode_wav(build_wav(1, 32, blocks, fact=150))
+    assert meta["n_samples"] == 150 and arr[:, 0].tolist() == want[:150]
+
+    # stereo: one block, L/R units alternate every 4 bytes
+    predL, idxL, predR, idxR = 100, 10, -200, 44
+    dataL = bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+    dataR = bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+    inter = b"".join(
+        dataL[i : i + 4] + dataR[i : i + 4] for i in range(0, 8, 4)
+    )
+    blk = (
+        struct.pack("<hBB", predL, idxL, 0)
+        + struct.pack("<hBB", predR, idxR, 0)
+        + inter
+    )
+    arr, meta = decode_wav(build_wav(2, 24, blk))
+    assert meta["channels"] == 2 and meta["n_samples"] == 17
+    assert arr[:, 0].tolist() == ref_block(dataL, predL, idxL)
+    assert arr[:, 1].tolist() == ref_block(dataR, predR, idxR)
+
+    # EXTENSIBLE-wrapped IMA_ADPCM dispatches onto the same path
+    spb = 57
+    ext_fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 1, 8000, 8000 * 32 // spb, 32, 4, 22, spb, 0
+    ) + struct.pack("<I", 0x11) + bytes.fromhex("000010008000 00aa00389b71".replace(" ", ""))
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+    payload = chunk(b"fmt ", ext_fmt) + chunk(b"data", blocks)
+    ext_wav = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+    arr, meta = decode_wav(ext_wav)
+    assert meta["format"] == "wav/ima-adpcm4" and arr[:, 0].tolist() == want
+
+    # rejections
+    bad = bytearray(build_wav(1, 32, blocks))
+    bad[bad.find(b"data") + 8 + 2] = 90  # step index > 88
+    with pytest.raises(ValueError, match="step index out of range"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="malformed IMA ADPCM block"):
+        decode_wav(build_wav(1, 6, blocks[:6]))
+    bad = bytearray(build_wav(1, 32, blocks))
+    struct.pack_into("<H", bad, bad.find(b"fmt ") + 8 + 14, 16)
+    with pytest.raises(ValueError, match="IMA ADPCM must be 4-bit"):
+        decode_wav(bytes(bad))
