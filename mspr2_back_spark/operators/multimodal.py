@@ -606,6 +606,10 @@ def _png_samples(recon: np.ndarray, pw: int, channels: int,
     ph = recon.shape[0]
     if depth == 8:
         return recon[:, : pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        # big-endian 16-bit samples → the standard high-byte
+        # reduction onto the 8-bit output contract
+        return recon[:, : pw * channels * 2 : 2].reshape(ph, pw, channels)
     # sub-byte: unpack MSB-first, regroup depth-sized fields, trim
     # the row-padding bits
     bits = np.unpackbits(recon, axis=1)
@@ -662,18 +666,24 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    sub_byte_ok = color_type in (0, 3)
+    depths_ok = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }
     if (
         comp != 0
         or filt != 0
         or interlace not in (0, 1)
-        or color_type not in (0, 2, 3, 4, 6)
-        or depth not in ((1, 2, 4, 8) if sub_byte_ok else (8,))
+        or color_type not in depths_ok
+        or depth not in depths_ok[color_type]
     ):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}, "
-            f"interlace={interlace}) — depths 1/2/4/8 (gray/palette) or "
-            "8 (truecolor/alpha), sequential or Adam7"
+            f"interlace={interlace}) — depths 1-16 (gray), 1-8 (palette), "
+            "8/16 (truecolor/alpha), sequential or Adam7"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
@@ -725,10 +735,10 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         has_alpha = True
     fmt = {
         0: f"png/gray{depth}",
-        2: "png/rgb8",
+        2: f"png/rgb{depth}",
         3: f"png/palette{depth}",
-        4: "png/graya8",
-        6: "png/rgba8",
+        4: f"png/graya{depth}",
+        6: f"png/rgba{depth}",
     }[color_type]
     if interlace:
         fmt += "-adam7"

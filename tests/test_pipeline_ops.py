@@ -1501,13 +1501,14 @@ class TestPngCodec:
 
         with pytest.raises(ValueError):
             decode_png(b"not a png at all")
-        # 16-bit depth: flip the depth byte inside a valid file and
+        # invalid depth: flip the depth byte inside a valid file and
         # re-CRC is unnecessary — the IHDR parse runs before any CRC
+        # (12 is not a legal PNG depth; 16 decodes as of r11)
         good = bytearray(
             encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
         )
         depth_off = good.index(b"IHDR") + 4 + 8
-        good[depth_off] = 16
+        good[depth_off] = 12
         with pytest.raises(ValueError, match="unsupported PNG"):
             decode_png(bytes(good))
         # corrupt deflate stream → ValueError (total contract)
@@ -3119,3 +3120,45 @@ def test_wav_ima_adpcm_decode():
     struct.pack_into("<H", bad, bad.find(b"fmt ") + 8 + 14, 16)
     with pytest.raises(ValueError, match="IMA ADPCM must be 4-bit"):
         decode_wav(bytes(bad))
+
+
+def test_png_16bit_decodes_high_byte():
+    """r11: 16-bit PNGs (gray/truecolor/alpha variants) decode with
+    the standard high-byte reduction onto the 8-bit output contract.
+    Hand-built fixtures: big-endian 16-bit samples whose high and low
+    bytes differ, so a wrong-byte pick or an off-by-one in the
+    2-byte-bpp filter distance breaks the expected array; the Sub
+    filter case pins that bpp = 6 for 16-bit RGB (a 3-byte distance
+    would corrupt pixel 2)."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import decode_png
+
+    # 16-bit truecolor 2x1: pixels (0x0102,0x0304,0x0506), (0xA1B2,..)
+    raw = bytes(
+        [0]
+        + [0x01, 0x02, 0x03, 0x04, 0x05, 0x06]
+        + [0xA1, 0xB2, 0xC3, 0xD4, 0xE5, 0xF6]
+    )
+    px, meta = decode_png(_build_png(2, 1, 16, 2, raw))
+    assert meta["format"] == "png/rgb16"
+    assert px.tolist() == [[[0x01, 0x03, 0x05], [0xA1, 0xC3, 0xE5]]]
+
+    # same pixels through the Sub filter (bpp must be 6)
+    line = np.frombuffer(raw[1:], dtype=np.uint8).copy()
+    filt = line.copy()
+    filt[6:] = line[6:] - line[:-6]
+    px2, _ = decode_png(_build_png(2, 1, 16, 2, bytes([1]) + filt.tobytes()))
+    assert np.array_equal(px2, px)
+
+    # 16-bit grayscale + 16-bit gray+alpha
+    px, meta = decode_png(
+        _build_png(2, 1, 16, 0, bytes([0, 0x7F, 0xFF, 0x80, 0x01]))
+    )
+    assert meta["format"] == "png/gray16"
+    assert px.tolist() == [[[0x7F] * 3, [0x80] * 3]]
+    px, meta = decode_png(
+        _build_png(1, 1, 16, 4, bytes([0, 0x42, 0x99, 0xFF, 0xFF]))
+    )
+    assert meta["format"] == "png/graya16" and meta["has_alpha"] is True
+    assert px.tolist() == [[[0x42] * 3]]
