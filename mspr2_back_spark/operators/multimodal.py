@@ -233,21 +233,25 @@ def _ima_decode_nibbles(
 def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """Parse a WAV (RIFF/WAVE, fmt + data chunks) into
     ((n_samples, channels) array, metadata). Integer PCM (format 1,
-    8/16/32-bit), IEEE float32 (format 3), and G.711 telephony audio
+    8/16/32-bit), IEEE float32 (format 3), G.711 telephony audio
     (format 6 A-law / 7 µ-law — r11: one byte per sample, expanded to
     16-bit linear through the CCITT reference tables, so ``bits``
     stays 8 in the metadata while the returned samples are int16),
-    plus any of those wrapped in WAVE_FORMAT_EXTENSIBLE (0xFFFE —
-    r11, VERDICT r10 task 3: real corpora carry EXTENSIBLE-wrapped
-    streams routinely; the fmt extension's SubFormat GUID dispatches
-    onto the same format paths). Raises a per-format ValueError
-    otherwise:
+    and IMA/DVI ADPCM (format 0x11 — r11: block-wise 4-bit nibble
+    decode to int16, see ``_decode_ima_adpcm``), plus any of those
+    wrapped in WAVE_FORMAT_EXTENSIBLE (0xFFFE — r11, VERDICT r10
+    task 3: real corpora carry EXTENSIBLE-wrapped streams routinely;
+    the fmt extension's SubFormat GUID dispatches onto the same
+    format paths). Raises a per-format ValueError otherwise:
 
     - an EXTENSIBLE fmt whose extension is truncated (cbSize < 22),
       whose SubFormat GUID is none of KSDATAFORMAT_SUBTYPE_PCM /
-      IEEE_FLOAT / ALAW / MULAW, or whose wValidBitsPerSample narrows
-      the container (valid bits != container bits — this decoder does
-      not mask 24-in-32 layouts) each get their own explicit message,
+      IEEE_FLOAT / ALAW / MULAW / IMA_ADPCM, or whose
+      wValidBitsPerSample narrows a PCM/float container (valid bits
+      != container bits — this decoder does not mask 24-in-32
+      layouts; for compressed sub-formats the same union field is
+      samples-per-block and is not checked) each get their own
+      explicit message,
     - a data chunk whose declared size runs past the payload raises
       ``truncated WAV data chunk`` instead of silently decoding a
       frame-truncated tail (r10, the JPEG-rejection precedent).
@@ -282,7 +286,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: cbSize(H) wValidBitsPerSample(H)
         # dwChannelMask(I) SubFormat(GUID, 16 bytes) after the 16
-        # base fmt bytes.  Unwrap PCM / IEEE_FLOAT; reject the rest
+        # base fmt bytes.  Unwrap PCM / IEEE_FLOAT / ALAW / MULAW /
+        # IMA_ADPCM; reject the rest
         # loudly with the GUID in the message.
         if len(fmt_ext) < 2 or struct.unpack_from("<H", fmt_ext, 0)[0] < 22 \
                 or len(fmt_ext) < 24:
@@ -558,18 +563,16 @@ def _png_unfilter(raw: bytes, pos: int, pw: int, ph: int,
             recon[y] = line + prev  # uint8 wrap = the mod-256 rule
         elif ftype == 1:
             # Sub's recurrence r[k] = f[k] + r[k-bpp] is a per-lane
-            # prefix sum — cumsum over the (n, bpp) view mod 256
-            n = stride // bpp
-            head = (
-                np.cumsum(
-                    line[: n * bpp].reshape(-1, bpp).astype(np.int64), axis=0
-                )
+            # prefix sum — cumsum over the (n, bpp) view mod 256.
+            # stride is an exact multiple of bpp for every admitted
+            # depth/channel combination (sub-byte → bpp 1; depth 8 →
+            # pw·ch vs ch; depth 16 → pw·2ch vs 2ch), so the cumsum
+            # covers the whole line
+            recon[y] = (
+                np.cumsum(line.reshape(-1, bpp).astype(np.int64), axis=0)
                 .astype(np.uint8)
-                .reshape(n * bpp)
+                .reshape(stride)
             )
-            recon[y, : n * bpp] = head
-            for x in range(n * bpp, stride):  # ragged tail (sub-byte)
-                recon[y, x] = (int(line[x]) + int(recon[y, x - bpp])) & 0xFF
         elif ftype in (3, 4):
             # genuinely sequential (each byte needs the RECONSTRUCTED
             # left neighbor); run the chain over plain Python ints —
@@ -627,18 +630,19 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     per-scanline unfilter (types 0 None, 1 Sub, 2 Up, 3 Average,
     4 Paeth) → (h, w, 3) uint8 RGB. Supports:
 
-    - color types 0 (grayscale, depths 1/2/4/8 — sub-byte values
-      scaled to 8-bit), 2 (truecolor), 3 (palette, depths 1/2/4/8,
-      PLTE lookup + optional tRNS alpha), 4 (gray+alpha), and
-      6 (RGBA); alpha channels are dropped from the pixel output and
-      recorded in the metadata, matching the RGB contract the feature
-      extractors consume;
+    - color types 0 (grayscale, depths 1/2/4/8/16 — sub-byte values
+      scaled to 8-bit, 16-bit reduced to the high byte), 2
+      (truecolor, 8/16-bit), 3 (palette, depths 1/2/4/8, PLTE lookup
+      + optional tRNS alpha), 4 (gray+alpha, 8/16-bit), and 6 (RGBA,
+      8/16-bit); alpha channels are dropped from the pixel output
+      and recorded in the metadata, matching the RGB contract the
+      feature extractors consume;
     - interlace 0 (sequential) and 1 (Adam7 — seven sub-images, each
       filtered independently at its own pass geometry including the
       rounded-up sub-byte strides, scattered into the full grid);
 
-    raises ValueError on 16-bit depths and malformed streams. No
-    image library — IDAT is DEFLATE, which is stdlib."""
+    raises ValueError on depths outside that set and malformed
+    streams. No image library — IDAT is DEFLATE, which is stdlib."""
     import zlib
 
     if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
@@ -698,13 +702,26 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
         recon, _ = _png_unfilter(raw, 0, w, h, channels, depth)
         px = _png_samples(recon, w, channels, depth)
     else:
-        px = np.zeros((h, w, channels), dtype=np.uint8)
-        pos = 0
+        # validate that the inflated stream covers ALL seven passes
+        # BEFORE the full-image allocation: crafted IHDR dimensions
+        # over a tiny IDAT would otherwise drive a MemoryError past
+        # the ValueError-class dispatch fallback (r11 review — the
+        # sequential path is safe because _png_unfilter length-checks
+        # before its own allocation)
+        geoms = []
+        need = 0
         for xo, yo, xs, ys in _ADAM7:
             pw = (w - xo + xs - 1) // xs
             ph = (h - yo + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes no bytes at all
+            geoms.append((xo, yo, xs, ys, pw, ph))
+            need += ph * ((pw * channels * depth + 7) // 8 + 1)
+        if len(raw) < need:
+            raise ValueError("truncated PNG scanline data")
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for xo, yo, xs, ys, pw, ph in geoms:
             recon, pos = _png_unfilter(raw, pos, pw, ph, channels, depth)
             px[yo::ys, xo::xs] = _png_samples(recon, pw, channels, depth)
     has_alpha = False

@@ -3162,3 +3162,46 @@ def test_png_16bit_decodes_high_byte():
     )
     assert meta["format"] == "png/graya16" and meta["has_alpha"] is True
     assert px.tolist() == [[[0x42] * 3]]
+
+
+def test_png_adversarial_dims_rejected_not_memoryerror():
+    """r11 review finding (the PNG twin of the JPEG DC-size bug): a
+    crafted interlaced IHDR declaring huge dimensions over a tiny
+    IDAT must raise the truncated-stream ValueError BEFORE the
+    full-image allocation — a MemoryError escapes the dispatch
+    fallback and kills the whole Arrow batch."""
+    import zlib
+
+    import pandas as pd
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import (
+        decode_image_batch,
+        decode_png,
+    )
+
+    import struct
+
+    from mspr2_back_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    evil = (
+        _PNG_MAGIC
+        + chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", 2_000_000, 2_000_000, 8, 6, 0, 0, 1),
+        )
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated PNG scanline data"):
+        decode_png(evil)
+    out = decode_image_batch(pd.Series([evil]))
+    assert list(out["format"]) == ["fake/deterministic"]
