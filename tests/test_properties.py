@@ -536,3 +536,67 @@ def test_wav_roundtrip_identity_any_chunk_layout(
     kind = "float" if dtype == np.float32 else "pcm"
     assert meta["format"] == f"wav/{kind}{samples.dtype.itemsize * 8}"
     assert np.array_equal(arr, samples)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    h=st.integers(min_value=1, max_value=28),
+    w=st.integers(min_value=1, max_value=28),
+    n_bands=st.integers(min_value=1, max_value=4),
+    dc_al=st.integers(min_value=0, max_value=2),
+    restart=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_random_scan_scripts(
+    seed, h, w, n_bands, dc_al, restart
+):
+    """Property (r11): ANY valid progressive scan script — random
+    contiguous spectral bands, per-band successive-approximation
+    depth, randomly interleaved scan order (subject only to the
+    T.81 rules: first scan before refinements, one bit per
+    refinement) — decodes to pixels bit-identical to the BASELINE
+    decode of the same image, because a scan script is just a
+    partition of the same quantized coefficient bits."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+    # random contiguous bands over 1..63
+    cuts = sorted(rng.choice(np.arange(2, 63), size=n_bands - 1,
+                             replace=False).tolist()) if n_bands > 1 else []
+    bounds = [1] + cuts + [64]
+    # DC chain: first scan at Al=dc_al, then one-bit refinements
+    chains = [
+        [(0, 0, 0, dc_al)]
+        + [(0, 0, a + 1, a) for a in range(dc_al - 1, -1, -1)]
+    ]
+    for i in range(n_bands):
+        ss, se = bounds[i], bounds[i + 1] - 1
+        al_max = int(rng.integers(0, 3))
+        chains.append(
+            [(ss, se, 0, al_max)]
+            + [(ss, se, a + 1, a) for a in range(al_max - 1, -1, -1)]
+        )
+    # random interleave preserving each chain's internal order
+    scans = []
+    idx = [0] * len(chains)
+    while any(idx[i] < len(chains[i]) for i in range(len(chains))):
+        live = [i for i in range(len(chains)) if idx[i] < len(chains[i])]
+        i = int(rng.choice(live))
+        scans.append(chains[i][idx[i]])
+        idx[i] += 1
+
+    base, _ = decode_jpeg(encode_jpeg(img, quality=70))
+    prog, _ = decode_jpeg(
+        encode_jpeg_progressive(
+            img, quality=70, scans=tuple(scans), restart_interval=restart
+        )
+    )
+    assert np.array_equal(base, prog), scans
