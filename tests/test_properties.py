@@ -600,3 +600,72 @@ def test_jpeg_progressive_random_scan_scripts(
         )
     )
     assert np.array_equal(base, prog), scans
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mode=st.sampled_from(["mutate", "truncate", "garbage"]),
+    n_hits=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
+    """Property (r11 — the net for the OverflowError/MemoryError
+    class both review passes caught): the codec dispatch is TOTAL.
+    For any corruption of any valid payload across every codec
+    family (byte mutations reach deep parse states, truncations hit
+    every length check, magic-prefixed garbage hits the header
+    parsers), decode_image_batch must return a well-formed row —
+    real decode or deterministic fake — and never let any exception
+    class escape into the Arrow batch."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from mspr2_back_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from mspr2_back_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_image,
+        decode_image_batch,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    img_g = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    img_c = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    pcm = rng.integers(-1000, 1000, (40, 2)).astype(np.int16)
+    seeds = [
+        encode_jpeg(img_c, quality=80, subsampling="420", restart_interval=2),
+        encode_jpeg_progressive(img_g, quality=80),
+        encode_jpeg_progressive(img_c, quality=80, restart_interval=3),
+        encode_png(img_c, filter_type=4),
+        encode_png(img_c, filter_type=2, interlace=True),
+        encode_bmp(img_c),
+        encode_wav(pcm, 8000),
+        encode_wav(pcm, 8000, extensible=True),
+    ]
+    base = seeds[int(rng.integers(0, len(seeds)))]
+    if mode == "mutate":
+        buf = bytearray(base)
+        for _ in range(n_hits):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        payload = bytes(buf)
+    elif mode == "truncate":
+        payload = base[: int(rng.integers(1, len(base)))]
+    else:
+        payload = base[:12] + bytes(
+            rng.integers(0, 256, int(rng.integers(0, 64)), dtype=np.uint8)
+        )
+
+    out = decode_image_batch(pd.Series([payload, base]))
+    assert len(out) == 2
+    assert out.loc[0, "n_bytes"] == len(payload)
+    assert out.loc[0, "format"]  # some format string, real or fake
+    # the intact twin must still really decode (no shared-state bleed)
+    assert out.loc[1, "format"] != "fake/deterministic"
+    decode_image(payload)  # None or a decode — never an exception
