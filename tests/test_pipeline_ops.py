@@ -3205,3 +3205,112 @@ def test_png_adversarial_dims_rejected_not_memoryerror():
         decode_png(evil)
     out = decode_image_batch(pd.Series([evil]))
     assert list(out["format"]) == ["fake/deterministic"]
+
+
+def test_audio_features_closed_form_signals():
+    """r11: audio_feature_row on signals with known descriptors — a
+    full-period sine (RMS = A/sqrt(2), ZCR = 2f/sr, spectral centroid
+    = f exactly: the rFFT of an integer-period sine is a single
+    line), DC silence (zero ZCR/centroid), and format coverage
+    across PCM16/float32/G.711 µ-law (the µ-law round-trip keeps the
+    sine's centroid on the same bin)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import (
+        audio_feature_row,
+        encode_wav,
+    )
+
+    sr, f, n = 8000, 400, 8000  # integer periods: 400 cycles in 1 s
+    t = np.arange(n) / sr
+    sine = (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+    row = audio_feature_row(encode_wav(sine.reshape(-1, 1), sr))
+    assert row["format"] == "wav/float32" and row["duration_ms"] == 1000.0
+    assert row["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-6)
+    assert row["peak"] == pytest.approx(0.5, rel=1e-3)
+    assert row["zero_cross_rate"] == pytest.approx(2 * f / sr, rel=2e-3)
+    assert row["spectral_centroid_hz"] == pytest.approx(f, rel=1e-6)
+
+    # PCM16 of the same sine: descriptors agree within quantization
+    pcm = np.round(sine * 32767).astype(np.int16).reshape(-1, 1)
+    row16 = audio_feature_row(encode_wav(pcm, sr))
+    assert row16["format"] == "wav/pcm16"
+    assert row16["spectral_centroid_hz"] == pytest.approx(f, rel=1e-3)
+    assert row16["rms"] == pytest.approx(row["rms"], rel=1e-3)
+
+    # µ-law: companding is lossy but the dominant line survives
+    codes = np.arange(n, dtype=np.uint8).reshape(-1, 1)  # container
+    ul = bytearray(encode_wav(codes, sr))
+    struct.pack_into("<H", ul, bytes(ul).find(b"fmt ") + 8, 7)
+    # overwrite the data chunk with a µ-law-ish encode of the sine:
+    # quantize to the nearest µ-law code via the decode table
+    from mspr2_back_spark.operators.multimodal import _ULAW_TABLE
+
+    target = np.round(sine * 8000).astype(np.int64)
+    table = _ULAW_TABLE.astype(np.int64)
+    best = np.abs(target[:, None] - table[None, :]).argmin(axis=1)
+    off = bytes(ul).find(b"data") + 8
+    ul[off : off + n] = best.astype(np.uint8).tobytes()
+    rowu = audio_feature_row(bytes(ul))
+    assert rowu["format"] == "wav/ulaw8"
+    # companding noise is broadband, so the magnitude-weighted
+    # centroid drifts high — the robust claims are the dominant
+    # spectral line and the crossing rate
+    assert rowu["spectral_centroid_hz"] == pytest.approx(f, rel=0.2)
+    assert rowu["zero_cross_rate"] == pytest.approx(2 * f / sr, rel=0.02)
+    from mspr2_back_spark.operators.multimodal import decode_wav
+
+    mono, _ = decode_wav(bytes(ul))
+    mag = np.abs(np.fft.rfft(mono[:, 0].astype(np.float64)))
+    assert int(mag[1:].argmax()) + 1 == f  # 1-per-Hz bins at n == sr
+
+    # DC silence: no crossings, empty spectrum beyond the DC bin
+    flat = np.full((100, 2), 1000, dtype=np.int16)
+    rowf = audio_feature_row(encode_wav(flat, sr))
+    assert rowf["zero_cross_rate"] == 0.0
+    assert rowf["spectral_centroid_hz"] == pytest.approx(0.0, abs=1e-9)
+    assert rowf["channels"] == 2
+
+    # non-WAV → None (the operator's fake-fallback trigger)
+    assert audio_feature_row(b"not audio at all") is None
+    assert audio_feature_row(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+def test_audio_features_spark_operator_total(spark):
+    """r11: the audio_features operator is total over a mixed binary
+    column — real WAVs get real descriptors, text payloads get the
+    deterministic fake row — and the Arrow-batched plan carries no
+    shuffle (scan-parallel per-doc work, like the image seam)."""
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    sr = 4000
+    t = np.arange(2000) / sr
+    wav1 = encode_wav(
+        (0.25 * np.sin(2 * np.pi * 100 * t)).astype(np.float32).reshape(-1, 1),
+        sr,
+    )
+    wav2 = encode_wav(
+        np.round(3000 * np.sin(2 * np.pi * 500 * t)).astype(np.int16).reshape(-1, 1),
+        sr,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav1)), (2, bytearray(wav2)), (3, b"just text")],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in audio_features(df).collect()}
+    assert out[1].format == "wav/float32"
+    assert abs(out[1].spectral_centroid_hz - 100) < 1
+    assert out[2].format == "wav/pcm16"
+    assert abs(out[2].spectral_centroid_hz - 500) < 2
+    assert out[3].format == "fake/deterministic"
+    assert out[3].rms == 0.0 and out[3].n_samples == 0
+    plan = audio_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
