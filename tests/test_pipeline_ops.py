@@ -2623,6 +2623,18 @@ def test_wav_rejection_surface_pinned_per_format():
     with pytest.raises(ValueError, match="truncated WAV data chunk"):
         decode_wav(truncated)
 
+    # zeroed fmt sample-rate field (r11 ADVICE): well-formed RIFF but
+    # every time-domain quantity divides by it — rejected at the
+    # decode seam so audio_feature_row / wav_stats can never hit a
+    # ZeroDivisionError inside an Arrow batch
+    from mspr2_back_spark.operators.multimodal import audio_feature_row
+
+    zerorate = bytearray(enc)
+    struct.pack_into("<I", zerorate, fmt_off + 4, 0)
+    with pytest.raises(ValueError, match="sample_rate=0"):
+        decode_wav(bytes(zerorate))
+    assert audio_feature_row(bytes(zerorate)) is None
+
     # the untouched stream still decodes (guards are format-only)
     arr, meta = decode_wav(enc)
     assert meta["format"] == "wav/pcm16"
@@ -3119,6 +3131,156 @@ def test_wav_ima_adpcm_decode():
     bad = bytearray(build_wav(1, 32, blocks))
     struct.pack_into("<H", bad, bad.find(b"fmt ") + 8 + 14, 16)
     with pytest.raises(ValueError, match="IMA ADPCM must be 4-bit"):
+        decode_wav(bytes(bad))
+
+
+def test_wav_ms_adpcm_decode():
+    """r12 (VERDICT r11 task 2): MS-ADPCM WAVs (format 2) decode
+    block-wise — 7-byte-per-channel headers (predictor index byte,
+    then channel-interleaved int16 idelta/sample1/sample2, where
+    sample2+sample1 ARE the first two output samples), 4-bit nibbles
+    HIGH-first round-robin across channels, the fmt extension's
+    coefficient table honored, fact-chunk trim. The vectorized
+    decoder is cross-checked against an INDEPENDENT scalar
+    implementation of the published pseudocode (per-sample Python,
+    no numpy); rejections stay loud for out-of-range predictor
+    indices, non-4-bit declarations, and malformed block layouts."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import (
+        _KSDATAFORMAT_TAIL,
+        decode_wav,
+    )
+
+    STD_C1 = [256, 512, 0, 192, 240, 460, 392]
+    STD_C2 = [0, -256, 0, 64, 0, -208, -232]
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+    def ref_channel(nibbles, c1, c2, delta, s1, s2):
+        # scalar reference: the Microsoft multimedia registration's
+        # pseudocode, one sample at a time (floor-division shift)
+        out = [s2, s1]
+        for nib in nibbles:
+            snib = nib - 16 if nib & 8 else nib
+            pred = (s1 * c1 + s2 * c2) >> 8
+            pred += snib * delta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            delta = max((ADAPT[nib] * delta) >> 8, 16)
+            out.append(pred)
+        return out
+
+    def build_wav(channels, block_align, blocks, fact=None, rate=8000,
+                  coefs=None):
+        c1 = STD_C1 if coefs is None else [p[0] for p in coefs]
+        c2 = STD_C2 if coefs is None else [p[1] for p in coefs]
+        spb = (block_align - 7 * channels) * 2 // channels + 2
+        ext = struct.pack("<HH", spb, len(c1)) + b"".join(
+            struct.pack("<hh", a, b) for a, b in zip(c1, c2)
+        )
+        fmt = struct.pack(
+            "<HHIIHHH", 2, channels, rate, rate * block_align // spb,
+            block_align, 4, len(ext),
+        ) + ext
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+        payload = chunk(b"fmt ", fmt)
+        if fact is not None:
+            payload += chunk(b"fact", struct.pack("<I", fact))
+        payload += chunk(b"data", blocks)
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+    rng = np.random.default_rng(29)
+
+    def mono_block(pred_i, body_bytes):
+        delta = int(rng.integers(16, 4000))
+        s1 = int(rng.integers(-32768, 32768))
+        s2 = int(rng.integers(-32768, 32768))
+        blk = struct.pack("<Bhhh", pred_i, delta, s1, s2) + body_bytes
+        nibs = [n for b in body_bytes for n in (b >> 4, b & 0xF)]
+        return blk, (nibs, delta, s1, s2)
+
+    # mono, 3 blocks of block_align=32 (25 data bytes -> 52 samples/blk)
+    blocks, want = b"", []
+    for _ in range(3):
+        pred_i = int(rng.integers(0, 7))
+        blk, (nibs, delta, s1, s2) = mono_block(
+            pred_i, bytes(rng.integers(0, 256, 25, dtype=np.uint8))
+        )
+        blocks += blk
+        want += ref_channel(nibs, STD_C1[pred_i], STD_C2[pred_i],
+                            delta, s1, s2)
+    arr, meta = decode_wav(build_wav(1, 32, blocks))
+    assert meta == {
+        "channels": 1, "sample_rate": 8000, "bits": 4,
+        "n_samples": 156, "format": "wav/ms-adpcm4",
+    }
+    assert arr[:, 0].tolist() == want
+
+    # the fact chunk trims the final block's padding
+    arr, meta = decode_wav(build_wav(1, 32, blocks, fact=140))
+    assert meta["n_samples"] == 140 and arr[:, 0].tolist() == want[:140]
+
+    # stereo: nibbles alternate channels, HIGH nibble = left
+    predL, predR = 1, 5
+    deltaL, s1L, s2L = 100, 3000, -2000
+    deltaR, s1R, s2R = 40, -500, 700
+    body = bytes(rng.integers(0, 256, 10, dtype=np.uint8))
+    blk = (
+        struct.pack("<BB", predL, predR)
+        + struct.pack("<hh", deltaL, deltaR)
+        + struct.pack("<hh", s1L, s1R)
+        + struct.pack("<hh", s2L, s2R)
+        + body
+    )
+    all_nibs = [n for b in body for n in (b >> 4, b & 0xF)]
+    arr, meta = decode_wav(build_wav(2, 24, blk))
+    assert meta["channels"] == 2 and meta["n_samples"] == 12
+    assert arr[:, 0].tolist() == ref_channel(
+        all_nibs[0::2], STD_C1[predL], STD_C2[predL], deltaL, s1L, s2L
+    )
+    assert arr[:, 1].tolist() == ref_channel(
+        all_nibs[1::2], STD_C1[predR], STD_C2[predR], deltaR, s1R, s2R
+    )
+
+    # a custom 8th coefficient pair in the fmt table is honored
+    coefs = list(zip(STD_C1, STD_C2)) + [(300, -100)]
+    blk, (nibs, delta, s1, s2) = mono_block(
+        7, bytes(rng.integers(0, 256, 25, dtype=np.uint8))
+    )
+    arr, _ = decode_wav(build_wav(1, 32, blk, coefs=coefs))
+    assert arr[:, 0].tolist() == ref_channel(nibs, 300, -100, delta, s1, s2)
+
+    # EXTENSIBLE-wrapped MS-ADPCM dispatches with the STANDARD table
+    spb = 52
+    ext_fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 1, 8000, 8000 * 32 // spb, 32, 4, 22, spb, 0
+    ) + struct.pack("<I", 2) + _KSDATAFORMAT_TAIL
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+    payload = chunk(b"fmt ", ext_fmt) + chunk(b"data", blocks)
+    ext_wav = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+    arr, meta = decode_wav(ext_wav)
+    assert meta["format"] == "wav/ms-adpcm4" and arr[:, 0].tolist() == want
+
+    # rejections
+    bad = bytearray(build_wav(1, 32, blocks))
+    bad[bad.find(b"data") + 8] = 7  # predictor index == table size
+    with pytest.raises(ValueError, match="predictor index out of range"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="malformed MS ADPCM block"):
+        decode_wav(build_wav(1, 7, blocks[:7]))
+    bad = bytearray(build_wav(1, 32, blocks))
+    struct.pack_into("<H", bad, bad.find(b"fmt ") + 8 + 14, 16)
+    with pytest.raises(ValueError, match="MS ADPCM must be 4-bit"):
         decode_wav(bytes(bad))
 
 

@@ -628,6 +628,7 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
     )
     from mspr2_back_spark.operators.multimodal import (
         _PNG_MAGIC,
+        audio_feature_row,
         decode_image,
         decode_image_batch,
         encode_bmp,
@@ -639,6 +640,27 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
     img_g = rng.integers(0, 256, (9, 11), dtype=np.uint8)
     img_c = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
     pcm = rng.integers(-1000, 1000, (40, 2)).astype(np.int16)
+
+    # a valid mono MS-ADPCM WAV (r12): 2 blocks of block_align=16 —
+    # corrupting it reaches the format-2 header/coefficient parses
+    ms_blocks = b"".join(
+        struct.pack(
+            "<Bhhh",
+            int(rng.integers(0, 7)),
+            int(rng.integers(16, 4000)),
+            int(rng.integers(-32768, 32768)),
+            int(rng.integers(-32768, 32768)),
+        )
+        + bytes(rng.integers(0, 256, 9, dtype=np.uint8))
+        for _ in range(2)
+    )
+    ms_fmt = struct.pack("<HHIIHHHH", 2, 1, 8000, 4000, 16, 4, 4, 20)
+    ms_body = (
+        b"fmt " + struct.pack("<I", len(ms_fmt)) + ms_fmt
+        + b"data" + struct.pack("<I", len(ms_blocks)) + ms_blocks
+    )
+    ms_wav = b"RIFF" + struct.pack("<I", 4 + len(ms_body)) + b"WAVE" + ms_body
+
     seeds = [
         encode_jpeg(img_c, quality=80, subsampling="420", restart_interval=2),
         encode_jpeg_progressive(img_g, quality=80),
@@ -648,6 +670,7 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
         encode_bmp(img_c),
         encode_wav(pcm, 8000),
         encode_wav(pcm, 8000, extensible=True),
+        ms_wav,
     ]
     base = seeds[int(rng.integers(0, len(seeds)))]
     if mode == "mutate":
@@ -669,3 +692,9 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
     # the intact twin must still really decode (no shared-state bleed)
     assert out.loc[1, "format"] != "fake/deterministic"
     decode_image(payload)  # None or a decode — never an exception
+    # the audio seam must be equally total (r11 ADVICE: a zeroed
+    # sample-rate field slipped past because only the image path was
+    # fuzzed) — a row dict or None for EVERY corrupted payload,
+    # WAV-seeded or not, never an exception
+    row = audio_feature_row(payload)
+    assert row is None or row["sample_rate"] >= 1
