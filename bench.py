@@ -184,7 +184,11 @@ PREV_ROUND_HEADLINE = [
     "hll_distinct_users",
     # round 10 and round 11: no new registrations (registry closed at
     # 149), so the headline set is unchanged — the whole previous set
-    # is the like-for-like comparison base
+    # is the like-for-like comparison base.  Round 12 registers
+    # audio_feature_stats (retirement-funded); the headline set stays
+    # unchanged so shared_prev_subtotal remains like-for-like — the
+    # new query is driver-hashed in the sweep, and its per-doc numpy
+    # cost profile is already represented by multimodal_wav_stats
     "multimodal_wav_stats",
     "hll_distinct_users_sketch_only",
     "dedup_keep_best",

@@ -38,107 +38,95 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-11 priorities (VERDICT
-# r10 tasks 1-2 — the precomputed freshness obligation in COVERAGE.md
-# "Round-11 freshness obligation"; registry stays closed at 149,
-# zero new registrations):
-# 1. queries whose PLAN CHANGED in round 11 (same-commit atomic with
-#    this rotation): every remaining F.broadcast hint on an
-#    sf-SCALED relation in plans/analytics.py is gone — VERDICT r10
-#    "What's wrong" #1 named min_cost_supplier_per_part (part +
-#    supplier projections) and revenue_share_by_nation (supplier);
-#    the same audit found the identical class in
-#    brand_supplier_counts (part + flagged-supplier subset),
-#    or_of_ands_revenue (part), waiting_orders_by_supplier (the
-#    finished-orders key set — HALF of orders — and supplier), and
-#    bigram_pmi (open-vocab unigram marginals, the r10 n-gram
-#    driver-OOM class).  A hint never flips; AQE broadcasts the same
-#    sides at every test scale (executed plans unchanged) and plans
-#    shuffle joins past the threshold — pinned by
-#    tests/test_extensions.py::
-#    test_analytics_dim_joins_flip_to_shuffle_without_hints
-#    (broadcasting disabled -> SMJ everywhere, only the bounded
-#    nation hint + 1-row scalar attaches remain, and the
-#    finished-orders semi-join exchange is REUSED by the per-order
-#    aggregation).  Hints on nation/region (25/5 rows, bounded by
-#    schema forever) and 1-row scalar attaches are KEPT on purpose.
-#    Five of the six are r10-fresh, so each displaces one obligation
-#    entry per the rotation rules (the r10 n-gram precedent:
-#    class-complete now beats three more rounds of a plan that
-#    cannot survive the target geometry);
-#    waiting_orders_by_supplier is r8-fresh and already in the
-#    obligation — its re-sweep is free.
-# 2. the three entries displaced in round 10 — table_preview,
-#    orders_page, pagination_meta — now 3 rounds old, the only
-#    entries ever to age past 2: due FIRST.
-# 3. 41 of the remaining 46 r8-block entries.  The five displaced to
-#    HEAD round 12 (avg_by_segment, distinct_counts, global_totals,
-#    last_value_sum, max_year_orders — single-aggregate relational
-#    queries whose plans have never changed and which every pytest
-#    run re-checks end-to-end via test_oracle_parity.py: the
-#    lowest-risk entries to carry one round over age, same criterion
-#    as r10's displaced trio).
-# After this round: 50 r11 / 45 r10 / 49 r9 / 5 r8-displaced.
-# Round 12 owes 5 displaced + 49 r9-block = 54 -> sweeps the 5 + 45
-# and consciously displaces 4 r9-block entries to round 13, which
-# has room (45 r10-block + 4 = 49); round 14 returns to the plain
-# 50-query r11 block — the cascade the class-complete fix buys
-# resolves in two rounds (precomputed in COVERAGE.md).
+# (rotation history in COVERAGE.md).  Round-12 priorities (VERDICT
+# r11 task 1 — the precomputed freshness obligation in COVERAGE.md
+# "Round-12 freshness obligation" — plus task 3's single
+# registration):
+# 1. audio_feature_stats: the ONE new registration this round (the
+#    audio_features seam was the only r11 operator gated solely by
+#    pytest).  Its registry slot comes from executing the written
+#    retirement policy (COVERAGE.md "Registry retirement policy"):
+#    percentile_prices is retired from the freshness treadmill —
+#    fully subsumed by percentile_prices_refined (same cutpoint
+#    semantics, equivalence pytest-pinned), callable/oracle/pytest
+#    all STAY registered as a user-facing API and re-checked every
+#    pytest run via test_oracle_parity.py.  Treadmill stays at 149
+#    entries (150 registered callables, 1 retired).
+# 2. the five entries displaced in rounds 10→11 — avg_by_segment,
+#    distinct_counts, global_totals, last_value_sum,
+#    max_year_orders — now 3 rounds old (the precedented age
+#    ceiling): due FIRST.
+# 3. 44 of the 49-entry r9 block.  FIVE displaced to HEAD round 13
+#    (VERDICT r11 recommended four — above_avg_orders,
+#    local_supplier_volume, pct_negative_acctbal, shipping_priority
+#    — and the audio_feature_stats registration costs one more
+#    slot: customers_no_jumbo_order joins them by the same
+#    lowest-risk criterion: plans never changed, single-join
+#    relational queries, every pytest run re-checks them end-to-end
+#    via test_oracle_parity.py).
+# After this round: 50 r12 / 50 r11 / 45 r10 / 5 r9-displaced.
+# Round 13 owes 5 displaced + 44 r10-block (45 minus the retired
+# percentile_prices) = 49 <= 50, one slot spare; round 14 returns to
+# the plain 50-query r11 block — the cascade still resolves in two
+# rounds with nothing ever swept older than 3 rounds (precomputed in
+# COVERAGE.md "Round-13 freshness obligation").
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- plans changed in round 11 (sf-scaled broadcast-hint removal) --
-    "min_cost_supplier_per_part",  # r11: part+supplier hints gone (displaces avg_by_segment)
-    "revenue_share_by_nation",  # r11: supplier hint gone, nation kept (displaces distinct_counts)
-    "brand_supplier_counts",  # r11: part+flagged hints gone (displaces global_totals)
-    "or_of_ands_revenue",  # r11: part hint gone (displaces last_value_sum)
-    "bigram_pmi",  # r11: open-vocab unigram hints gone (displaces max_year_orders)
-    "waiting_orders_by_supplier",  # r11: finished-orders+supplier hints gone (in-obligation, free)
-    # -- displaced in r10, now 3 rounds old: due first --
-    "table_preview",
-    "orders_page",
-    "pagination_meta",
-    # -- latest verdict is round 8 — the obligation minus displaced --
-    "ann_batch_topk",
-    "ann_quantized_topk",
-    "approx_price_quantiles",
-    "attribution_last_touch",
-    "bm25_topk",
-    "cms_heavy_hitters",
-    "cohort_ltv",
-    "corpus_datacard",
-    "daily_anomaly_scores",
-    "daily_timeseries",
-    "daily_value_trend",
-    "dedup_edit_distance",
-    "dedup_embedding_cells",
-    "embedding_quantize_stats",
-    "equidepth_price_bands",
-    "event_association_rules",
-    "event_funnel",
-    "ewma_daily_value",
-    "fk_integrity_audit",
-    "funnel_latency",
-    "gapfill_user_daily",
-    "hll_distinct_users",
-    "hybrid_search_rrf",
-    "idle_customers_avg_bal",
-    "leakage_safe_splits",
-    "lineitem_corr_matrix",
-    "ml_forecast_ar_exact",
-    "multimodal_jpeg_meta",
-    "multimodal_meta",
-    "pricing_summary",
-    "quality_weighted_sample",
-    "retention_cohorts",
-    "scd2_customer_merge",
-    "session_paths",
-    "simhash64_near_degree",
-    "simhash_bucket_stats",
-    "simhash_near_degree",
-    "sliding_event_rates",
-    "split_contamination_audit",
-    "weekly_rollup",
-    "weighted_sample_fixed_k",
+    # -- the round-12 registration (slot from the percentile_prices
+    #    retirement; plan is new, so it sweeps first) --
+    "audio_feature_stats",
+    # -- displaced in r10->r11, now 3 rounds old: due first --
+    "avg_by_segment",
+    "distinct_counts",
+    "global_totals",
+    "last_value_sum",
+    "max_year_orders",
+    # -- latest verdict is round 9 — the obligation minus the five
+    #    displaced to round 13 --
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "bloom_prefilter_audit",
+    "chunk_documents",
+    "contamination_screen",
+    "crud_delete",
+    "crud_point_lookup",
+    "crud_upsert",
+    "customer_order_coverage",
+    "dedup_clusters",
+    "dedup_corpus_summary",
+    "dedup_embedding_cosine",
+    "dedup_gate",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "event_weekday_contingency",
+    "hll_distinct_users_sketch_only",
+    "hot_shingles",
+    "ml_forecast_ar",
+    "multimodal_wav_stats",
+    "order_rank_metrics",
+    "pack_documents",
+    "percentile_prices_refined",
+    "pii_scrub",
+    "price_histogram",
+    "profile_orders",
+    "props_extract",
+    "props_variant_stats",
+    "quality_filter",
+    "repeated_spans",
+    "revenue_by_nation",
+    "rfm_segments",
+    "rolling_active_users",
+    "scaled_user_values",
+    "seasonal_decompose_daily",
+    "sessionize_events",
+    "set_ops_nations",
+    "source_mixture_sample",
+    "status_pivot",
+    "top3_orders_per_segment",
+    "urgent_semijoin",
+    "user_event_sequences",
+    "window_frame_metrics",
+    "year_week_rollup_join",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

@@ -1089,3 +1089,74 @@ ORDER BY sz.doc_id
 
 
 PIPELINE_ORACLE_SQL["multimodal_wav_stats"] = _wav_oracle_sql()
+
+
+def _audio_feature_oracle_sql() -> str:
+    """audio_feature_stats (r12): the audio-feature falsifier. The
+    Spark side synthesizes k(i,ch) = ((1231·id + 2749·i + 997·ch)
+    mod 4001) − 2000 per doc, encodes real RIFF/WAVE, and runs the
+    ``audio_feature_row`` descriptor chain; this oracle regenerates
+    the samples over generate_series and recomputes every descriptor
+    closed-form. The mono mix is the dyadic rational mnum/65536
+    (mnum = 2·k mono, k₀+k₁ stereo), so sums of squares are EXACT in
+    any accumulation order and rms/peak/zcr are bit-equal doubles —
+    any normalize, interleave, sign, or windowing defect in the
+    feature chain breaks the hash."""
+
+    def k(expr: str) -> str:
+        # sign-safe modulo per house style
+        return f"((({expr}) % 4001 + 4001) % 4001 - 2000)"
+
+    base = "1231 * d.doc_id + 2749 * i.k"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(1 + ((doc_id % 2) + 2) % 2 AS INT) AS channels,
+         CAST(8000 * (1 + ((doc_id % 3) + 3) % 3) AS INT) AS sample_rate,
+         CAST(32 + ((doc_id % 41) + 41) % 41 AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, i.k AS i,
+         CASE WHEN d.channels = 1 THEN 2 * {k(base)}
+              ELSE {k(base)} + {k(base + " + 997")} END AS mnum
+  FROM d, unnest(generate_series(0, n - 1)) AS i(k)
+),
+agg AS (
+  SELECT doc_id,
+         SUM((CAST(mnum AS DOUBLE) / 65536.0)
+             * (CAST(mnum AS DOUBLE) / 65536.0)) AS sumsq,
+         MAX(ABS(mnum)) AS peaknum
+  FROM s GROUP BY doc_id
+),
+fl AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE prev IS NOT NULL AND sg <> prev) AS nflips
+  FROM (
+    SELECT doc_id, sg, LAG(sg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM (
+      SELECT doc_id, i, CASE WHEN mnum > 0 THEN 1 ELSE -1 END AS sg
+      FROM s WHERE mnum <> 0
+    ) nz
+  ) lagged
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       'wav/pcm16' AS fmt,
+       d.channels,
+       d.sample_rate,
+       CAST(d.n AS INT) AS n_samples,
+       CAST(d.n AS DOUBLE) * CAST(1000 AS DOUBLE)
+         / CAST(d.sample_rate AS DOUBLE) AS duration_ms,
+       SQRT(agg.sumsq / CAST(d.n AS DOUBLE)) AS rms,
+       CAST(agg.peaknum AS DOUBLE) / 65536.0 AS peak,
+       CAST(COALESCE(fl.nflips, 0) AS DOUBLE)
+         / CAST(d.n - 1 AS DOUBLE) AS zero_cross_rate
+FROM d
+JOIN agg ON d.doc_id = agg.doc_id
+LEFT JOIN fl ON d.doc_id = fl.doc_id
+ORDER BY d.doc_id
+"""
+
+
+PIPELINE_ORACLE_SQL["audio_feature_stats"] = _audio_feature_oracle_sql()

@@ -233,6 +233,23 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_meta_stats(load_table(spark, sf_dir, "documents"))
 
 
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated audio-feature seam (r12, VERDICT r11 task 3):
+    per doc_id, closed-form int16 PCM waveform → real RIFF/WAVE
+    encode → ``audio_feature_row`` (decode, full-scale mono
+    normalize, RMS / peak / zero-crossing descriptors). Every
+    projected column is exact dyadic-rational double arithmetic the
+    oracle recomputes from the same closed forms; the rFFT spectral
+    centroid is deliberately excluded (not SQL-expressible — its pin
+    is the integer-period-sine pytest). Registered in the slot freed
+    by retiring ``percentile_prices`` from the freshness treadmill
+    (COVERAGE.md registry retirement policy; the callable stays a
+    user-facing API). Seam: operators/multimodal.audio_feature_probe."""
+    return multimodal.audio_feature_probe(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user autoregressive 7-day forecast via applyInPandas (no
     SQL oracle: the AR(14) ridge fit is a 15×15 linear solve, not
@@ -780,6 +797,7 @@ PIPELINE_QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_jpeg_meta": multimodal_jpeg_meta,
     "multimodal_wav_stats": multimodal_wav_stats,
+    "audio_feature_stats": audio_feature_stats,
     "ml_forecast_ar": ml_forecast_ar,
     "ml_forecast_ar_exact": ml_forecast_ar_exact,
     "dedup_clusters": dedup_clusters,

@@ -97,6 +97,7 @@ DUCKDB_ONLY = {
     "ml_forecast_ar_exact",  # unnest(generate_series) step explode
     "multimodal_decode_stats",  # unnest(generate_series) pixel grid
     "multimodal_wav_stats",  # unnest(generate_series) sample grid
+    "audio_feature_stats",  # unnest(generate_series) sample grid + FILTER
     "hll_distinct_users",  # strpos nibble registers (Spark side uses conv())
     "hll_distinct_users_sketch_only",  # strpos nibble registers
     "leakage_safe_splits",  # WITH RECURSIVE closure + strpos nibble bucket
