@@ -66,7 +66,24 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach by constant-key broadcast. Ties at cutpoints band
     identically on both engines (<= CASE tree, exact cutpoint
     values; the double cast of the int dims is value-exact).
+
+    ``per_cust`` is PERSISTED (r12): the plan consumes it three
+    times — the quantile bin pass, the refine pass, and the final
+    banding — and while ReusedExchange dedups the shuffle write, the
+    post-shuffle final aggregation re-runs over the full shuffled
+    orders on every consumer. The persist caches the customers-sized
+    result instead (rows ≈ corpus/10, 4 columns — bounded the same
+    way binned_quantiles' own bin_counts persist is). Interleaved
+    A/B at 256× orders (38.4M rows), min-of-3 warm, output identity
+    asserted: 11.71 → 8.53 s at shuffle=32, 15.41 → 12.46 s at
+    shuffle=128 (-20–27%). At sf0.1 the persist costs +0.4 s (the
+    materialization barrier outweighs re-running a 0.05 s final agg
+    over 15k rows) — adopted anyway: the triple consumption grows
+    with the corpus, the persist overhead is customers-sized and
+    fixed (SCALING.md round 12).
     """
+    from pyspark import StorageLevel
+
     from mspr2_back_spark.operators.quantiles import binned_quantiles
     from mspr2_back_spark.plans.analytics import _with_scalar
 
@@ -78,7 +95,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice", MONEY).alias("monetary"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dims = ["recency_days", "frequency", "monetary"]
     stacked = per_cust.select(
         F.explode(
