@@ -326,7 +326,12 @@ def test_bucketed_range_join_non_hour_bucket(spark):
 def test_refined_percentiles_equal_rank_window_form(spark, sf_dir):
     """The binned two-phase quantile must be bit-identical to the
     rank-window form on every group — same discrete definition,
-    different (scale-safe) plan."""
+    different (scale-safe) plan. This is also the subsumption pin
+    behind the r12 retirement of ``percentile_prices`` from the
+    freshness treadmill (COVERAGE.md registry retirement policy):
+    the query stays registered and oracle-parity-checked, but its
+    driver re-sweeps stop because this equivalence plus
+    ``percentile_prices_refined``'s own sweeps cover it."""
     from mspr2_back_spark.plans.extensions import (
         percentile_prices,
         percentile_prices_refined,

@@ -340,7 +340,30 @@ def test_rfm_scores_partition_customers_into_quintiles(spark, sf_dir):
         assert 0.1 * n_cust < c < 0.35 * n_cust
 
 
-def test_session_paths_match_python_recount(spark, sf_dir):
+def test_rfm_per_customer_relation_is_cached_once(spark, sf_dir):
+    """r12 (VERDICT r11 task 4, the adopted rework): rfm_segments
+    persists the per-customer aggregation because the plan consumes
+    it three times (quantile bin pass, quantile refine pass, final
+    banding) — ReusedExchange dedups the shuffle write but each
+    consumer re-runs the final aggregation over the full shuffled
+    orders, which is the 256×-dominant term (SCALING.md round 12).
+    Pin: the optimized plan carries the per_cust InMemoryRelation on
+    every consumer path (≥ 3 occurrences, distinguished from
+    bin_counts' own cache by the recency_days column) — a revert to
+    the 3× re-aggregation form drops them and fails here."""
+    from mspr2_back_spark.plans.customer import rfm_segments
+
+    df = rfm_segments(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # per_cust columns only exist in the per-customer cache; the
+    # bin_counts cache carries (grp, bin, c) instead
+    per_cust_caches = [
+        seg
+        for seg in plan.split("InMemoryRelation")[1:]
+        if "recency_days" in seg.split("\n", 1)[0]
+    ]
+    assert len(per_cust_caches) >= 3, plan[:2000]
+    spark.catalog.clearCache()
     from mspr2_back_spark.plans.customer import (
         PATH_SEP,
         PATH_STEPS,
