@@ -76,11 +76,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     way binned_quantiles' own bin_counts persist is). Interleaved
     A/B at 256× orders (38.4M rows), min-of-3 warm, output identity
     asserted: 11.71 → 8.53 s at shuffle=32, 15.41 → 12.46 s at
-    shuffle=128 (-20–27%). At sf0.1 the persist costs +0.4 s (the
-    materialization barrier outweighs re-running a 0.05 s final agg
-    over 15k rows) — adopted anyway: the triple consumption grows
-    with the corpus, the persist overhead is customers-sized and
-    fixed (SCALING.md round 12).
+    shuffle=128 (-20–27%). At sf0.1 the A/B read +0.4 s under
+    loadavg ~11, but the gated round bench shows no cost (min 2.19 s
+    vs the prior round's 2.47 warm-max) — the toy-scale delta
+    straddles zero while the scale win is stable; adopted on the
+    scale term (SCALING.md round 12).
     """
     from pyspark import StorageLevel
 

@@ -604,6 +604,112 @@ def test_jpeg_progressive_random_scan_scripts(
 
 @given(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
+    channels=st.integers(min_value=1, max_value=3),
+    data_units=st.integers(min_value=1, max_value=12),
+    n_blocks=st.integers(min_value=1, max_value=4),
+    custom_coef=st.booleans(),
+    trim=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_ms_adpcm_decode_matches_scalar_reference(
+    seed, channels, data_units, n_blocks, custom_coef, trim
+):
+    """Property (r12): for ANY MS-ADPCM geometry — channel count,
+    block size, block count, standard or extended coefficient table,
+    fact-trimmed or not — the vectorized-across-blocks decoder must
+    equal a scalar per-sample implementation of the published
+    pseudocode on every channel. Generalizes the fixed-seed unit pin
+    (the same role the stdlib cross-check plays for IMA)."""
+    import struct
+
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import decode_wav
+
+    STD_C1 = [256, 512, 0, 192, 240, 460, 392]
+    STD_C2 = [0, -256, 0, 64, 0, -208, -232]
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+    rng = np.random.default_rng(seed)
+    c1, c2 = list(STD_C1), list(STD_C2)
+    if custom_coef:
+        c1.append(int(rng.integers(-500, 500)))
+        c2.append(int(rng.integers(-500, 500)))
+
+    # data bytes per block: nibble count must divide evenly across
+    # channels -> data_per_block = data_units * channels nibble pairs
+    data_per_block = data_units * channels
+    block_align = 7 * channels + data_per_block
+    spb = data_per_block * 2 // channels + 2
+
+    blocks = b""
+    state = []  # per block: (pred_i[ch], delta[ch], s1[ch], s2[ch], nibs)
+    for _ in range(n_blocks):
+        pred_i = [int(rng.integers(0, len(c1))) for _ in range(channels)]
+        delta = [int(rng.integers(16, 4000)) for _ in range(channels)]
+        s1 = [int(rng.integers(-32768, 32768)) for _ in range(channels)]
+        s2 = [int(rng.integers(-32768, 32768)) for _ in range(channels)]
+        body = bytes(rng.integers(0, 256, data_per_block, dtype=np.uint8))
+        blocks += (
+            bytes(pred_i)
+            + b"".join(struct.pack("<h", d) for d in delta)
+            + b"".join(struct.pack("<h", v) for v in s1)
+            + b"".join(struct.pack("<h", v) for v in s2)
+            + body
+        )
+        nibs = [x for b in body for x in (b >> 4, b & 0xF)]
+        state.append((pred_i, delta, s1, s2, nibs))
+
+    ext = struct.pack("<HH", spb, len(c1)) + b"".join(
+        struct.pack("<hh", a, b) for a, b in zip(c1, c2)
+    )
+    fmt = struct.pack(
+        "<HHIIHHH", 2, channels, 8000, 8000 * block_align // spb,
+        block_align, 4, len(ext),
+    ) + ext
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    total = n_blocks * spb
+    fact = int(rng.integers(1, total + 1)) if trim else None
+    payload = chunk(b"fmt ", fmt)
+    if fact is not None:
+        payload += chunk(b"fact", struct.pack("<I", fact))
+    payload += chunk(b"data", blocks)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+    def ref_channel(nibbles, a, b, delta, s1, s2):
+        out = [s2, s1]
+        for nib in nibbles:
+            snib = nib - 16 if nib & 8 else nib
+            pred = (s1 * a + s2 * b) >> 8
+            pred += snib * delta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            delta = max((ADAPT[nib] * delta) >> 8, 16)
+            out.append(pred)
+        return out
+
+    arr, meta = decode_wav(wav)
+    assert meta["format"] == "wav/ms-adpcm4"
+    assert meta["n_samples"] == (fact if fact is not None else total)
+    for ch in range(channels):
+        want = []
+        for pred_i, delta, s1, s2, nibs in state:
+            want += ref_channel(
+                nibs[ch::channels], c1[pred_i[ch]], c2[pred_i[ch]],
+                delta[ch], s1[ch], s2[ch],
+            )
+        want = want[: meta["n_samples"]]
+        assert arr[:, ch].tolist() == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
     mode=st.sampled_from(["mutate", "truncate", "garbage"]),
     n_hits=st.integers(min_value=1, max_value=4),
 )
