@@ -16,6 +16,15 @@ from mspr2_back_spark.plans import ORACLE_SQL, QUERIES
 
 SWEEP_WINDOW = 50
 
+# Queries retired from the freshness treadmill (COVERAGE.md registry
+# retirement policy): still registered, oracle-parity-checked every
+# pytest run, and user-callable — but no longer owed driver
+# re-sweeps, because a registered sibling subsumes them and an
+# in-repo test pins the equivalence. value = (round, subsumed-by).
+RETIRED = {
+    "percentile_prices": ("r12", "percentile_prices_refined"),
+}
+
 
 def registry_rows() -> list[dict]:
     """One dict per registered query, in registry (sweep) order."""
@@ -36,6 +45,8 @@ def summary() -> dict:
     rows = registry_rows()
     return {
         "total": len(rows),
+        "treadmill": len(rows) - len(RETIRED),
+        "retired": {k: v for k, v in sorted(RETIRED.items())},
         "oracle_checked": sum(r["oracle"] for r in rows),
         "rows_only": sorted(r["name"] for r in rows if not r["oracle"]),
         "in_sweep_window": sum(r["sweep_slot"] is not None for r in rows),
@@ -57,8 +68,14 @@ def markdown() -> str:
         )
     s = summary()
     lines.append("")
+    retired = ", ".join(
+        f"`{k}` ({rnd}, subsumed by `{by}`)"
+        for k, (rnd, by) in s["retired"].items()
+    )
     lines.append(
-        f"Total {s['total']} queries — {s['oracle_checked']} oracle-checked, "
+        f"Total {s['total']} queries ({s['treadmill']} on the freshness "
+        f"treadmill; retired: {retired or 'none'}) — "
+        f"{s['oracle_checked']} oracle-checked, "
         f"{len(s['rows_only'])} rows-only ({', '.join(s['rows_only'])}); "
         f"{s['in_sweep_window']} in the driver's {SWEEP_WINDOW}-slot sweep "
         f"window this round."

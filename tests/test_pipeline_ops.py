@@ -1110,6 +1110,19 @@ def test_registry_report_matches_documented_counts():
         "approx_price_quantiles",
         "ml_forecast_ar",
     ]
+    # retirement bookkeeping (r12): a retired query stays registered
+    # and oracle-backed, its subsumer is registered, it never occupies
+    # a sweep slot, and the treadmill count excludes exactly the
+    # retired set
+    from mspr2_back_spark.plans import ORACLE_SQL, QUERIES
+    from mspr2_back_spark.tools.registry_report import RETIRED, registry_rows
+
+    assert s["treadmill"] == s["total"] - len(RETIRED)
+    slots = {r["name"]: r["sweep_slot"] for r in registry_rows()}
+    for name, (_, subsumed_by) in RETIRED.items():
+        assert name in QUERIES and name in ORACLE_SQL
+        assert subsumed_by in QUERIES
+        assert slots[name] is None, f"retired {name} occupies a sweep slot"
     expected_modules = {
         "mspr2_back_spark.plans.analytics",
         "mspr2_back_spark.plans.customer",
