@@ -3412,6 +3412,20 @@ def test_wav_ms_adpcm_decode():
     arr, meta = decode_wav(ext_wav)
     assert meta["format"] == "wav/ms-adpcm4" and arr[:, 0].tolist() == want
 
+    # hand-computed literal vector (worked by hand from the published
+    # pseudocode — a third source, independent of both the vectorized
+    # decoder and ref_channel): mono, predictor 0 (c1=256, c2=0, so
+    # pred == s1 exactly), delta=16, s1=100, s2=50, nibbles 1,9,0,15
+    # (bytes 0x19 0x0F, high-first):
+    #   nib 1  (+1): pred 100+16  = 116; delta (230·16)>>8=14 -> 16
+    #   nib 9  (-7): pred 116-112 =   4; delta (614·16)>>8=38
+    #   nib 0  ( 0): pred 4       =   4; delta (230·38)>>8=34
+    #   nib 15 (-1): pred 4-34    = -30
+    lit_blk = struct.pack("<Bhhh", 0, 16, 100, 50) + bytes([0x19, 0x0F])
+    arr, meta = decode_wav(build_wav(1, 9, lit_blk))
+    assert arr[:, 0].tolist() == [50, 100, 116, 4, 4, -30]
+    assert meta["n_samples"] == 6
+
     # rejections
     bad = bytearray(build_wav(1, 32, blocks))
     bad[bad.find(b"data") + 8] = 7  # predictor index == table size
