@@ -604,9 +604,9 @@ def test_jpeg_progressive_random_scan_scripts(
 
 @given(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
-    channels=st.integers(min_value=1, max_value=3),
-    data_units=st.integers(min_value=1, max_value=12),
-    n_blocks=st.integers(min_value=1, max_value=4),
+    channels=st.integers(min_value=1, max_value=4),
+    data_units=st.integers(min_value=1, max_value=16),
+    n_blocks=st.integers(min_value=1, max_value=5),
     custom_coef=st.booleans(),
     trim=st.booleans(),
 )
@@ -647,7 +647,9 @@ def test_ms_adpcm_decode_matches_scalar_reference(
     state = []  # per block: (pred_i[ch], delta[ch], s1[ch], s2[ch], nibs)
     for _ in range(n_blocks):
         pred_i = [int(rng.integers(0, len(c1))) for _ in range(channels)]
-        delta = [int(rng.integers(16, 4000)) for _ in range(channels)]
+        # range includes delta 0 and sub-16 values: the adaptation
+        # floor must recover, never divide-by-zero or stall
+        delta = [int(rng.integers(0, 4000)) for _ in range(channels)]
         s1 = [int(rng.integers(-32768, 32768)) for _ in range(channels)]
         s2 = [int(rng.integers(-32768, 32768)) for _ in range(channels)]
         body = bytes(rng.integers(0, 256, data_per_block, dtype=np.uint8))
