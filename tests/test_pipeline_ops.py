@@ -3426,6 +3426,19 @@ def test_wav_ms_adpcm_decode():
     assert arr[:, 0].tolist() == [50, 100, 116, 4, 4, -30]
     assert meta["n_samples"] == 6
 
+    # a declared-but-truncated coefficient table (wNumCoef=9, only 7
+    # pairs present) falls back to the STANDARD seven pairs — and a
+    # predictor index pointing into the phantom tail raises loudly
+    # against that table instead of reading garbage
+    short_tbl = bytearray(build_wav(1, 32, blocks))
+    struct.pack_into("<H", short_tbl, short_tbl.find(b"fmt ") + 8 + 20, 9)
+    arr, meta = decode_wav(bytes(short_tbl))
+    assert meta["format"] == "wav/ms-adpcm4" and arr[:, 0].tolist() == want
+    bad_tail = bytearray(short_tbl)
+    bad_tail[bad_tail.find(b"data") + 8] = 8  # valid if 9-pair table were real
+    with pytest.raises(ValueError, match="coefficient table has 7 pairs"):
+        decode_wav(bytes(bad_tail))
+
     # rejections
     bad = bytearray(build_wav(1, 32, blocks))
     bad[bad.find(b"data") + 8] = 7  # predictor index == table size
