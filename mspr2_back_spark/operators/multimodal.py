@@ -147,6 +147,49 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ALAW_TABLE, _ULAW_TABLE = _g711_tables()
 
+# G.711 encoder segment-end tables (the CCITT reference encoder's
+# segment search, the same one the stdlib's audioop implements — the
+# tests cross-check every one of the 65536 int16 inputs against it)
+_ULAW_SEG_END = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], dtype=np.int64
+)
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int64
+)
+
+
+def linear_to_ulaw(samples: np.ndarray) -> np.ndarray:
+    """Compand int16 linear samples to µ-law bytes (r12 — the encode
+    half of the r11 G.711 expansion): the CCITT reference encoder —
+    shift to 14-bit, clip to 8159, add the 33 bias, segment search,
+    mantissa truncation, sign/complement mask — vectorized. Together
+    with ``_ULAW_TABLE`` this gives the codec-transparency property
+    real G.711 trunks rely on (re-encoding an expanded code is the
+    identity), pinned exhaustively in the tests."""
+    x = samples.astype(np.int64) >> 2
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    mag = np.abs(x)
+    np.minimum(mag, 8159, out=mag)
+    mag += 33
+    seg = np.searchsorted(_ULAW_SEG_END, mag)
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0xF)
+    out = np.where(seg >= 8, 0x7F, uval) ^ mask
+    return out.astype(np.uint8)
+
+
+def linear_to_alaw(samples: np.ndarray) -> np.ndarray:
+    """Compand int16 linear samples to A-law bytes (r12): shift to
+    13-bit, two's-complement negative fold (−x−1), segment search,
+    per-segment mantissa shift, 0x55-alternating mask — the CCITT
+    reference encoder, vectorized and exhaustively cross-checked."""
+    x = samples.astype(np.int64) >> 3
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, mag)
+    shift = np.where(seg < 2, 1, np.minimum(seg, 7))
+    aval = np.where(seg >= 8, 0x7F, (seg << 4) | ((mag >> shift) & 0xF))
+    return (aval ^ mask).astype(np.uint8)
+
 # IMA/DVI ADPCM step-size and index-adjustment tables (the IMA
 # reference algorithm; arithmetic chain cross-checked in the tests
 # against the stdlib's independent implementation)
@@ -558,6 +601,7 @@ def encode_wav(
     pre_chunks: list[tuple[bytes, bytes]] | None = None,
     post_chunks: list[tuple[bytes, bytes]] | None = None,
     extensible: bool = False,
+    codec: str | None = None,
 ) -> bytes:
     """Encode an (n_samples, channels) sample array as a RIFF/WAVE
     file. dtype picks the encoding: uint8 → 8-bit PCM, int16 →
@@ -569,20 +613,37 @@ def encode_wav(
     ``decode_wav``'s chunk walk (including the odd-size word-align
     pad, T.81's RIFF cousin) under the oracle hash.
 
+    ``codec="ulaw"`` / ``"alaw"`` (r12) compands int16 input through
+    the CCITT reference encoders to one-byte G.711 samples
+    (format 7 / 6, bits=8) — the encode halves of the r11 expansion
+    tables, exhaustively cross-checked against the stdlib's
+    independent implementation in the tests.
+
     ``extensible=True`` wraps the same stream in WAVE_FORMAT_EXTENSIBLE
     (0xFFFE + 22-byte extension: valid bits = container bits, zero
-    channel mask, KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT} GUID) — the
-    encode twin that lets the round-trip fuzz pin ``decode_wav``'s
-    unwrap path bit-exactly (r11)."""
+    channel mask, KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT,ALAW,MULAW}
+    GUID) — the encode twin that lets the round-trip fuzz pin
+    ``decode_wav``'s unwrap path bit-exactly (r11)."""
     n, channels = samples.shape
-    bits = {
-        np.dtype(np.uint8): 8,
-        np.dtype(np.int16): 16,
-        np.dtype(np.int32): 32,
-        np.dtype(np.float32): 32,
-    }[samples.dtype]
-    audio_format = 3 if samples.dtype == np.dtype(np.float32) else 1
-    frame = channels * (bits // 8)
+    if codec is not None:
+        if codec not in ("ulaw", "alaw"):
+            raise ValueError(f"unsupported WAV codec {codec!r}")
+        if samples.dtype != np.dtype(np.int16):
+            raise ValueError("G.711 companding expects int16 samples")
+        compand = linear_to_ulaw if codec == "ulaw" else linear_to_alaw
+        samples = compand(samples)
+        bits = 8
+        audio_format = 7 if codec == "ulaw" else 6
+        frame = channels
+    else:
+        bits = {
+            np.dtype(np.uint8): 8,
+            np.dtype(np.int16): 16,
+            np.dtype(np.int32): 32,
+            np.dtype(np.float32): 32,
+        }[samples.dtype]
+        audio_format = 3 if samples.dtype == np.dtype(np.float32) else 1
+        frame = channels * (bits // 8)
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         # RIFF chunks are word-aligned: odd-sized bodies get a pad

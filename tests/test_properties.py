@@ -778,6 +778,7 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
         encode_bmp(img_c),
         encode_wav(pcm, 8000),
         encode_wav(pcm, 8000, extensible=True),
+        encode_wav(pcm, 8000, codec="ulaw"),  # r12: G.711 encode seam
         ms_wav,
     ]
     base = seeds[int(rng.integers(0, len(seeds)))]
