@@ -431,6 +431,118 @@ def _ima_decode_nibbles(
     return out
 
 
+def _ima_encode_nibbles(
+    samples: np.ndarray, pred0: np.ndarray, idx0: np.ndarray
+) -> np.ndarray:
+    """Encode int16 sample matrices to IMA ADPCM nibbles, vectorized
+    ACROSS blocks (the mirror of ``_ima_decode_nibbles``): the
+    quantize/reconstruct recursion is sequential within a block but
+    blocks are independent because every block header carries its own
+    (predictor, index) state. samples (n_blocks, n_samp), pred0/idx0
+    (n_blocks,) → (n_blocks, n_samp) uint8 nibbles. The reconstruction
+    chain is the reference decoder's own diff formula, so
+    decode(encode(x)) is exactly the encoder's tracked prediction."""
+    pred = pred0.astype(np.int64).copy()
+    idx = idx0.astype(np.int64).copy()
+    out = np.empty(samples.shape, dtype=np.uint8)
+    for j in range(samples.shape[1]):
+        step = _IMA_STEP[idx]
+        diff = samples[:, j].astype(np.int64) - pred
+        sign = (diff < 0).astype(np.int64)
+        mag = np.abs(diff)
+        b4 = (mag >= step).astype(np.int64)
+        mag = mag - b4 * step
+        b2 = (mag >= (step >> 1)).astype(np.int64)
+        mag = mag - b2 * (step >> 1)
+        b1 = (mag >= (step >> 2)).astype(np.int64)
+        nib = (sign << 3) | (b4 << 2) | (b2 << 1) | b1
+        # reconstruct exactly as the decoder will
+        delta = (step >> 3) + b1 * (step >> 2) + b2 * (step >> 1) + b4 * step
+        pred = np.where(sign == 1, pred - delta, pred + delta)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + _IMA_INDEX[nib & 7], 0, 88)
+        out[:, j] = nib
+    return out
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """Encode an (n_samples, channels) int16 array as a WAV format
+    0x11 (IMA/DVI ADPCM) file (r12 — the encode half of the r11
+    decoder, completing the compressed-WAV round trip): per block,
+    the 4-byte-per-channel header carries the block's first sample
+    verbatim as the initial predictor with step index 0 (blocks are
+    self-contained, which is what makes both halves
+    vectorizable-across-blocks), followed by 4-byte nibble units
+    round-robin across channels, LOW nibble first. The final partial
+    block is zero-padded and a fact chunk records the true sample
+    count for the decoder's trim. The nibble chain is cross-checked
+    against the stdlib's independent encoder in the tests."""
+    if samples.dtype != np.dtype(np.int16):
+        raise ValueError("IMA ADPCM companding expects int16 samples")
+    n, channels = samples.shape
+    if n < 1:
+        raise ValueError("IMA ADPCM needs at least one sample")
+    data_per_block = block_align - 4 * channels
+    if data_per_block < 4 * channels or data_per_block % (4 * channels):
+        raise ValueError(
+            f"malformed IMA ADPCM block layout (block_align={block_align},"
+            f" channels={channels})"
+        )
+    spb = data_per_block * 2 // channels + 1
+    n_blocks = -(-n // spb)
+    padded = np.zeros((n_blocks * spb, channels), dtype=np.int16)
+    padded[:n] = samples
+    blocks = padded.reshape(n_blocks, spb, channels)
+    body = bytearray()
+    nibs_per_chan = spb - 1
+    all_nibs = np.empty((n_blocks, channels, nibs_per_chan), dtype=np.uint8)
+    for c in range(channels):
+        all_nibs[:, c, :] = _ima_encode_nibbles(
+            blocks[:, 1:, c],
+            blocks[:, 0, c].astype(np.int64),
+            np.zeros(n_blocks, dtype=np.int64),
+        )
+    # pack: per block, per-channel headers then 4-byte units
+    # round-robin across channels, low nibble first
+    packed = (all_nibs[:, :, 0::2] | (all_nibs[:, :, 1::2] << 4)).astype(
+        np.uint8
+    )  # (n_blocks, channels, nibs_per_chan/2) bytes per channel
+    unit_count = packed.shape[2] // 4
+    units = packed.reshape(n_blocks, channels, unit_count, 4)
+    for b in range(n_blocks):
+        for c in range(channels):
+            body += struct.pack(
+                "<hBB", int(blocks[b, 0, c]), 0, 0
+            )
+        inter = units[b].transpose(1, 0, 2)  # (unit, channel, 4)
+        body += inter.tobytes()
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        channels,
+        sample_rate,
+        sample_rate * block_align // spb,
+        block_align,
+        4,
+        2,
+        spb,
+    )
+
+    def chunk(cid: bytes, cbody: bytes) -> bytes:
+        return cid + struct.pack("<I", len(cbody)) + cbody + (
+            b"\x00" if len(cbody) & 1 else b""
+        )
+
+    payload = (
+        chunk(b"fmt ", fmt)
+        + chunk(b"fact", struct.pack("<I", n))
+        + chunk(b"data", bytes(body))
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, dict[str, Any]]:
     """Parse a WAV (RIFF/WAVE, fmt + data chunks) into
     ((n_samples, channels) array, metadata). Integer PCM (format 1,

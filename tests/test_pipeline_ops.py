@@ -2782,6 +2782,81 @@ def test_wav_rejection_surface_pinned_per_format():
     assert np.array_equal(arr, samples)
 
 
+def test_ima_adpcm_encode_roundtrip_and_reference():
+    """r12: ``encode_wav_ima_adpcm`` completes the compressed-WAV
+    round trip — blocks are self-contained (header = first sample
+    verbatim + index 0), the nibble chain matches the stdlib's
+    INDEPENDENT encoder nibble-for-nibble (the encode-side mirror of
+    the r11 adpcm2lin decode cross-check), the fact chunk trims the
+    zero-padded tail exactly, and decode(encode(x)) equals the
+    encoder's own tracked reconstruction through BOTH decoders."""
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import (
+        _ima_encode_nibbles,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    audioop = pytest.importorskip("audioop")
+    rng = np.random.default_rng(5)
+
+    # mono, partial final block (130 samples over 57-sample blocks)
+    x = rng.integers(-30000, 30000, (130, 1)).astype(np.int16)
+    wav = encode_wav_ima_adpcm(x, 8000, block_align=32)
+    arr, meta = decode_wav(wav)
+    assert meta == {
+        "channels": 1, "sample_rate": 8000, "bits": 4,
+        "n_samples": 130, "format": "wav/ima-adpcm4",
+    }
+    spb = 57
+    for b in range(3):
+        if b * spb < 130:
+            assert arr[b * spb, 0] == x[b * spb, 0]  # header verbatim
+
+    # nibble-for-nibble vs the stdlib encoder, per block
+    blk = x[:spb, 0]
+    mine = _ima_encode_nibbles(
+        blk[1:][None, :].astype(np.int64),
+        np.array([int(blk[0])]),
+        np.array([0]),
+    )[0]
+    enc_bytes, _ = audioop.lin2adpcm(blk[1:].tobytes(), 2, (int(blk[0]), 0))
+    ref = np.array(
+        [n for by in enc_bytes for n in (by >> 4, by & 0xF)][: len(mine)],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(mine, ref)
+
+    # the emitted stream means the same thing to the stdlib decoder
+    low_first = bytes(
+        int(mine[i]) | (int(mine[i + 1]) << 4) for i in range(0, len(mine), 2)
+    )
+    hi_first = bytes(((b & 0xF) << 4) | (b >> 4) for b in low_first)
+    lin, _ = audioop.adpcm2lin(hi_first, 2, (int(blk[0]), 0))
+    assert np.array_equal(
+        np.frombuffer(lin, dtype=np.int16), arr[1:spb, 0]
+    )
+
+    # stereo round trip: on this pinned input, re-encoding the
+    # reconstruction at the same block geometry is a fixpoint (each
+    # reconstructed step is a representable quantizer delta; not a
+    # theorem under clipping, so pinned on a fixed seed)
+    st = rng.integers(-20000, 20000, (114, 2)).astype(np.int16)
+    wav2 = encode_wav_ima_adpcm(st, 16000, block_align=24)
+    a2, m2 = decode_wav(wav2)
+    assert m2["channels"] == 2 and m2["n_samples"] == 114
+    a3, _ = decode_wav(encode_wav_ima_adpcm(a2, 16000, block_align=24))
+    assert np.array_equal(a2, a3)
+
+    # rejections mirror the decoder's layout checks
+    with pytest.raises(ValueError, match="malformed IMA ADPCM block"):
+        encode_wav_ima_adpcm(st, 8000, block_align=14)
+    with pytest.raises(ValueError, match="expects int16"):
+        encode_wav_ima_adpcm(st.astype(np.int32), 8000)
+
+
 def test_g711_encoders_match_reference_exhaustively():
     """r12: the G.711 encode halves (``linear_to_ulaw`` /
     ``linear_to_alaw``) are the CCITT reference encoders, verified on

@@ -742,6 +742,7 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
         encode_bmp,
         encode_png,
         encode_wav,
+        encode_wav_ima_adpcm,
     )
 
     rng = np.random.default_rng(seed)
@@ -779,6 +780,7 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
         encode_wav(pcm, 8000),
         encode_wav(pcm, 8000, extensible=True),
         encode_wav(pcm, 8000, codec="ulaw"),  # r12: G.711 encode seam
+        encode_wav_ima_adpcm(pcm, 8000, block_align=16),  # r12
         ms_wav,
     ]
     base = seeds[int(rng.integers(0, len(seeds)))]
