@@ -81,6 +81,23 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the prior round's 2.47 warm-max) — the toy-scale delta
     straddles zero while the scale win is stable; adopted on the
     scale term (SCALING.md round 12).
+
+    CACHE-LIFECYCLE CONTRACT (r13, ADVICE; same terms as
+    ``funnel_latency``'s r8 contract in ``plans/timeseries.py``):
+    this persist cannot be unpersisted at this API boundary (the
+    consumer collects the returned DataFrame later), so the CALLER
+    owns the session cache — repeated calls in a long-lived session
+    stack cache-registry entries until long-lived sessions
+    clearCache() or Spark's LRU evicts; MEMORY_AND_DISK keeps the
+    stacked entries evictable, so the leak is bounded-harm by
+    construction. The ``localCheckpoint(eager=True)`` alternative
+    (GC-scoped cleanup, used by ``cms_heavy_hitters``) was NOT
+    chosen for the same reason it was rejected at the funnel site:
+    ``per_cust`` feeds ``binned_quantiles``, and a checkpointed
+    LogicalRDD loses the relation statistics its downstream
+    broadcast decisions depend on (PLANS.md "Round-8 amendment" —
+    localCheckpoint is right only when nothing downstream joins on
+    the relation's statistics).
     """
     from pyspark import StorageLevel
 

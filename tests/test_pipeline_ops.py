@@ -2785,11 +2785,14 @@ def test_wav_rejection_surface_pinned_per_format():
 def test_ima_adpcm_encode_roundtrip_and_reference():
     """r12: ``encode_wav_ima_adpcm`` completes the compressed-WAV
     round trip — blocks are self-contained (header = first sample
-    verbatim + index 0), the nibble chain matches the stdlib's
-    INDEPENDENT encoder nibble-for-nibble (the encode-side mirror of
-    the r11 adpcm2lin decode cross-check), the fact chunk trims the
-    zero-padded tail exactly, and decode(encode(x)) equals the
-    encoder's own tracked reconstruction through BOTH decoders."""
+    verbatim + index 0), the nibble chain matches the vendored scalar
+    DVI reference nibble-for-nibble (``tests/codec_refs.py`` — r13:
+    formerly the stdlib's audioop, which Python 3.13 removes; the
+    vendored copy is pinned against audioop exhaustively in
+    ``test_codec_refs_match_audioop`` while both exist), the fact
+    chunk trims the zero-padded tail exactly, and decode(encode(x))
+    equals the encoder's own tracked reconstruction through BOTH
+    decoders."""
     import numpy as np
     import pytest
 
@@ -2798,8 +2801,8 @@ def test_ima_adpcm_encode_roundtrip_and_reference():
         decode_wav,
         encode_wav_ima_adpcm,
     )
+    from tests.codec_refs import ref_ima_decode, ref_ima_encode
 
-    audioop = pytest.importorskip("audioop")
     rng = np.random.default_rng(5)
 
     # mono, partial final block (130 samples over 57-sample blocks)
@@ -2815,28 +2818,26 @@ def test_ima_adpcm_encode_roundtrip_and_reference():
         if b * spb < 130:
             assert arr[b * spb, 0] == x[b * spb, 0]  # header verbatim
 
-    # nibble-for-nibble vs the stdlib encoder, per block
+    # nibble-for-nibble vs the vendored scalar DVI encoder, per block
     blk = x[:spb, 0]
     mine = _ima_encode_nibbles(
         blk[1:][None, :].astype(np.int64),
         np.array([int(blk[0])]),
         np.array([0]),
     )[0]
-    enc_bytes, _ = audioop.lin2adpcm(blk[1:].tobytes(), 2, (int(blk[0]), 0))
     ref = np.array(
-        [n for by in enc_bytes for n in (by >> 4, by & 0xF)][: len(mine)],
+        ref_ima_encode(blk[1:].tolist(), int(blk[0]), 0)[: len(mine)],
         dtype=np.uint8,
     )
     assert np.array_equal(mine, ref)
 
-    # the emitted stream means the same thing to the stdlib decoder
-    low_first = bytes(
-        int(mine[i]) | (int(mine[i + 1]) << 4) for i in range(0, len(mine), 2)
-    )
-    hi_first = bytes(((b & 0xF) << 4) | (b >> 4) for b in low_first)
-    lin, _ = audioop.adpcm2lin(hi_first, 2, (int(blk[0]), 0))
+    # the emitted stream means the same thing to the scalar decoder
     assert np.array_equal(
-        np.frombuffer(lin, dtype=np.int16), arr[1:spb, 0]
+        np.array(
+            ref_ima_decode([int(n) for n in mine], int(blk[0]), 0),
+            dtype=np.int16,
+        ),
+        arr[1:spb, 0],
     )
 
     # stereo round trip: on this pinned input, re-encoding the
@@ -2860,16 +2861,18 @@ def test_ima_adpcm_encode_roundtrip_and_reference():
 def test_g711_encoders_match_reference_exhaustively():
     """r12: the G.711 encode halves (``linear_to_ulaw`` /
     ``linear_to_alaw``) are the CCITT reference encoders, verified on
-    EVERY one of the 65536 int16 inputs against the stdlib's
-    independent implementation (the same cross-check role audioop
-    plays for IMA ADPCM). Codec transparency — re-encoding an
+    EVERY one of the 65536 int16 inputs against an independent
+    scalar implementation of the CCITT reference code (r13: vendored
+    in ``tests/codec_refs.py`` — formerly the stdlib's audioop, which
+    Python 3.13 removes; the vendored copy is itself pinned against
+    audioop exhaustively in ``test_codec_refs_match_audioop`` while
+    both exist). Codec transparency — re-encoding an
     expanded code is the identity — holds for all 256 A-law codes
     and 255 of 256 µ-law codes; the single exception is the
     canonical ±0 collapse (0x7F, negative zero, expands to 0 which
     re-encodes as positive zero 0xFF — value-identical expansion,
     pinned as such)."""
     import numpy as np
-    import pytest
 
     from mspr2_back_spark.operators.multimodal import (
         _ALAW_TABLE,
@@ -2877,18 +2880,22 @@ def test_g711_encoders_match_reference_exhaustively():
         linear_to_alaw,
         linear_to_ulaw,
     )
-
-    audioop = pytest.importorskip("audioop")
+    from tests.codec_refs import ref_lin2alaw, ref_lin2ulaw
 
     allv = np.arange(-32768, 32768, dtype=np.int16)
-    raw = allv.tobytes()
     assert np.array_equal(
         linear_to_ulaw(allv),
-        np.frombuffer(audioop.lin2ulaw(raw, 2), dtype=np.uint8),
+        np.fromiter(
+            (ref_lin2ulaw(int(v)) for v in allv), dtype=np.uint8,
+            count=65536,
+        ),
     )
     assert np.array_equal(
         linear_to_alaw(allv),
-        np.frombuffer(audioop.lin2alaw(raw, 2), dtype=np.uint8),
+        np.fromiter(
+            (ref_lin2alaw(int(v)) for v in allv), dtype=np.uint8,
+            count=65536,
+        ),
     )
 
     codes = np.arange(256, dtype=np.uint8)
@@ -2899,6 +2906,58 @@ def test_g711_encoders_match_reference_exhaustively():
     assert mismatch.tolist() == [0x7F]
     assert _ULAW_TABLE[0x7F] == 0 and re_u[0x7F] == 0xFF
     assert _ULAW_TABLE[0xFF] == 0  # value-identical expansion
+
+
+def test_codec_refs_match_audioop():
+    """r13 (ADVICE r12 #2): the vendored scalar references in
+    ``tests/codec_refs.py`` are themselves pinned against the
+    stdlib's independent C implementation wherever audioop still
+    ships (it is removed in Python 3.13) — G.711 exhaustively over
+    all 65536 int16 inputs, IMA-ADPCM encode AND decode over random
+    streams from random (predictor, index) states.  On 3.13+ this
+    test skips, but the codec tests above keep their vendored
+    reference, so the headline 'all 65536 inputs verified' claims
+    never silently degrade to skipped."""
+    import numpy as np
+    import pytest
+
+    from tests.codec_refs import (
+        ref_ima_decode,
+        ref_ima_encode,
+        ref_lin2alaw,
+        ref_lin2ulaw,
+    )
+
+    audioop = pytest.importorskip("audioop")
+
+    allv = np.arange(-32768, 32768, dtype=np.int16)
+    raw = allv.tobytes()
+    assert bytes(ref_lin2ulaw(int(v)) for v in allv) == audioop.lin2ulaw(
+        raw, 2
+    )
+    assert bytes(ref_lin2alaw(int(v)) for v in allv) == audioop.lin2alaw(
+        raw, 2
+    )
+
+    rng = np.random.default_rng(113)
+    for _ in range(25):
+        n = int(rng.integers(2, 200)) * 2
+        x = rng.integers(-32768, 32768, n).astype(np.int16)
+        pred = int(rng.integers(-32768, 32768))
+        idx = int(rng.integers(0, 89))
+        enc_bytes, _ = audioop.lin2adpcm(x.tobytes(), 2, (pred, idx))
+        ref_nib = ref_ima_encode(x.tolist(), pred, idx)
+        got = [n for by in enc_bytes for n in (by >> 4, by & 0xF)]
+        assert got[: len(ref_nib)] == ref_nib
+        nibs = [int(v) for v in rng.integers(0, 16, n)]
+        hi_first = bytes(
+            (nibs[i] << 4) | nibs[i + 1] for i in range(0, n, 2)
+        )
+        lin, _ = audioop.adpcm2lin(hi_first, 2, (pred, idx))
+        assert (
+            list(np.frombuffer(lin, dtype=np.int16))
+            == ref_ima_decode(nibs, pred, idx)
+        )
 
 
 def test_g711_encode_wav_roundtrip():
@@ -3334,19 +3393,19 @@ def test_wav_ima_adpcm_decode():
     per-channel 4-byte headers (the predictor IS the first sample),
     4-byte nibble units round-robin across channels, low nibble
     first, fact-chunk trim. The arithmetic chain is cross-checked
-    against the stdlib's INDEPENDENT IMA implementation
-    (audioop.adpcm2lin decodes high-nibble-first raw DVI streams, so
-    the reference feeds nibble-swapped bytes); rejections stay loud
-    for out-of-range step indices, non-4-bit declarations, and
-    malformed block layouts."""
+    against an INDEPENDENT scalar DVI implementation (r13: vendored
+    in ``tests/codec_refs.py`` — formerly the stdlib's audioop, which
+    Python 3.13 removes; the vendored copy is pinned against audioop
+    in ``test_codec_refs_match_audioop`` while both exist);
+    rejections stay loud for out-of-range step indices, non-4-bit
+    declarations, and malformed block layouts."""
     import struct
 
     import numpy as np
     import pytest
 
     from mspr2_back_spark.operators.multimodal import decode_wav
-
-    audioop = pytest.importorskip("audioop")
+    from tests.codec_refs import ref_ima_decode
 
     def build_wav(
         channels, block_align, blocks, fact=None, rate=8000, fmt_tag=0x11
@@ -3369,11 +3428,10 @@ def test_wav_ima_adpcm_decode():
     rng = np.random.default_rng(17)
 
     def ref_block(nib_bytes, pred, idx):
-        # audioop is high-nibble-first; swap nibbles to express the
-        # WAV block's low-first order in its terms
-        swapped = bytes(((b & 0xF) << 4) | (b >> 4) for b in nib_bytes)
-        lin, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
-        return [pred] + list(np.frombuffer(lin, dtype=np.int16))
+        # WAV blocks are low-nibble-first; the scalar reference takes
+        # one nibble per element, so unpack in stream order
+        nibs = [n for b in nib_bytes for n in (b & 0xF, b >> 4)]
+        return [pred] + ref_ima_decode(nibs, pred, idx)
 
     # mono, 3 blocks of block_align=32 (28 data bytes -> 57 samples)
     blocks, want = b"", []

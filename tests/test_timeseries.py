@@ -364,6 +364,9 @@ def test_rfm_per_customer_relation_is_cached_once(spark, sf_dir):
     ]
     assert len(per_cust_caches) >= 3, plan[:2000]
     spark.catalog.clearCache()
+
+
+def test_session_paths_match_python_recount(spark, sf_dir):
     from mspr2_back_spark.plans.customer import (
         PATH_SEP,
         PATH_STEPS,
