@@ -18,9 +18,13 @@ with `encode_png` closing the round-trip (its `filter_type` and
 interlaced reassembly), and `operators/jpeg.py` decodes/encodes
 baseline sequential AND progressive (SOF2, gray + color — r11) JPEG
 (Annex K Huffman + numpy DCT — bounded-error
-round-trip since JPEG is lossy). Only codecs that genuinely need
-env-absent libraries (video/ffmpeg territory) remain behind
-`NotImplementedError`. Payloads that parse as none of these fall
+round-trip since JPEG is lossy). The compressed-WAV codec matrix is
+symmetric as of r13: IMA-ADPCM (r11 decode / r12 encode), G.711
+A-law/µ-law (r11 decode / r12 encode), and MS-ADPCM (r12 decode /
+r13 encode) all have encode+decode twins, each cross-checked against
+an independent scalar reference in the tests. Only codecs that
+genuinely need env-absent libraries (video/ffmpeg territory) remain
+behind `NotImplementedError`. Payloads that parse as none of these fall
 back to the clearly-marked deterministic fake, so the text-derived
 test corpus keeps its stable metadata.
 
@@ -539,6 +543,176 @@ def encode_wav_ima_adpcm(
         chunk(b"fmt ", fmt)
         + chunk(b"fact", struct.pack("<I", n))
         + chunk(b"data", bytes(body))
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+
+
+def _ms_encode_nibbles(
+    samples: np.ndarray,
+    c1: np.ndarray,
+    c2: np.ndarray,
+    delta0: np.ndarray,
+    s1_0: np.ndarray,
+    s2_0: np.ndarray,
+) -> np.ndarray:
+    """Encode int16 sample matrices to MS-ADPCM nibbles, vectorized
+    ACROSS blocks (the encode mirror of ``_ms_decode_nibbles``): the
+    predict/quantize/reconstruct recursion is sequential within a
+    block but blocks are independent because every block header
+    carries its own (predictor, idelta, sample1, sample2) state.
+    samples (n_blocks, n_samp) — the samples AFTER the two header
+    samples — c1/c2/delta0/s1_0/s2_0 (n_blocks,) → (n_blocks, n_samp)
+    uint8 nibbles. Quantization is the registration pseudocode's C
+    integer division (truncation toward zero, expressed sign-split
+    here because numpy ``//`` floors), clamped to the signed 4-bit
+    range; the reconstruction chain is the decoder's own formula, so
+    decode(encode(x)) is exactly the encoder's tracked prediction."""
+    delta = delta0.astype(np.int64).copy()
+    s1 = s1_0.astype(np.int64).copy()
+    s2 = s2_0.astype(np.int64).copy()
+    out = np.empty(samples.shape, dtype=np.uint8)
+    for j in range(samples.shape[1]):
+        pred = (s1 * c1 + s2 * c2) >> 8
+        err = samples[:, j].astype(np.int64) - pred
+        q = np.sign(err) * (np.abs(err) // delta)  # C trunc-toward-0
+        np.clip(q, -8, 7, out=q)
+        nib = (q & 0xF).astype(np.uint8)
+        # reconstruct exactly as the decoder will
+        recon = pred + q * delta
+        np.clip(recon, -32768, 32767, out=recon)
+        s2 = s1
+        s1 = recon
+        delta = (_MS_ADAPT[nib] * delta) >> 8
+        np.maximum(delta, 16, out=delta)
+        out[:, j] = nib
+    return out
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray,
+    sample_rate: int,
+    block_align: int = 256,
+    extensible: bool = False,
+) -> bytes:
+    """Encode an (n_samples, channels) int16 array as a WAV format 2
+    (MS-ADPCM) file (r13, VERDICT r12 task 3 — the encode half of the
+    r12 decoder, completing the codec matrix's one asymmetric cell):
+    per block and channel the 7-byte-per-channel header carries the
+    chosen predictor index, the initial idelta, and the block's first
+    two samples verbatim (sample2 then sample1 in output order), then
+    4-bit nibbles HIGH nibble first, round-robin across channels.
+
+    Encoder-side free choices, both per-block per-channel and both
+    deterministic: the predictor index minimizes the total absolute
+    one-step prediction error of the RAW samples over the block
+    across the seven standard coefficient pairs (the registration's
+    own selection heuristic), and the initial idelta is the chosen
+    predictor's mean absolute error divided by 4, clamped to
+    [16, 32767] (any header idelta is valid — the decoder honors
+    whatever the header carries; the quotient tracks the adaptation
+    table's working range). The final partial block is zero-padded
+    and a fact chunk records the true sample count for the decoder's
+    trim. ``extensible=True`` wraps the stream in
+    WAVE_FORMAT_EXTENSIBLE with KSDATAFORMAT_SUBTYPE_ADPCM (the
+    r12 whitelist entry), whose Samples union field is
+    wSamplesPerBlock; the coefficient pairs are then necessarily the
+    standard seven (the extension bytes hold the GUID, not a table —
+    exactly the asymmetry ``_decode_ms_adpcm`` documents), which this
+    encoder uses in both framings, so the plain framing writes the
+    standard table in the fmt extension for maximal reader
+    compatibility and the decoder reads either."""
+    if samples.dtype != np.dtype(np.int16):
+        raise ValueError("MS ADPCM companding expects int16 samples")
+    n, channels = samples.shape
+    if n < 1:
+        raise ValueError("MS ADPCM needs at least one sample")
+    header = 7 * channels
+    data_per_block = block_align - header
+    if data_per_block < 1 or (data_per_block * 2) % channels:
+        raise ValueError(
+            f"malformed MS ADPCM block layout (block_align={block_align},"
+            f" channels={channels})"
+        )
+    nibs_per_chan = data_per_block * 2 // channels
+    spb = nibs_per_chan + 2
+    n_blocks = -(-n // spb)
+    padded = np.zeros((n_blocks * spb, channels), dtype=np.int16)
+    padded[:n] = samples
+    blocks = padded.reshape(n_blocks, spb, channels)
+    pred_idx = np.empty((n_blocks, channels), dtype=np.uint8)
+    hdr = np.empty((n_blocks, 3, channels), dtype="<i2")
+    all_nibs = np.empty(
+        (n_blocks, channels, nibs_per_chan), dtype=np.uint8
+    )
+    n_pairs = _MS_COEF1.shape[0]
+    for c in range(channels):
+        chan = blocks[:, :, c].astype(np.int64)  # (n_blocks, spb)
+        # predictor selection: total |one-step prediction error| of
+        # the raw samples under each standard pair, argmin per block
+        errs = np.empty((n_pairs, n_blocks), dtype=np.int64)
+        for p in range(n_pairs):
+            pred = (
+                chan[:, 1:-1] * _MS_COEF1[p] + chan[:, :-2] * _MS_COEF2[p]
+            ) >> 8
+            errs[p] = np.abs(chan[:, 2:] - pred).sum(axis=1)
+        pick = errs.argmin(axis=0)
+        pred_idx[:, c] = pick
+        denom = max(spb - 2, 1)
+        delta0 = np.clip(
+            errs[pick, np.arange(n_blocks)] // denom // 4, 16, 32767
+        )
+        s2_0, s1_0 = chan[:, 0], chan[:, 1]
+        hdr[:, 0, c] = delta0.astype(np.int16)
+        hdr[:, 1, c] = s1_0.astype(np.int16)
+        hdr[:, 2, c] = s2_0.astype(np.int16)
+        all_nibs[:, c, :] = _ms_encode_nibbles(
+            blocks[:, 2:, c],
+            _MS_COEF1[pick],
+            _MS_COEF2[pick],
+            delta0,
+            s1_0,
+            s2_0,
+        )
+    # nibble stream: round-robin across channels, HIGH nibble first
+    stream = all_nibs.transpose(0, 2, 1).reshape(n_blocks, -1)
+    body = ((stream[:, 0::2] << 4) | stream[:, 1::2]).astype(np.uint8)
+    full = np.concatenate(
+        [
+            pred_idx,
+            np.ascontiguousarray(hdr.reshape(n_blocks, -1)).view(np.uint8),
+            body,
+        ],
+        axis=1,
+    )
+    base = struct.pack(
+        "<HHIIHH",
+        0xFFFE if extensible else 2,
+        channels,
+        sample_rate,
+        sample_rate * block_align // spb,
+        block_align,
+        4,
+    )
+    if extensible:
+        fmt = base + struct.pack("<HHI", 22, spb, 0) + (
+            struct.pack("<I", 2) + _KSDATAFORMAT_TAIL
+        )
+    else:
+        fmt = base + struct.pack("<HHH", 4 + 4 * n_pairs, spb, n_pairs)
+        fmt += b"".join(
+            struct.pack("<hh", int(a), int(b))
+            for a, b in zip(_MS_COEF1, _MS_COEF2)
+        )
+
+    def chunk(cid: bytes, cbody: bytes) -> bytes:
+        return cid + struct.pack("<I", len(cbody)) + cbody + (
+            b"\x00" if len(cbody) & 1 else b""
+        )
+
+    payload = (
+        chunk(b"fmt ", fmt)
+        + chunk(b"fact", struct.pack("<I", n))
+        + chunk(b"data", full.tobytes())
     )
     return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
 
@@ -1875,3 +2049,106 @@ def audio_feature_probe(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(run, schema=AUDIO_PROBE_SCHEMA)
+
+
+ADPCM_PROBE_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, channels INT, sample_rate INT, bits INT,"
+    " n_samples INT, duration_ms DOUBLE, n_bytes BIGINT, riff_ok BOOLEAN"
+)
+
+
+def adpcm_roundtrip_probe(docs: DataFrame) -> DataFrame:
+    """Driver-gated proof of the COMPRESSED-WAV decode paths (r13,
+    VERDICT r12 task 2 — the spare rotation slot: MS-ADPCM / IMA /
+    G.711 decode were pytest-pinned but no driver-hashed query fed
+    compressed WAV through the registry; the corpus queries exercise
+    PCM): per doc_id synthesize the closed-form int16 waveform
+    k(i,ch) = ((1231·id + 2749·i + 997·ch) mod 4001) − 2000 with
+    channels = 1+id%2, rate = 8000·(1+id%3), n = 50+id%101 samples,
+    ENCODE it through one of four compressed framings cycling on
+    id%4 —
+
+    - 0: IMA-ADPCM, block_align = 4·channels·(2+id%3),
+    - 1: MS-ADPCM, plain fmt chunk carrying the standard coefficient
+      table, block_align = 7·channels + 4·(1+id%5),
+    - 2: MS-ADPCM wrapped in WAVE_FORMAT_EXTENSIBLE
+      (KSDATAFORMAT_SUBTYPE_ADPCM — the r12 whitelist path), same
+      block_align law,
+    - 3: G.711 (µ-law when id%8 < 4, else A-law; EXTENSIBLE-wrapped
+      when id%5 < 2) —
+
+    then run the FULL ``decode_wav`` on the emitted bytes and report
+    the columns that survive lossy round-trips bit-exactly: the
+    decoder metadata (fmt/channels/sample_rate/bits/n_samples — the
+    fact-chunk trim makes n_samples exact for the block-padded ADPCM
+    framings), duration_ms (the single-division idiom shared with
+    ``wav_meta_stats``), n_bytes (the oracle recomputes the ENTIRE
+    container assembly closed-form per framing — RIFF header + fmt
+    chunk sized per codec/extension + fact chunk + block-quantized
+    or byte-per-sample data chunk + word-align pad — so a mis-sized
+    block, a missing fact chunk, or a wrong extension layout breaks
+    the hash), and riff_ok (declared RIFF size == len−8, an
+    independent re-parse of the writer's output). Sample VALUES are
+    deliberately not projected: ADPCM is lossy and the G.711 tables
+    are not SQL-expressible — the value-level pins are the
+    scalar-reference cross-checks in the pytest suite
+    (tests/codec_refs.py); this query hashes that the four
+    encode→decode container paths agree with the closed forms
+    end-to-end under the driver's oracle.
+
+    Same scale shape as every probe in this family: mapInPandas over
+    the doc_id projection, per-doc-constant numpy work, scan-parallel,
+    shuffle-free."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                channels = 1 + did % 2
+                rate = 8000 * (1 + did % 3)
+                n = 50 + did % 101
+                i = np.arange(n, dtype=np.int64).reshape(-1, 1)
+                ch = np.arange(channels, dtype=np.int64).reshape(1, -1)
+                k = (
+                    ((1231 * did + 2749 * i + 997 * ch) % 4001) - 2000
+                ).astype(np.int16)
+                sel = did % 4
+                if sel == 0:
+                    payload = encode_wav_ima_adpcm(
+                        k, rate, block_align=4 * channels * (2 + did % 3)
+                    )
+                elif sel in (1, 2):
+                    payload = encode_wav_ms_adpcm(
+                        k,
+                        rate,
+                        block_align=7 * channels + 4 * (1 + did % 5),
+                        extensible=sel == 2,
+                    )
+                else:
+                    payload = encode_wav(
+                        k,
+                        rate,
+                        codec="ulaw" if did % 8 < 4 else "alaw",
+                        extensible=did % 5 < 2,
+                    )
+                decoded, meta = decode_wav(payload)
+                declared = struct.unpack_from("<I", payload, 4)[0]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "fmt": meta["format"],
+                        "channels": meta["channels"],
+                        "sample_rate": meta["sample_rate"],
+                        "bits": meta["bits"],
+                        "n_samples": meta["n_samples"],
+                        "duration_ms": meta["n_samples"]
+                        * 1000.0
+                        / meta["sample_rate"],
+                        "n_bytes": len(payload),
+                        "riff_ok": declared == len(payload) - 8,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(run, schema=ADPCM_PROBE_SCHEMA)

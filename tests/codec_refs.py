@@ -124,6 +124,30 @@ def ref_ima_encode(samples, valpred: int, index: int):
     return nibbles
 
 
+# --- MS-ADPCM ------------------------------------------------------------
+# The Microsoft multimedia registration's WAVE_FORMAT_ADPCM pseudocode,
+# one sample at a time (used by the encode tests; the decode test keeps
+# its own inline copy written independently in r12).
+
+MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+            768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def ref_ms_decode(nibbles, c1: int, c2: int, delta: int, s1: int, s2: int):
+    """Decode one channel's nibble stream; returns ALL samples
+    including the two header samples (s2 first, then s1)."""
+    out = [s2, s1]
+    for nib in nibbles:
+        snib = nib - 16 if nib & 8 else nib
+        pred = (s1 * c1 + s2 * c2) >> 8
+        pred += snib * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        delta = max((MS_ADAPT[nib] * delta) >> 8, 16)
+        out.append(pred)
+    return out
+
+
 def ref_ima_decode(nibbles, valpred: int, index: int):
     """Decode 4-bit IMA nibbles to int16 samples (predictor NOT emitted)."""
     out = []

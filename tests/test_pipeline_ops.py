@@ -2858,6 +2858,116 @@ def test_ima_adpcm_encode_roundtrip_and_reference():
         encode_wav_ima_adpcm(st.astype(np.int32), 8000)
 
 
+def test_ms_adpcm_encode_roundtrip_and_reference():
+    """r13 (VERDICT r12 task 3): ``encode_wav_ms_adpcm`` completes the
+    codec matrix's one asymmetric cell — blocks are self-contained
+    (headers carry the first two samples verbatim plus a per-block
+    predictor pick and idelta), the emitted fmt chunk carries the
+    standard coefficient table (plain framing) or the ADPCM GUID
+    (EXTENSIBLE framing), and the decoded stream equals a scalar
+    re-decode of the emitted bytes through the vendored registration
+    pseudocode (``tests/codec_refs.py``) — the same independent-
+    scalar cross-check role the r12 decode test plays, now exercised
+    over encoder-produced streams."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+    from tests.codec_refs import ref_ms_decode
+
+    STD_C1 = [256, 512, 0, 192, 240, 460, 392]
+    STD_C2 = [0, -256, 0, 64, 0, -208, -232]
+
+    # mono, partial final block (500 samples over 116-sample blocks)
+    t = np.arange(500)
+    x = (
+        3000 * np.sin(t / 9) + 1500 * np.sin(t / 23)
+    ).astype(np.int16).reshape(-1, 1)
+    wav = encode_wav_ms_adpcm(x, 8000, block_align=64)
+    arr, meta = decode_wav(wav)
+    assert meta == {
+        "channels": 1, "sample_rate": 8000, "bits": 4,
+        "n_samples": 500, "format": "wav/ms-adpcm4",
+    }
+    spb = (64 - 7) * 2 + 2  # 116
+    for b in range(5):
+        for off in (0, 1):  # first two samples verbatim per block
+            if b * spb + off < 500:
+                assert arr[b * spb + off, 0] == x[b * spb + off, 0]
+    # the lossy reconstruction still tracks the signal closely
+    err = np.abs(arr.astype(np.int64) - x.astype(np.int64))
+    assert err.mean() < 64 and err.max() < 512
+
+    # the emitted container is a well-formed format-2 WAV: fmt base +
+    # cbSize=32 extension with wSamplesPerBlock and the 7 standard
+    # coefficient pairs, a fact chunk with the true count, and
+    # whole blocks in the data chunk
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    pos, chunks = 12, {}
+    while pos + 8 <= len(wav):
+        cid = wav[pos : pos + 4]
+        size = struct.unpack_from("<I", wav, pos + 4)[0]
+        chunks[cid] = wav[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    fmt = chunks[b"fmt "]
+    assert struct.unpack_from("<HHIIHH", fmt, 0) == (
+        2, 1, 8000, 8000 * 64 // spb, 64, 4,
+    )
+    assert struct.unpack_from("<HHH", fmt, 16) == (32, spb, 7)
+    pairs = list(struct.iter_unpack("<hh", fmt[22:22 + 28]))
+    assert [p[0] for p in pairs] == STD_C1
+    assert [p[1] for p in pairs] == STD_C2
+    assert struct.unpack("<I", chunks[b"fact"])[0] == 500
+    assert len(chunks[b"data"]) % 64 == 0
+
+    # scalar re-decode of the emitted bytes, block by block, equals
+    # the vectorized decoder's output (headers are read from the
+    # emitted stream, so this also pins the header layout)
+    data = chunks[b"data"]
+    scalar: list[int] = []
+    for b in range(len(data) // 64):
+        blk = data[b * 64 : (b + 1) * 64]
+        pi = blk[0]
+        delta, s1, s2 = struct.unpack_from("<hhh", blk, 1)
+        nibs = [n for by in blk[7:] for n in (by >> 4, by & 0xF)]
+        scalar += ref_ms_decode(nibs, STD_C1[pi], STD_C2[pi], delta, s1, s2)
+    assert arr[:, 0].tolist() == scalar[:500]
+
+    # stereo: EXTENSIBLE and plain framings decode to the SAME
+    # samples (the GUID wrapper changes the container, not the code
+    # stream — both use the standard table)
+    st = (2000 * np.sin(np.arange(300) / 7)).astype(np.int16)
+    st = np.stack([st, (st // 2).astype(np.int16)], axis=1)
+    plain, mp = decode_wav(encode_wav_ms_adpcm(st, 16000, block_align=32))
+    ext, me = decode_wav(
+        encode_wav_ms_adpcm(st, 16000, block_align=32, extensible=True)
+    )
+    assert mp == me == {
+        "channels": 2, "sample_rate": 16000, "bits": 4,
+        "n_samples": 300, "format": "wav/ms-adpcm4",
+    }
+    assert np.array_equal(plain, ext)
+    assert np.abs(plain.astype(np.int64) - st.astype(np.int64)).mean() < 64
+
+    # rejections mirror the decoder's layout checks
+    with pytest.raises(ValueError, match="malformed MS ADPCM block"):
+        encode_wav_ms_adpcm(st, 8000, block_align=14)  # zero data bytes
+    with pytest.raises(ValueError, match="malformed MS ADPCM block"):
+        # 3 channels, 1 data byte = 2 nibbles: not divisible by 3
+        encode_wav_ms_adpcm(
+            np.zeros((9, 3), dtype=np.int16), 8000, block_align=22
+        )
+    with pytest.raises(ValueError, match="expects int16"):
+        encode_wav_ms_adpcm(st.astype(np.int32), 8000)
+    with pytest.raises(ValueError, match="at least one sample"):
+        encode_wav_ms_adpcm(np.empty((0, 1), dtype=np.int16), 8000)
+
+
 def test_g711_encoders_match_reference_exhaustively():
     """r12: the G.711 encode halves (``linear_to_ulaw`` /
     ``linear_to_alaw``) are the CCITT reference encoders, verified on

@@ -743,6 +743,7 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
         encode_png,
         encode_wav,
         encode_wav_ima_adpcm,
+        encode_wav_ms_adpcm,
     )
 
     rng = np.random.default_rng(seed)
@@ -782,6 +783,8 @@ def test_codec_dispatch_total_under_corruption(seed, mode, n_hits):
         encode_wav(pcm, 8000, codec="ulaw"),  # r12: G.711 encode seam
         encode_wav_ima_adpcm(pcm, 8000, block_align=16),  # r12
         ms_wav,
+        encode_wav_ms_adpcm(pcm, 8000, block_align=18),  # r13 encoder
+        encode_wav_ms_adpcm(pcm, 8000, block_align=18, extensible=True),
     ]
     base = seeds[int(rng.integers(0, len(seeds)))]
     if mode == "mutate":
