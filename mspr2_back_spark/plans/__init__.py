@@ -38,95 +38,85 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-12 priorities (VERDICT
-# r11 task 1 — the precomputed freshness obligation in COVERAGE.md
-# "Round-12 freshness obligation" — plus task 3's single
-# registration):
-# 1. audio_feature_stats: the ONE new registration this round (the
-#    audio_features seam was the only r11 operator gated solely by
-#    pytest).  Its registry slot comes from executing the written
-#    retirement policy (COVERAGE.md "Registry retirement policy"):
-#    percentile_prices is retired from the freshness treadmill —
-#    fully subsumed by percentile_prices_refined (same cutpoint
-#    semantics, equivalence pytest-pinned), callable/oracle/pytest
-#    all STAY registered as a user-facing API and re-checked every
-#    pytest run via test_oracle_parity.py.  Treadmill stays at 149
-#    entries (150 registered callables, 1 retired).
-# 2. the five entries displaced in rounds 10→11 — avg_by_segment,
-#    distinct_counts, global_totals, last_value_sum,
-#    max_year_orders — now 3 rounds old (the precedented age
-#    ceiling): due FIRST.
-# 3. 44 of the 49-entry r9 block.  FIVE displaced to HEAD round 13
-#    (VERDICT r11 recommended four — above_avg_orders,
-#    local_supplier_volume, pct_negative_acctbal, shipping_priority
-#    — and the audio_feature_stats registration costs one more
-#    slot: customers_no_jumbo_order joins them by the same
-#    lowest-risk criterion: plans never changed, single-join
-#    relational queries, every pytest run re-checks them end-to-end
-#    via test_oracle_parity.py).
-# After this round: 50 r12 / 50 r11 / 45 r10 / 5 r9-displaced.
-# Round 13 owes 5 displaced + 44 r10-block (45 minus the retired
-# percentile_prices) = 49 <= 50, one slot spare; round 14 returns to
-# the plain 50-query r11 block — the cascade still resolves in two
-# rounds with nothing ever swept older than 3 rounds (precomputed in
-# COVERAGE.md "Round-13 freshness obligation").
-# Every key listed here must still exist in QUERIES.
+# (rotation history in COVERAGE.md).  Round-13 priorities (VERDICT
+# r12 task 1 — the precomputed freshness obligation in COVERAGE.md
+# "Round-13 freshness obligation" — plus task 2's single
+# registration in the precomputed spare slot):
+# 1. multimodal_adpcm_stats: the ONE new registration this round
+#    (VERDICT r12 task 2 — the compressed-WAV decode paths were
+#    pytest-pinned but not driver-hashed; this query round-trips all
+#    four compressed framings and hashes the exact-through-lossy
+#    metadata + closed-form container sizes).  Its slot is the
+#    precomputed r13 spare (49 due < 50), explicitly reserved by the
+#    r12 verdict for exactly this registration.  Registered: 151
+#    callables; treadmill: 150 (percentile_prices stays retired).
+# 2. the five entries displaced in rounds 11->12 — above_avg_orders,
+#    customers_no_jumbo_order, local_supplier_volume,
+#    pct_negative_acctbal, shipping_priority — now 3 rounds old (the
+#    age ceiling): due FIRST among the obligations.
+# 3. the full 44-entry r10 block (the 45 r10-fresh keys minus the
+#    retired percentile_prices) — nothing displaced this round.
+# After this round: 50 r13 / 50 r12 / 50 r11 — the treadmill reaches
+# the exact 3x50 steady state: round 14 owes the plain 50-query r11
+# block, round 15 the r12 block, and so on; every future
+# registration now REQUIRES a same-round retirement (the spare is
+# spent).  Precomputed in COVERAGE.md "Round-14 freshness
+# obligation".  Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- the round-12 registration (slot from the percentile_prices
-    #    retirement; plan is new, so it sweeps first) --
-    "audio_feature_stats",
-    # -- displaced in r10->r11, now 3 rounds old: due first --
-    "avg_by_segment",
-    "distinct_counts",
-    "global_totals",
-    "last_value_sum",
-    "max_year_orders",
-    # -- latest verdict is round 9 — the obligation minus the five
-    #    displaced to round 13 --
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "bloom_prefilter_audit",
-    "chunk_documents",
-    "contamination_screen",
-    "crud_delete",
-    "crud_point_lookup",
-    "crud_upsert",
-    "customer_order_coverage",
-    "dedup_clusters",
-    "dedup_corpus_summary",
-    "dedup_embedding_cosine",
-    "dedup_gate",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "event_weekday_contingency",
-    "hll_distinct_users_sketch_only",
-    "hot_shingles",
-    "ml_forecast_ar",
-    "multimodal_wav_stats",
-    "order_rank_metrics",
-    "pack_documents",
-    "percentile_prices_refined",
-    "pii_scrub",
-    "price_histogram",
-    "profile_orders",
-    "props_extract",
-    "props_variant_stats",
-    "quality_filter",
-    "repeated_spans",
-    "revenue_by_nation",
-    "rfm_segments",
-    "rolling_active_users",
-    "scaled_user_values",
-    "seasonal_decompose_daily",
-    "sessionize_events",
-    "set_ops_nations",
-    "source_mixture_sample",
-    "status_pivot",
-    "top3_orders_per_segment",
-    "urgent_semijoin",
-    "user_event_sequences",
-    "window_frame_metrics",
-    "year_week_rollup_join",
+    # -- the round-13 registration (the precomputed spare slot;
+    #    plan is new, so it sweeps first) --
+    "multimodal_adpcm_stats",
+    # -- displaced in r11->r12, now 3 rounds old: due first --
+    "above_avg_orders",
+    "customers_no_jumbo_order",
+    "local_supplier_volume",
+    "pct_negative_acctbal",
+    "shipping_priority",
+    # -- latest verdict is round 10 — the full 44-entry block --
+    "ann_lsh_topk",
+    "ann_topk",
+    "asof_event_value",
+    "bigram_surprisal",
+    "brand_surrogate_ids",
+    "corpus_shuffle",
+    "cube_order_stats",
+    "customer_order_histogram",
+    "date_spine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_norm_stats",
+    "event_debounce",
+    "event_transition_matrix",
+    "events_filtered",
+    "events_in_windows",
+    "grouping_sets_sales",
+    "hourly_events",
+    "ivf_cell_stats",
+    "latest_order_per_customer",
+    "metric_projection",
+    "multimodal_decode_stats",
+    "multimodal_frames",
+    "region_yearly_lag",
+    "rolling_sum3",
+    "rollup_revenue",
+    "segment_decode",
+    "skewed_join_topk",
+    "status_priority_rollup",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "top5_customers",
+    "unigram_surprisal",
+    "value_lag_diff",
+    "word_counts",
+    "yearly_orders_lag",
+    "zorder_locality_audit",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

@@ -1160,3 +1160,75 @@ ORDER BY d.doc_id
 
 
 PIPELINE_ORACLE_SQL["audio_feature_stats"] = _audio_feature_oracle_sql()
+
+
+def _adpcm_oracle_sql() -> str:
+    """multimodal_adpcm_stats (r13): the compressed-WAV container
+    falsifier. The Spark side synthesizes int16 PCM per doc, encodes
+    it through one of four compressed framings cycling on id%4
+    (IMA-ADPCM / plain MS-ADPCM / EXTENSIBLE MS-ADPCM / G.711), runs
+    the full ``decode_wav``, and reports the lossless-through-lossy
+    columns; this oracle recomputes every one closed-form — most
+    load-bearing, n_bytes reassembles the ENTIRE container per
+    framing: RIFF header (12) + fmt chunk (8 + 20 IMA / 8 + 50 MS
+    plain with the 7-pair coefficient table / 8 + 40 EXTENSIBLE
+    GUID layouts / 8 + 16 plain G.711) + fact chunk (12, ADPCM only)
+    + data chunk (8 + n_blocks*block_align for the block codecs with
+    spb samples per block, 8 + channels*n bytes for G.711) + the
+    RIFF word-align pad (EXTENSIBLE MS-ADPCM is the mono odd
+    block_align = 11+4q case). Any drift in block quantization,
+    fact-chunk trim, fmt-extension size, or pad emission breaks the
+    hash. Decoder bits stays the container's nibble/byte width
+    (4 ADPCM, 8 G.711); duration_ms is the shared single-division
+    idiom."""
+    return """
+WITH d AS (
+  SELECT doc_id,
+         ((doc_id % 4) + 4) % 4 AS sel,
+         CAST(1 + ((doc_id % 2) + 2) % 2 AS INT) AS channels,
+         CAST(8000 * (1 + ((doc_id % 3) + 3) % 3) AS INT) AS sample_rate,
+         50 + ((doc_id % 101) + 101) % 101 AS n,
+         ((doc_id % 3) + 3) % 3 AS m,
+         ((doc_id % 5) + 5) % 5 AS q
+  FROM documents
+),
+blk AS (
+  SELECT *,
+         CASE sel WHEN 0 THEN 9 + 8 * m
+                  WHEN 1 THEN 6 + 4 * q
+                  WHEN 2 THEN 10 + 8 * q END AS spb,
+         CASE sel WHEN 0 THEN 8 + 4 * m
+                  WHEN 1 THEN 18 + 4 * q
+                  WHEN 2 THEN 11 + 4 * q END AS ba
+  FROM d
+),
+sz AS (
+  SELECT *, (n + spb - 1) // spb AS nb FROM blk
+)
+SELECT doc_id,
+       CASE sel WHEN 0 THEN 'wav/ima-adpcm4'
+                WHEN 1 THEN 'wav/ms-adpcm4'
+                WHEN 2 THEN 'wav/ms-adpcm4'
+                ELSE CASE WHEN ((doc_id % 8) + 8) % 8 < 4
+                          THEN 'wav/ulaw8' ELSE 'wav/alaw8' END
+       END AS fmt,
+       channels,
+       sample_rate,
+       CAST(CASE WHEN sel = 3 THEN 8 ELSE 4 END AS INT) AS bits,
+       CAST(n AS INT) AS n_samples,
+       CAST(n AS DOUBLE) * CAST(1000 AS DOUBLE)
+         / CAST(sample_rate AS DOUBLE) AS duration_ms,
+       CAST(CASE sel
+              WHEN 0 THEN 60 + nb * ba
+              WHEN 1 THEN 90 + nb * ba
+              WHEN 2 THEN 80 + nb * ba + (nb * ba) % 2
+              ELSE 28 + CASE WHEN q < 2 THEN 40 ELSE 16 END
+                   + channels * n
+            END AS BIGINT) AS n_bytes,
+       TRUE AS riff_ok
+FROM sz
+ORDER BY doc_id
+"""
+
+
+PIPELINE_ORACLE_SQL["multimodal_adpcm_stats"] = _adpcm_oracle_sql()

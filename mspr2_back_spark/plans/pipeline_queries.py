@@ -250,6 +250,27 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated COMPRESSED-WAV decode paths (r13, VERDICT r12
+    task 2 — the spare rotation slot): per doc_id, closed-form int16
+    PCM → one of four compressed framings cycling on id%4 (IMA-ADPCM
+    / plain MS-ADPCM / EXTENSIBLE-wrapped MS-ADPCM / G.711 µ- or
+    A-law, EXTENSIBLE-wrapped for id%5<2) → full ``decode_wav`` →
+    the columns that survive lossy round-trips bit-exactly: decoder
+    metadata, duration_ms, and n_bytes — which the oracle recomputes
+    from the per-framing closed-form CONTAINER assembly (fmt-chunk
+    size per codec/extension layout, fact chunk, block-quantized or
+    byte-per-sample data chunk, word-align pad), so a mis-sized
+    block, missing fact chunk, or wrong extension layout breaks the
+    hash. Sample values are pinned by the scalar-reference pytest
+    cross-checks (tests/codec_refs.py), not here — ADPCM is lossy
+    and the G.711 tables are not SQL-expressible.
+    Seam: operators/multimodal.adpcm_roundtrip_probe."""
+    return multimodal.adpcm_roundtrip_probe(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user autoregressive 7-day forecast via applyInPandas (no
     SQL oracle: the AR(14) ridge fit is a 15×15 linear solve, not
@@ -798,6 +819,7 @@ PIPELINE_QUERIES = {
     "multimodal_jpeg_meta": multimodal_jpeg_meta,
     "multimodal_wav_stats": multimodal_wav_stats,
     "audio_feature_stats": audio_feature_stats,
+    "multimodal_adpcm_stats": multimodal_adpcm_stats,
     "ml_forecast_ar": ml_forecast_ar,
     "ml_forecast_ar_exact": ml_forecast_ar_exact,
     "dedup_clusters": dedup_clusters,

@@ -2968,6 +2968,87 @@ def test_ms_adpcm_encode_roundtrip_and_reference():
         encode_wav_ms_adpcm(np.empty((0, 1), dtype=np.int16), 8000)
 
 
+def test_adpcm_probe_container_closed_forms():
+    """r13 (VERDICT r12 task 2): the ``multimodal_adpcm_stats``
+    oracle recomputes n_bytes from per-framing closed-form container
+    assembly. This pins that law directly against the encoders,
+    scalar-side (the Spark/DuckDB halves meet in
+    test_oracle_parity): for a doc_id range covering every (sel,
+    id%2, id%3, id%5, id%8, partial/full final block) combination,
+    the emitted payload length, decode metadata, and declared RIFF
+    size must equal the same formulas the SQL uses —
+    - IMA (sel 0, mono): 60 + n_blocks*(8+4m), spb = 9+8m,
+    - MS plain (sel 1, stereo): 90 + n_blocks*(18+4q), spb = 6+4q,
+    - MS EXTENSIBLE (sel 2, mono): 80 + n_blocks*ba + (n_blocks*ba)%2
+      with the odd block_align ba = 11+4q exercising the word-align
+      pad, spb = 10+8q,
+    - G.711 (sel 3, stereo): 28 + (40 if EXTENSIBLE else 16) + 2n —
+    with m = id%3, q = id%5, n = 50+id%101."""
+    import struct
+
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        encode_wav_ima_adpcm,
+        encode_wav_ms_adpcm,
+    )
+
+    for did in range(0, 404):  # covers lcm(4,2,3,5,8)=120 and 101
+        channels = 1 + did % 2
+        rate = 8000 * (1 + did % 3)
+        n = 50 + did % 101
+        i = np.arange(n, dtype=np.int64).reshape(-1, 1)
+        ch = np.arange(channels, dtype=np.int64).reshape(1, -1)
+        k = (
+            ((1231 * did + 2749 * i + 997 * ch) % 4001) - 2000
+        ).astype(np.int16)
+        sel = did % 4
+        m, q = did % 3, did % 5
+        if sel == 0:
+            payload = encode_wav_ima_adpcm(
+                k, rate, block_align=4 * channels * (2 + m)
+            )
+            spb = 9 + 8 * m
+            nb = -(-n // spb)
+            expect, fmt, bits = 60 + nb * (8 + 4 * m), "wav/ima-adpcm4", 4
+        elif sel in (1, 2):
+            payload = encode_wav_ms_adpcm(
+                k,
+                rate,
+                block_align=7 * channels + 4 * (1 + q),
+                extensible=sel == 2,
+            )
+            if sel == 1:
+                spb, ba, base = 6 + 4 * q, 18 + 4 * q, 90
+            else:
+                spb, ba, base = 10 + 8 * q, 11 + 4 * q, 80
+            nb = -(-n // spb)
+            expect = base + nb * ba + (nb * ba) % 2 * (sel == 2)
+            fmt, bits = "wav/ms-adpcm4", 4
+        else:
+            payload = encode_wav(
+                k,
+                rate,
+                codec="ulaw" if did % 8 < 4 else "alaw",
+                extensible=did % 5 < 2,
+            )
+            expect = 28 + (40 if q < 2 else 16) + channels * n
+            fmt = "wav/ulaw8" if did % 8 < 4 else "wav/alaw8"
+            bits = 8
+        _, meta = decode_wav(payload)
+        assert len(payload) == expect, (did, sel, len(payload), expect)
+        assert struct.unpack_from("<I", payload, 4)[0] == expect - 8
+        assert meta == {
+            "channels": channels,
+            "sample_rate": rate,
+            "bits": bits,
+            "n_samples": n,
+            "format": fmt,
+        }, (did, sel, meta)
+
+
 def test_g711_encoders_match_reference_exhaustively():
     """r12: the G.711 encode halves (``linear_to_ulaw`` /
     ``linear_to_alaw``) are the CCITT reference encoders, verified on
