@@ -188,7 +188,14 @@ PREV_ROUND_HEADLINE = [
     # audio_feature_stats (retirement-funded); the headline set stays
     # unchanged so shared_prev_subtotal remains like-for-like — the
     # new query is driver-hashed in the sweep, and its per-doc numpy
-    # cost profile is already represented by multimodal_wav_stats
+    # cost profile is already represented by multimodal_wav_stats.
+    # Round 13 registers multimodal_adpcm_stats (the precomputed
+    # spare slot) and applies the same rule: per-doc codec probe on
+    # ~100-sample waveforms, cost profile represented by
+    # multimodal_wav_stats / audio_feature_stats (SCALING.md codec
+    # cost table carries the per-second encode/decode constants);
+    # headline set unchanged, shared_prev_subtotal fully
+    # like-for-like for the third consecutive round
     "multimodal_wav_stats",
     "hll_distinct_users_sketch_only",
     "dedup_keep_best",

@@ -2257,6 +2257,136 @@ def test_png_foreign_decoder_interop(tmp_path):
         )
 
 
+def test_wav_foreign_decoder_interop(tmp_path):
+    """r13: the interop pattern extends to the WAV container — Java's
+    ``javax.sound.sampled`` (a foreign RIFF/WAVE reader + G.711
+    expander, shipped with the JDK) must read every ``encode_wav``
+    emission. Pins, all EXACT (the container and G.711 are lossless):
+    metadata (encoding/rate/bits/channels/frame count), raw frame
+    bytes == our data chunk (the chunk walk and sizes agree), and for
+    µ-law/A-law the JavaSound PCM16 expansion equals ``decode_wav``'s
+    CCITT-table expansion bit-for-bit — a foreign implementation of
+    the same tables. JUNK/cue extra chunks pin the foreign reader
+    over our word-aligned chunk emission too. EXTENSIBLE-wrapped
+    G.711 is deliberately NOT a case: JavaSound dispatches 0xFFFE
+    only for PCM sub-formats (probed: PCM EXTENSIBLE reads fine,
+    MULAW GUID throws) — a reader gap, not an emission defect; our
+    own decoder and the scalar references cover that framing.
+    Skip-guarded on the JDK toolchain like the image interop pins."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+    import pytest
+
+    from mspr2_back_spark.operators.multimodal import decode_wav, encode_wav
+
+    if not (shutil.which("javac") and shutil.which("java")):
+        pytest.skip("JDK toolchain not available")
+
+    src = tmp_path / "WavProbe.java"
+    src.write_text(
+        "import javax.sound.sampled.*;\n"
+        "import java.io.*;\n"
+        "public class WavProbe {\n"
+        "  public static void main(String[] a) throws Exception {\n"
+        "    AudioInputStream in = AudioSystem.getAudioInputStream(new File(a[0]));\n"
+        "    AudioFormat f = in.getFormat();\n"
+        "    System.out.println(\"encoding=\" + f.getEncoding()\n"
+        "        + \" rate=\" + (int) f.getSampleRate()\n"
+        "        + \" bits=\" + f.getSampleSizeInBits()\n"
+        "        + \" channels=\" + f.getChannels()\n"
+        "        + \" frames=\" + in.getFrameLength());\n"
+        "    DataOutputStream raw = new DataOutputStream(\n"
+        "        new BufferedOutputStream(new FileOutputStream(a[1])));\n"
+        "    byte[] buf = new byte[8192]; int n;\n"
+        "    while ((n = in.read(buf)) > 0) raw.write(buf, 0, n);\n"
+        "    raw.close();\n"
+        "    AudioInputStream in2 = AudioSystem.getAudioInputStream(new File(a[0]));\n"
+        "    AudioFormat tgt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,\n"
+        "        f.getSampleRate(), 16, f.getChannels(), 2 * f.getChannels(),\n"
+        "        f.getSampleRate(), false);\n"
+        "    AudioInputStream conv = AudioSystem.getAudioInputStream(tgt, in2);\n"
+        "    DataOutputStream pcm = new DataOutputStream(\n"
+        "        new BufferedOutputStream(new FileOutputStream(a[2])));\n"
+        "    while ((n = conv.read(buf)) > 0) pcm.write(buf, 0, n);\n"
+        "    pcm.close();\n"
+        "  }\n"
+        "}\n"
+    )
+    subprocess.run(
+        ["javac", str(src)], check=True, capture_output=True, cwd=tmp_path
+    )
+
+    def probe(payload: bytes):
+        wav = tmp_path / "in.wav"
+        raw = tmp_path / "raw.bin"
+        pcm = tmp_path / "pcm.bin"
+        wav.write_bytes(payload)
+        r = subprocess.run(
+            ["java", "-cp", str(tmp_path), "WavProbe",
+             str(wav), str(raw), str(pcm)],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        meta = dict(kv.split("=") for kv in r.stdout.split())
+        return meta, raw.read_bytes(), pcm.read_bytes()
+
+    t = np.arange(800)
+    x = (5000 * np.sin(t / 7) + 2000 * np.sin(t / 31)).astype(np.int16)
+    stereo = np.stack([x, (x // 3).astype(np.int16)], axis=1)
+    mono = x.reshape(-1, 1)
+
+    def data_chunk(payload: bytes) -> bytes:
+        import struct
+
+        pos = payload.find(b"data")
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        return payload[pos + 8 : pos + 8 + size]
+
+    # (tag, payload, expected metadata, expected raw bytes)
+    cases = [
+        ("pcm16-stereo", encode_wav(stereo, 16000),
+         {"encoding": "PCM_SIGNED", "rate": "16000", "bits": "16",
+          "channels": "2", "frames": "800"}, stereo.tobytes()),
+        ("pcm16-extensible", encode_wav(mono, 8000, extensible=True),
+         {"encoding": "PCM_SIGNED", "rate": "8000", "bits": "16",
+          "channels": "1", "frames": "800"}, mono.tobytes()),
+        ("pcm16-extra-chunks",
+         encode_wav(mono, 8000, pre_chunks=[(b"JUNK", b"x" * 7)],
+                    post_chunks=[(b"cue ", b"y" * 12)]),
+         {"encoding": "PCM_SIGNED", "rate": "8000", "bits": "16",
+          "channels": "1", "frames": "800"}, mono.tobytes()),
+        ("pcm8",
+         encode_wav(((x.astype(np.int32) + 32768) // 256)
+                    .astype(np.uint8).reshape(-1, 1), 8000),
+         {"encoding": "PCM_UNSIGNED", "rate": "8000", "bits": "8",
+          "channels": "1", "frames": "800"}, None),
+        ("pcm32", encode_wav(x.astype(np.int32).reshape(-1, 1) * 65536, 8000),
+         {"encoding": "PCM_SIGNED", "rate": "8000", "bits": "32",
+          "channels": "1", "frames": "800"}, None),
+        ("float32",
+         encode_wav((x.astype(np.float32) / 32768.0).reshape(-1, 1), 8000),
+         {"encoding": "PCM_FLOAT", "rate": "8000", "bits": "32",
+          "channels": "1", "frames": "800"}, None),
+        ("ulaw-stereo", encode_wav(stereo, 8000, codec="ulaw"),
+         {"encoding": "ULAW", "rate": "8000", "bits": "8",
+          "channels": "2", "frames": "800"}, None),
+        ("alaw-mono", encode_wav(mono, 8000, codec="alaw"),
+         {"encoding": "ALAW", "rate": "8000", "bits": "8",
+          "channels": "1", "frames": "800"}, None),
+    ]
+    for tag, payload, want_meta, want_raw in cases:
+        meta, raw, pcm = probe(payload)
+        assert meta == want_meta, (tag, meta)
+        assert raw == (want_raw or data_chunk(payload)), tag
+        if meta["encoding"] in ("ULAW", "ALAW"):
+            ours, _ = decode_wav(payload)
+            foreign = np.frombuffer(pcm, dtype="<i2").reshape(ours.shape)
+            assert np.array_equal(foreign, ours), tag  # CCITT bit parity
+
+
 def test_jpeg_progressive_rejections_and_fallback():
     """r11: what stays rejected after the grayscale flip, each with
     its own loud error and the deterministic-fake dispatch fallback —
