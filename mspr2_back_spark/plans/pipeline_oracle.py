@@ -1203,7 +1203,10 @@ blk AS (
   FROM d
 ),
 sz AS (
-  SELECT *, (n + spb - 1) // spb AS nb FROM blk
+  -- FLOOR division, not //: the statement stays Spark-parseable
+  -- (test_sql_surface runs it verbatim on both engines; operands
+  -- are small non-negative ints so the double division is exact)
+  SELECT *, CAST(FLOOR((n + spb - 1) / spb) AS BIGINT) AS nb FROM blk
 )
 SELECT doc_id,
        CASE sel WHEN 0 THEN 'wav/ima-adpcm4'
