@@ -2151,4 +2151,14 @@ def adpcm_roundtrip_probe(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(run, schema=ADPCM_PROBE_SCHEMA)
+    # jpeg_meta_stats' repartition-to-cores rule applies here, not
+    # wav_meta_stats' exemption: four encode+decode passes over
+    # block-sequential nibble recursions cost ~1.3 ms/doc (measured),
+    # so the single-split doc_id projection of a small parquet file
+    # serializes the codec — the 8-bytes-a-row shuffle buys full CPU
+    # fan-out (6.4 s -> sub-second at sf0.1 on local[32]; at 100 TB
+    # the scan has thousands of splits and AQE coalescing makes this
+    # a no-op-sized rebalance).
+    ids = docs.select("doc_id")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(par).mapInPandas(run, schema=ADPCM_PROBE_SCHEMA)
