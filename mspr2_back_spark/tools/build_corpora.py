@@ -1,0 +1,150 @@
+"""Builders for the SCALING.md measurement corpora.
+
+Every scale row in SCALING.md runs against parquet built by one of
+these two constructions; they lived in throwaway scripts until r13.
+Committing them makes the records reproducible byte-for-byte:
+
+- ``build_scaled``: the header-method replica — N copies of an
+  sf-dir table with key shifting so join/group cardinalities grow
+  with the data, and (documents only) a per-copy alphabet rotation
+  so cross-copy shingle sets are disjoint. The 26-rotation ceiling
+  means >=27x replication forms same-shift classes of exact twins —
+  the adversarial densest-case for clustering (SCALING.md round-8
+  notes read this structure in detail).
+
+- ``build_dupcorp``: the round-13 controlled-duplication documents
+  corpus (SCALING.md "Banding expansion on a controlled-duplication
+  corpus"): N copies of the sf0.1 documents where 40% of base docs
+  (id%5<2) contribute their copies as families of 4 (f=c//4,
+  m=c%4) — every word md5-salted with (base, f) so families are
+  mutually DISJOINT, the middle word additionally salted with m so
+  members are genuine NEAR-dups (word-3-gram Jaccard ~ (G-3)/(G+3)
+  ~ 0.89 at the 54-word median, zero exact twins); the other 60%
+  salt every word with (base, c): fully unique.
+
+Usage:
+    python -m mspr2_back_spark.tools.build_corpora scaled \\
+        /root/testdata/sf0.1 /tmp/scaled256 --copies 256
+    python -m mspr2_back_spark.tools.build_corpora dupcorp \\
+        /root/testdata/sf0.1 /tmp/dupcorp256 --copies 256
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_AB = "abcdefghijklmnopqrstuvwxyz"
+_TABLES_ID_COLS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "doc_id",
+}
+
+
+def _rotated(col: str, copy: str) -> F.Column:
+    """Per-copy alphabet rotation (26-rotation ceiling, documented)."""
+    rotations = [_AB[k:] + _AB[:k] for k in range(26)]
+    expr = F.translate(F.col(col), _AB, rotations[1])
+    out = F.when(F.col(copy) % 26 == 1, expr)
+    for k in range(2, 26):
+        out = out.when(
+            F.col(copy) % 26 == k, F.translate(F.col(col), _AB, rotations[k])
+        )
+    return out.otherwise(F.col(col))
+
+
+def build_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    copies: int,
+    tables: list[str] | None = None,
+    partitions: int = 32,
+) -> None:
+    """Replicate sf-dir tables with key shifting + alphabet rotation."""
+    for t in tables or list(_TABLES_ID_COLS):
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        cdf = spark.range(copies).withColumnRenamed("id", "_copy")
+        j = df.crossJoin(F.broadcast(cdf))
+        shift = F.col("_copy") * 10_000_000
+        key = _TABLES_ID_COLS[t]
+        cols = []
+        for name in df.columns:
+            c = F.col(name)
+            if name == key or name.endswith("key") or name == "doc_id":
+                c = (F.col(name) + shift).alias(name)
+            elif t == "documents" and name == "text":
+                c = _rotated("text", "_copy").alias("text")
+            cols.append(c)
+        j.select(*cols).repartition(partitions).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+
+def build_dupcorp(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    copies: int = 256,
+    partitions: int = 32,
+) -> DataFrame:
+    """The controlled-duplication documents corpus (r13 section)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cdf = spark.range(copies).withColumnRenamed("id", "c")
+    j = base.crossJoin(F.broadcast(cdf))
+    j = j.withColumn("words", F.split(F.coalesce("text", F.lit("")), " "))
+    j = j.withColumn("mid", (F.size("words") / 2).cast("int"))
+    j = j.withColumn("f", (F.col("c") / 4).cast("int")).withColumn(
+        "m", F.col("c") % 4
+    )
+    fam_word = (
+        "transform(words, (w, i) -> CASE WHEN i = mid"
+        " THEN substr(md5(concat_ws('|', w, doc_id, f, m)), 1, 8)"
+        " ELSE substr(md5(concat_ws('|', w, doc_id, f)), 1, 8) END)"
+    )
+    uniq_word = (
+        "transform(words, (w, i) ->"
+        " substr(md5(concat_ws('|', w, 'u', doc_id, c)), 1, 8))"
+    )
+    out = j.select(
+        (F.col("c") * 100000 + F.col("doc_id")).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 5 < 2,
+            F.array_join(F.expr(fam_word), " "),
+        )
+        .otherwise(F.array_join(F.expr(uniq_word), " "))
+        .alias("text"),
+    )
+    out.repartition(partitions).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    return spark.read.parquet(f"{out_dir}/documents.parquet")
+
+
+if __name__ == "__main__":
+    from mspr2_back_spark.session import get_spark
+
+    p = argparse.ArgumentParser()
+    p.add_argument("kind", choices=["scaled", "dupcorp"])
+    p.add_argument("sf_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--copies", type=int, default=256)
+    p.add_argument("--tables", nargs="*", default=None)
+    a = p.parse_args()
+    s = get_spark(shuffle_partitions=128)
+    if a.kind == "scaled":
+        build_scaled(s, a.sf_dir, a.out_dir, a.copies, a.tables)
+    else:
+        build_dupcorp(s, a.sf_dir, a.out_dir, a.copies)
+    print("done:", a.out_dir)
