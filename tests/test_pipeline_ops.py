@@ -1139,6 +1139,63 @@ def test_registry_report_matches_documented_counts():
     assert len(markdown().splitlines()) == s["total"] + 4
 
 
+def test_dupcorp_builder_structure(spark, sf_dir, tmp_path):
+    """r13: the controlled-duplication corpus construction behind the
+    banding-expansion closure (SCALING.md round 13;
+    tools/build_corpora.py::build_dupcorp) is pinned structurally —
+    family members are genuine NEAR-dups (word-3-gram Jaccard ≥ 0.8
+    for median-length docs, strictly < 1: zero exact twins), families
+    are mutually disjoint (Jaccard 0), and unique-doc copies are
+    disjoint from everything. Computed in plain python on the emitted
+    text so the pin is independent of the Spark shingle operator."""
+    from mspr2_back_spark.tools.build_corpora import build_dupcorp
+
+    df = build_dupcorp(spark, sf_dir, str(tmp_path / "dup"), copies=8)
+    base_n = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert df.count() == base_n * 8
+
+    def grams(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
+
+    def jac(a, b):
+        return len(a & b) / len(a | b)
+
+    # pick a family base doc (id%5<2) with a median-length text
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in df.filter(
+            "doc_id % 100000 % 5 < 2 and doc_id % 100000 >= 0"
+        ).collect()
+    }
+    fam_bases = sorted({d % 100000 for d in rows})
+    base = next(
+        b for b in fam_bases if len(rows[b].split(" ")) >= 40
+    )
+    # copies c=0..3 -> family f=0; c=4..7 -> family f=1
+    f0 = [grams(rows[c * 100000 + base]) for c in range(4)]
+    f1 = [grams(rows[c * 100000 + base]) for c in range(4, 8)]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert 0.8 <= jac(f0[i], f0[j]) < 1.0, (i, j, jac(f0[i], f0[j]))
+    assert jac(f0[0], f1[0]) == 0.0  # cross-family disjoint
+    # unique docs: two copies of an id%5>=2 base share nothing
+    ub = min(
+        r["doc_id"] % 100000
+        for r in df.filter("doc_id % 100000 % 5 >= 2")
+        .select("doc_id").distinct().collect()
+    )
+    u = [
+        grams(r["text"])
+        for r in df.filter(
+            f"doc_id % 100000 = {ub} and doc_id < 200000"
+        ).collect()
+    ]
+    assert len(u) == 2 and jac(u[0], u[1]) == 0.0
+
+
 def test_ml_forecast_ar_exact_matches_numpy_fit(spark, sf_dir):
     """The SQL-side Cramer AR(2) fit and unrolled recursion must
     reproduce an independent numpy lstsq fit + python recursion on
