@@ -1196,7 +1196,51 @@ def test_dupcorp_builder_structure(spark, sf_dir, tmp_path):
     assert len(u) == 2 and jac(u[0], u[1]) == 0.0
 
 
-def test_ml_forecast_ar_exact_matches_numpy_fit(spark, sf_dir):
+def test_dedup_chain_recovers_planted_families(spark, sf_dir, tmp_path):
+    """r13: end-to-end falsifiability for the dedup chain — on the
+    controlled-duplication corpus the RIGHT answer is known by
+    construction, so the whole minhash→banding→verify→label-
+    propagation chain is pinned against planted ground truth (the
+    256× version of this check is the SCALING.md round-13 clustering
+    record). An independent plain-python pass over the emitted text
+    computes which families clear the 0.8 Jaccard threshold (members
+    differ at the SAME single position, so every within-family pair
+    shares one Jaccard — families are all-or-nothing); the chain
+    must return exactly those families as clusters of exactly 4,
+    with the family minimum as the cluster id, and nothing else."""
+    from mspr2_back_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from mspr2_back_spark.tools.build_corpora import build_dupcorp
+
+    docs = build_dupcorp(spark, sf_dir, str(tmp_path / "dup"), copies=8)
+
+    def grams(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter("doc_id % 100000 % 5 < 2").collect()
+    }
+    expected = set()
+    for base in {d % 100000 for d in texts}:
+        for f in range(2):  # copies 0-3 -> family 0, 4-7 -> family 1
+            members = [(f * 4 + m) * 100000 + base for m in range(4)]
+            g = [grams(texts[d]) for d in members]
+            j = len(g[0] & g[1]) / len(g[0] | g[1])
+            if j >= 0.8:
+                expected.add(frozenset(members))
+    assert len(expected) > 10  # the corpus must plant enough signal
+
+    clusters = near_dup_clusters(minhash_lsh_pairs(docs)).collect()
+    got = {}
+    for r in clusters:
+        got.setdefault(r["cluster"], set()).add(r["node"])
+    # cluster id is the family minimum; membership exactly the family
+    assert {frozenset(v) for v in got.values()} == expected
+    assert all(min(v) == c for c, v in got.items())
     """The SQL-side Cramer AR(2) fit and unrolled recursion must
     reproduce an independent numpy lstsq fit + python recursion on
     the same per-user daily series (falsifiability for the
