@@ -36,18 +36,10 @@ import argparse
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _AB = "abcdefghijklmnopqrstuvwxyz"
-_TABLES_ID_COLS = {
-    "region": "r_regionkey",
-    "nation": "n_nationkey",
-    "customer": "c_custkey",
-    "supplier": "s_suppkey",
-    "part": "p_partkey",
-    "orders": "o_orderkey",
-    "lineitem": "l_orderkey",
-    "events": "user_id",
-    "documents": "doc_id",
-    "embeddings": "doc_id",
-}
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
 
 
 def _rotated(col: str, copy: str) -> F.Column:
@@ -70,20 +62,27 @@ def build_scaled(
     tables: list[str] | None = None,
     partitions: int = 32,
 ) -> None:
-    """Replicate sf-dir tables with key shifting + alphabet rotation."""
-    for t in tables or list(_TABLES_ID_COLS):
+    """Replicate sf-dir tables with key shifting + alphabet rotation
+    (documents) + per-copy circular dimension shift (embeddings —
+    within-copy cosines preserved exactly, header method)."""
+    for t in tables or list(_TABLES):
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         cdf = spark.range(copies).withColumnRenamed("id", "_copy")
         j = df.crossJoin(F.broadcast(cdf))
         shift = F.col("_copy") * 10_000_000
-        key = _TABLES_ID_COLS[t]
         cols = []
         for name in df.columns:
             c = F.col(name)
-            if name == key or name.endswith("key") or name == "doc_id":
+            if name.endswith("key") or name.endswith("_id"):
                 c = (F.col(name) + shift).alias(name)
             elif t == "documents" and name == "text":
                 c = _rotated("text", "_copy").alias("text")
+            elif t == "embeddings" and name == "embedding":
+                c = F.expr(
+                    "concat(slice(embedding, cast(_copy % 64 as int) + 1,"
+                    " 64 - cast(_copy % 64 as int)),"
+                    " slice(embedding, 1, cast(_copy % 64 as int)))"
+                ).alias("embedding")
             cols.append(c)
         j.select(*cols).repartition(partitions).write.mode(
             "overwrite"

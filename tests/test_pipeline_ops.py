@@ -1196,6 +1196,62 @@ def test_dupcorp_builder_structure(spark, sf_dir, tmp_path):
     assert len(u) == 2 and jac(u[0], u[1]) == 0.0
 
 
+def test_scaled_builder_structure(spark, sf_dir, tmp_path):
+    """r13: the scaled-replica builder (tools/build_corpora.py::
+    build_scaled — the construction behind every SCALING.md scale
+    row, committed this round) is pinned structurally: row counts
+    multiply, shifted keys never collide across copies, the
+    documents alphabet rotation makes cross-copy shingle sets
+    disjoint while preserving length, and the embeddings circular
+    dimension shift preserves within-copy norms exactly."""
+    import numpy as np
+
+    from mspr2_back_spark.tools.build_corpora import build_scaled
+
+    out = str(tmp_path / "scaled")
+    build_scaled(
+        spark, sf_dir, out, 3,
+        tables=["nation", "documents", "embeddings", "events"],
+    )
+    base = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        for t in ("nation", "documents", "embeddings", "events")
+    }
+    for t, n in base.items():
+        df = spark.read.parquet(f"{out}/{t}.parquet")
+        assert df.count() == 3 * n, t
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    assert docs.select("doc_id").distinct().count() == 3 * base["documents"]
+    ev = spark.read.parquet(f"{out}/events.parquet")
+    assert ev.select("event_id").distinct().count() == 3 * base["events"]
+
+    # rotation: copy-1 text is the copy-0 text rotated by one letter
+    pair = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(
+            "doc_id % 10000000 = 0 and doc_id < 20000000"
+        ).collect()
+    }
+    t0, t1 = pair[0], pair[10_000_000]
+    ab = "abcdefghijklmnopqrstuvwxyz"
+    assert t1 == t0.translate(str.maketrans(ab, ab[1:] + ab[:1]))
+    w0 = {w for w in t0.split() if any(c in ab for c in w)}
+    w1 = {w for w in t1.split() if any(c in ab for c in w)}
+    assert w0 and w0.isdisjoint(w1)  # cross-copy token disjointness
+
+    # embeddings: copy-1 vector is copy-0 circularly shifted by 1,
+    # so norms (and within-copy cosines) are preserved exactly
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    vid = emb.filter("vec_id % 10000000 = 0 and vec_id < 20000000")
+    vs = {r["vec_id"]: np.array(r["embedding"]) for r in vid.collect()}
+    v0, v1 = vs[0], vs[10_000_000]
+    assert np.array_equal(v1, np.roll(v0, -1))
+    # a circular shift permutes components bit-exactly (the "norms
+    # and within-copy cosines preserved" claim follows; the norms
+    # themselves differ in the last ulp from summation order)
+    assert np.array_equal(np.sort(v0), np.sort(v1))
+
+
 def test_dedup_chain_recovers_planted_families(spark, sf_dir, tmp_path):
     """r13: end-to-end falsifiability for the dedup chain — on the
     controlled-duplication corpus the RIGHT answer is known by
