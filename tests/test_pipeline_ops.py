@@ -1297,6 +1297,63 @@ def test_dedup_chain_recovers_planted_families(spark, sf_dir, tmp_path):
     # cluster id is the family minimum; membership exactly the family
     assert {frozenset(v) for v in got.values()} == expected
     assert all(min(v) == c for c, v in got.items())
+
+
+def test_incremental_dedup_recovers_planted_families(spark, sf_dir, tmp_path):
+    """r13: planted ground truth for the INCREMENTAL dedup path —
+    hold the last member of every planted family out as the "daily
+    ingest batch" and probe the remaining corpus:
+    ``incremental_ngram_pairs`` must return exactly (each held-out
+    member × its 3 in-corpus siblings) for every family clearing the
+    threshold, at EXACTLY the family Jaccard (one int division on
+    identical operands in both engines), and nothing for the unique
+    batch docs. The expected set comes from plain python over the
+    corpus construction, independent of the Spark operators."""
+    from mspr2_back_spark.operators.dedup import incremental_ngram_pairs
+    from mspr2_back_spark.tools.build_corpora import build_dupcorp
+
+    docs = build_dupcorp(spark, sf_dir, str(tmp_path / "dup"), copies=8)
+    is_family = "doc_id % 100000 % 5 < 2"
+    copy = "cast(doc_id / 100000 as int)"
+    # corpus: family members m=0..2 of both families + unique copies
+    # c<6; batch: the held-out family members (c=3, c=7) + unique
+    # copies c in (6, 7), which must match nothing
+    corpus = docs.filter(
+        f"({is_family} and {copy} % 4 != 3)"
+        f" or (not ({is_family}) and {copy} < 6)"
+    )
+    batch = docs.filter(
+        f"({is_family} and {copy} % 4 = 3)"
+        f" or (not ({is_family}) and {copy} >= 6)"
+    )
+
+    def grams(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
+
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.filter(is_family).collect()
+    }
+    expected = set()
+    for base in {d % 100000 for d in texts}:
+        for f in range(2):
+            members = [(f * 4 + m) * 100000 + base for m in range(4)]
+            g = [grams(texts[d]) for d in members]
+            for m, sib in enumerate(members[:3]):
+                shared = len(g[3] & g[m])
+                jac = shared / (len(g[3]) + len(g[m]) - shared)
+                if jac >= 0.8:
+                    expected.add((sib, members[3], jac))
+    assert len(expected) > 30
+
+    got = {
+        (r["corpus_doc_id"], r["batch_doc_id"], r["jaccard"])
+        for r in incremental_ngram_pairs(corpus, batch, 0.8).collect()
+    }
+    assert got == expected
+
+
+def test_ml_forecast_ar_exact_matches_numpy_fit(spark, sf_dir):
     """The SQL-side Cramer AR(2) fit and unrolled recursion must
     reproduce an independent numpy lstsq fit + python recursion on
     the same per-user daily series (falsifiability for the
