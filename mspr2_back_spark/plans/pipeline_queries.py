@@ -563,7 +563,13 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to shingle cardinality, one tiny per-(split, doc)
     fold — never a corpus-sized broadcast, never a pair join."""
     docs = load_table(spark, sf_dir, "documents")
-    splits = _split_assignments(docs)
+    return _contamination_audit_frame(_split_assignments(docs))
+
+
+def _contamination_audit_frame(splits: DataFrame) -> DataFrame:
+    """The audit body over a (doc_id, cluster_id, split, text) frame
+    — factored so the planted-ground-truth test can drive it on the
+    controlled-duplication corpus (tests/test_pipeline_ops.py)."""
     ex = dedup.shingles_exploded(dedup._spread(splits))
     exs = ex.join(
         splits.select(F.col("doc_id").alias("doc"), "split"), "doc"

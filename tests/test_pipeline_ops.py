@@ -1353,6 +1353,85 @@ def test_incremental_dedup_recovers_planted_families(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_split_governance_on_planted_families(spark, sf_dir, tmp_path):
+    """r13: planted ground truth for the split-governance pair —
+    on the controlled-duplication corpus the cluster-atomic split
+    means a DETECTED family (pairwise Jaccard ≥ threshold) can never
+    straddle splits, so its spans never leak; residual span leakage
+    must come EXACTLY from sub-threshold families whose singleton-
+    labeled members land in different splits. The entire audit
+    output (n_docs, n_leaking_docs, mean_span_overlap per held-out
+    split) is recomputed in plain python from the corpus
+    construction + the md5-mod-20 split law and compared exactly."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mspr2_back_spark.plans.pipeline_queries import (
+        _contamination_audit_frame,
+        _split_assignments,
+    )
+    from mspr2_back_spark.tools.build_corpora import build_dupcorp
+
+    docs = build_dupcorp(spark, sf_dir, str(tmp_path / "dup"), copies=8)
+
+    def grams(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # cluster id: detected families (all-or-nothing) -> min member;
+    # everything else self-labels
+    cluster = {d: d for d in texts}
+    for base in {d % 100000 for d in texts if d % 100000 % 5 < 2}:
+        for f in range(2):
+            members = [(f * 4 + m) * 100000 + base for m in range(4)]
+            g = [grams(texts[d]) for d in members]
+            if len(g[0] & g[1]) / len(g[0] | g[1]) >= 0.8:
+                for d in members:
+                    cluster[d] = min(members)
+
+    def split_of(cid):
+        b = int(hashlib.md5(str(cid).encode()).hexdigest()[:4], 16) % 20
+        return "train" if b < 18 else ("val" if b == 18 else "test")
+
+    split = {d: split_of(cluster[d]) for d in texts}
+    train_grams = set()
+    for d, s in split.items():
+        if s == "train":
+            train_grams |= grams(texts[d])
+    expected = {}
+    for s in ("test", "val"):
+        docs_s = [d for d in split if split[d] == s]
+        overlaps = []
+        leaking = 0
+        for d in docs_s:
+            g = grams(texts[d])
+            shared = len(g & train_grams)
+            leaking += shared > 0
+            overlaps.append(Decimal(shared) / Decimal(len(g)))
+        mean = (sum(overlaps) / len(overlaps)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        expected[s] = (len(docs_s), leaking, float(mean))
+    # structural spot-check of the premise: some leakage exists (the
+    # sub-threshold families) but not everything leaks
+    assert 0 < expected["test"][1] < expected["test"][0]
+
+    out = {
+        r["split"]: (r["n_docs"], r["n_leaking_docs"], r["mean_span_overlap"])
+        for r in _contamination_audit_frame(
+            _split_assignments(docs)
+        ).collect()
+    }
+    assert out == expected
+    # and the invariant that names the test: no detected-family
+    # member leaks (their clusters are split-atomic and families are
+    # mutually disjoint by construction)
+    for d, s in split.items():
+        if s != "train" and cluster[d] != d:
+            assert not (grams(texts[d]) & train_grams), d
+
+
 def test_ml_forecast_ar_exact_matches_numpy_fit(spark, sf_dir):
     """The SQL-side Cramer AR(2) fit and unrolled recursion must
     reproduce an independent numpy lstsq fit + python recursion on
