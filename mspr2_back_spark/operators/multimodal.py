@@ -469,6 +469,16 @@ def _ima_encode_nibbles(
     return out
 
 
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    """One RIFF chunk: id + declared size + body + the word-align pad
+    byte (NOT counted in the declared size) — the single home of the
+    padding rule shared by every WAV encoder in this module (r13: was
+    triplicated across the three encoders)."""
+    return cid + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
 def encode_wav_ima_adpcm(
     samples: np.ndarray, sample_rate: int, block_align: int = 256
 ) -> bytes:
@@ -488,6 +498,14 @@ def encode_wav_ima_adpcm(
     n, channels = samples.shape
     if n < 1:
         raise ValueError("IMA ADPCM needs at least one sample")
+    if channels < 1:
+        # before the block-layout modulo: channels=0 would raise
+        # ZeroDivisionError instead of the layout ValueError (r13
+        # review)
+        raise ValueError(
+            f"malformed IMA ADPCM block layout (block_align={block_align},"
+            f" channels={channels})"
+        )
     data_per_block = block_align - 4 * channels
     if data_per_block < 4 * channels or data_per_block % (4 * channels):
         raise ValueError(
@@ -534,15 +552,10 @@ def encode_wav_ima_adpcm(
         spb,
     )
 
-    def chunk(cid: bytes, cbody: bytes) -> bytes:
-        return cid + struct.pack("<I", len(cbody)) + cbody + (
-            b"\x00" if len(cbody) & 1 else b""
-        )
-
     payload = (
-        chunk(b"fmt ", fmt)
-        + chunk(b"fact", struct.pack("<I", n))
-        + chunk(b"data", bytes(body))
+        _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", struct.pack("<I", n))
+        + _riff_chunk(b"data", bytes(body))
     )
     return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
 
@@ -626,6 +639,14 @@ def encode_wav_ms_adpcm(
     n, channels = samples.shape
     if n < 1:
         raise ValueError("MS ADPCM needs at least one sample")
+    if channels < 1:
+        # before the nibble-layout modulo: channels=0 would raise
+        # ZeroDivisionError instead of the layout ValueError (r13
+        # review)
+        raise ValueError(
+            f"malformed MS ADPCM block layout (block_align={block_align},"
+            f" channels={channels})"
+        )
     header = 7 * channels
     data_per_block = block_align - header
     if data_per_block < 1 or (data_per_block * 2) % channels:
@@ -704,15 +725,10 @@ def encode_wav_ms_adpcm(
             for a, b in zip(_MS_COEF1, _MS_COEF2)
         )
 
-    def chunk(cid: bytes, cbody: bytes) -> bytes:
-        return cid + struct.pack("<I", len(cbody)) + cbody + (
-            b"\x00" if len(cbody) & 1 else b""
-        )
-
     payload = (
-        chunk(b"fmt ", fmt)
-        + chunk(b"fact", struct.pack("<I", n))
-        + chunk(b"data", full.tobytes())
+        _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", struct.pack("<I", n))
+        + _riff_chunk(b"data", full.tobytes())
     )
     return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
 
@@ -931,13 +947,6 @@ def encode_wav(
         audio_format = 3 if samples.dtype == np.dtype(np.float32) else 1
         frame = channels * (bits // 8)
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        # RIFF chunks are word-aligned: odd-sized bodies get a pad
-        # byte that is NOT counted in the declared size
-        return cid + struct.pack("<I", len(body)) + body + (
-            b"\x00" if len(body) & 1 else b""
-        )
-
     fmt = struct.pack(
         "<HHIIHH",
         0xFFFE if extensible else audio_format,
@@ -951,10 +960,14 @@ def encode_wav(
         fmt += struct.pack("<HHI", 22, bits, 0) + (
             struct.pack("<I", audio_format) + _KSDATAFORMAT_TAIL
         )
-    parts = [chunk(cid, body) for cid, body in (pre_chunks or [])]
-    parts.append(chunk(b"fmt ", fmt))
-    parts.append(chunk(b"data", samples.astype(samples.dtype, copy=False).tobytes()))
-    parts += [chunk(cid, body) for cid, body in (post_chunks or [])]
+    parts = [_riff_chunk(cid, body) for cid, body in (pre_chunks or [])]
+    parts.append(_riff_chunk(b"fmt ", fmt))
+    parts.append(
+        _riff_chunk(
+            b"data", samples.astype(samples.dtype, copy=False).tobytes()
+        )
+    )
+    parts += [_riff_chunk(cid, body) for cid, body in (post_chunks or [])]
     payload = b"".join(parts)
     return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
 

@@ -1139,6 +1139,21 @@ def test_registry_report_matches_documented_counts():
     assert len(markdown().splitlines()) == s["total"] + 4
 
 
+def _word_grams(text):
+    """Independent word-3-gram shingle set (whole text when shorter
+    than 3 words) — the plain-python ground-truth reference the
+    planted-corpus tests compare the Spark operators against. Must
+    stay in lockstep with operators/dedup.py::with_shingles; a single
+    definition here keeps the four planted-truth tests editing one
+    place (r13 review)."""
+    w = text.split(" ")
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
+
+
+def _jaccard(a, b):
+    return len(a & b) / len(a | b)
+
+
 def test_dupcorp_builder_structure(spark, sf_dir, tmp_path):
     """r13: the controlled-duplication corpus construction behind the
     banding-expansion closure (SCALING.md round 13;
@@ -1156,13 +1171,6 @@ def test_dupcorp_builder_structure(spark, sf_dir, tmp_path):
     )
     assert df.count() == base_n * 8
 
-    def grams(text):
-        w = text.split(" ")
-        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
-
-    def jac(a, b):
-        return len(a & b) / len(a | b)
-
     # pick a family base doc (id%5<2) with a median-length text
     rows = {
         r["doc_id"]: r["text"]
@@ -1175,12 +1183,12 @@ def test_dupcorp_builder_structure(spark, sf_dir, tmp_path):
         b for b in fam_bases if len(rows[b].split(" ")) >= 40
     )
     # copies c=0..3 -> family f=0; c=4..7 -> family f=1
-    f0 = [grams(rows[c * 100000 + base]) for c in range(4)]
-    f1 = [grams(rows[c * 100000 + base]) for c in range(4, 8)]
+    f0 = [_word_grams(rows[c * 100000 + base]) for c in range(4)]
+    f1 = [_word_grams(rows[c * 100000 + base]) for c in range(4, 8)]
     for i in range(4):
         for j in range(i + 1, 4):
-            assert 0.8 <= jac(f0[i], f0[j]) < 1.0, (i, j, jac(f0[i], f0[j]))
-    assert jac(f0[0], f1[0]) == 0.0  # cross-family disjoint
+            assert 0.8 <= _jaccard(f0[i], f0[j]) < 1.0, (i, j, _jaccard(f0[i], f0[j]))
+    assert _jaccard(f0[0], f1[0]) == 0.0  # cross-family disjoint
     # unique docs: two copies of an id%5>=2 base share nothing
     ub = min(
         r["doc_id"] % 100000
@@ -1188,12 +1196,12 @@ def test_dupcorp_builder_structure(spark, sf_dir, tmp_path):
         .select("doc_id").distinct().collect()
     )
     u = [
-        grams(r["text"])
+        _word_grams(r["text"])
         for r in df.filter(
             f"doc_id % 100000 = {ub} and doc_id < 200000"
         ).collect()
     ]
-    assert len(u) == 2 and jac(u[0], u[1]) == 0.0
+    assert len(u) == 2 and _jaccard(u[0], u[1]) == 0.0
 
 
 def test_scaled_builder_structure(spark, sf_dir, tmp_path):
@@ -1272,10 +1280,6 @@ def test_dedup_chain_recovers_planted_families(spark, sf_dir, tmp_path):
 
     docs = build_dupcorp(spark, sf_dir, str(tmp_path / "dup"), copies=8)
 
-    def grams(text):
-        w = text.split(" ")
-        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
-
     texts = {
         r["doc_id"]: r["text"]
         for r in docs.filter("doc_id % 100000 % 5 < 2").collect()
@@ -1284,7 +1288,7 @@ def test_dedup_chain_recovers_planted_families(spark, sf_dir, tmp_path):
     for base in {d % 100000 for d in texts}:
         for f in range(2):  # copies 0-3 -> family 0, 4-7 -> family 1
             members = [(f * 4 + m) * 100000 + base for m in range(4)]
-            g = [grams(texts[d]) for d in members]
+            g = [_word_grams(texts[d]) for d in members]
             j = len(g[0] & g[1]) / len(g[0] | g[1])
             if j >= 0.8:
                 expected.add(frozenset(members))
@@ -1327,10 +1331,6 @@ def test_incremental_dedup_recovers_planted_families(spark, sf_dir, tmp_path):
         f" or (not ({is_family}) and {copy} >= 6)"
     )
 
-    def grams(text):
-        w = text.split(" ")
-        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
-
     texts = {
         r["doc_id"]: r["text"] for r in docs.filter(is_family).collect()
     }
@@ -1338,7 +1338,7 @@ def test_incremental_dedup_recovers_planted_families(spark, sf_dir, tmp_path):
     for base in {d % 100000 for d in texts}:
         for f in range(2):
             members = [(f * 4 + m) * 100000 + base for m in range(4)]
-            g = [grams(texts[d]) for d in members]
+            g = [_word_grams(texts[d]) for d in members]
             for m, sib in enumerate(members[:3]):
                 shared = len(g[3] & g[m])
                 jac = shared / (len(g[3]) + len(g[m]) - shared)
@@ -1374,10 +1374,6 @@ def test_split_governance_on_planted_families(spark, sf_dir, tmp_path):
 
     docs = build_dupcorp(spark, sf_dir, str(tmp_path / "dup"), copies=8)
 
-    def grams(text):
-        w = text.split(" ")
-        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} or {text}
-
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     # cluster id: detected families (all-or-nothing) -> min member;
     # everything else self-labels
@@ -1385,7 +1381,7 @@ def test_split_governance_on_planted_families(spark, sf_dir, tmp_path):
     for base in {d % 100000 for d in texts if d % 100000 % 5 < 2}:
         for f in range(2):
             members = [(f * 4 + m) * 100000 + base for m in range(4)]
-            g = [grams(texts[d]) for d in members]
+            g = [_word_grams(texts[d]) for d in members]
             if len(g[0] & g[1]) / len(g[0] | g[1]) >= 0.8:
                 for d in members:
                     cluster[d] = min(members)
@@ -1398,14 +1394,14 @@ def test_split_governance_on_planted_families(spark, sf_dir, tmp_path):
     train_grams = set()
     for d, s in split.items():
         if s == "train":
-            train_grams |= grams(texts[d])
+            train_grams |= _word_grams(texts[d])
     expected = {}
     for s in ("test", "val"):
         docs_s = [d for d in split if split[d] == s]
         overlaps = []
         leaking = 0
         for d in docs_s:
-            g = grams(texts[d])
+            g = _word_grams(texts[d])
             shared = len(g & train_grams)
             leaking += shared > 0
             overlaps.append(Decimal(shared) / Decimal(len(g)))
@@ -1429,7 +1425,7 @@ def test_split_governance_on_planted_families(spark, sf_dir, tmp_path):
     # mutually disjoint by construction)
     for d, s in split.items():
         if s != "train" and cluster[d] != d:
-            assert not (grams(texts[d]) & train_grams), d
+            assert not (_word_grams(texts[d]) & train_grams), d
 
 
 def test_ml_forecast_ar_exact_matches_numpy_fit(spark, sf_dir):
@@ -3371,6 +3367,9 @@ def test_ima_adpcm_encode_roundtrip_and_reference():
     # rejections mirror the decoder's layout checks
     with pytest.raises(ValueError, match="malformed IMA ADPCM block"):
         encode_wav_ima_adpcm(st, 8000, block_align=14)
+    with pytest.raises(ValueError, match="malformed IMA ADPCM block"):
+        # zero channels: layout ValueError, not ZeroDivisionError
+        encode_wav_ima_adpcm(np.empty((5, 0), dtype=np.int16), 8000)
     with pytest.raises(ValueError, match="expects int16"):
         encode_wav_ima_adpcm(st.astype(np.int32), 8000)
 
@@ -3483,6 +3482,10 @@ def test_ms_adpcm_encode_roundtrip_and_reference():
         encode_wav_ms_adpcm(st.astype(np.int32), 8000)
     with pytest.raises(ValueError, match="at least one sample"):
         encode_wav_ms_adpcm(np.empty((0, 1), dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="malformed MS ADPCM block"):
+        # zero channels must hit the layout ValueError, not the
+        # ZeroDivisionError the modulo would raise (r13 review)
+        encode_wav_ms_adpcm(np.empty((5, 0), dtype=np.int16), 8000)
 
 
 def test_adpcm_probe_container_closed_forms():
