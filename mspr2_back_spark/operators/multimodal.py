@@ -2109,9 +2109,15 @@ def adpcm_roundtrip_probe(docs: DataFrame) -> DataFrame:
     encode→decode container paths agree with the closed forms
     end-to-end under the driver's oracle.
 
-    Same scale shape as every probe in this family: mapInPandas over
-    the doc_id projection, per-doc-constant numpy work, scan-parallel,
-    shuffle-free."""
+    Scale shape: mapInPandas over the doc_id projection with the
+    ``jpeg_meta_stats`` repartition-to-cores rule — the ~1.3 ms/doc
+    four-framing codec is expensive enough that leaving it on the
+    scan's single sf0.1 split serializes the stage (6.39 s -> 0.72 s
+    measured), so the plan carries ONE round-robin exchange of the
+    8-bytes-a-row doc_id projection to defaultParallelism before the
+    Python stage.  At 100 TB the scan has thousands of splits and AQE
+    coalescing makes this a no-op-sized rebalance.  Per-doc-constant
+    numpy work; no other exchange anywhere in the plan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

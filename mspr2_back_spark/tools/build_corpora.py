@@ -67,6 +67,26 @@ def build_scaled(
     within-copy cosines preserved exactly, header method)."""
     for t in tables or list(_TABLES):
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        key_cols = [
+            n
+            for n in df.columns
+            if n.endswith("key") or n.endswith("_id")
+        ]
+        if key_cols:
+            # The per-copy shift is 10M; a base key at/above it would
+            # silently collide across copies and corrupt every join
+            # cardinality the corpus is supposed to scale.  Fail loud
+            # on any input dir, not just the documented sf0.1.
+            hi = df.agg(
+                *[F.max(F.col(n)).alias(n) for n in key_cols]
+            ).collect()[0]
+            bad = {n: hi[n] for n in key_cols if (hi[n] or 0) >= 10_000_000}
+            if bad:
+                raise ValueError(
+                    f"build_scaled key-shift overflow in {t}: max key(s)"
+                    f" {bad} >= 10000000 (the per-copy shift) — copies"
+                    " would collide"
+                )
         cdf = spark.range(copies).withColumnRenamed("id", "_copy")
         j = df.crossJoin(F.broadcast(cdf))
         shift = F.col("_copy") * 10_000_000
@@ -100,6 +120,18 @@ def build_dupcorp(
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
+    # doc_id is encoded c*100000 + base; a base id at/above 100000
+    # would silently collide copy c with copy c+1's low ids and
+    # corrupt the planted family structure (families would share
+    # members).  The documented corpus is sf0.1 (~5k docs) but the
+    # CLI accepts any sf_dir — fail loud instead of producing a
+    # plausible-but-wrong corpus.
+    max_id = base.agg(F.max("doc_id")).collect()[0][0] or 0
+    if max_id >= 100000:
+        raise ValueError(
+            f"build_dupcorp doc_id encoding overflow: max base doc_id"
+            f" {max_id} >= 100000 — copy blocks would collide"
+        )
     cdf = spark.range(copies).withColumnRenamed("id", "c")
     j = base.crossJoin(F.broadcast(cdf))
     j = j.withColumn("words", F.split(F.coalesce("text", F.lit("")), " "))
