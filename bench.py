@@ -40,12 +40,19 @@ localCheckpoint blocks drain via the ContextCleaner once
 dereferenced; a growing count means a query leaked a cache it
 didn't own).
 
-Load context (round 10, VERDICT r9 task 5): the timed sweep gates on
-1-min loadavg < 8 (waits up to 120 s in 10 s steps, then runs anyway
-— a busy box must still produce a number), and the artifact records
-the gate outcome plus the loadavg at the start of EVERY pass
-("loadavg_per_pass"), so uniform cross-round drift can be attributed
-to measured co-tenant load from the artifact alone.
+Load context (round 10, VERDICT r9 task 5; strengthened round 14,
+VERDICT r13 task 4): the timed sweep gates on a two-tier quiet
+window — up to 300 s waiting for 1-min loadavg < 2 (the SCALING.md
+record threshold; "quiet_achieved": true in the artifact), then up
+to a further 120 s for loadavg < 8 (the old hard gate), then runs
+anyway — a busy box must still produce a number.  The artifact
+records the tier outcome, total wait, the loadavg at gate exit, and
+the loadavg at the start of EVERY pass ("loadavg_per_pass"), so
+uniform cross-round drift can be attributed to measured co-tenant
+load from the artifact alone, and a quiet capture is
+distinguishable from a forced one without a side-channel reference
+(the r13 artifact needed one: every query drifted up together at
+loadavg 6–8, which passed the old gate).
 
 Max-side attribution (round 11, VERDICT r10 "What's wrong" #2): the
 r10 max-side spread (39.5%) mixed each query's page-cache-cold FIRST
@@ -262,20 +269,49 @@ def main() -> None:
     spark.catalog.clearCache()
     baseline_rdds = _persistent_rdd_count(spark)
 
-    # Load gate (round 10, VERDICT r9 task 5): co-tenant load is the
-    # dominant cross-round drift source (r9: uniform +25–40% max-side
-    # deltas under loadavg ~6.4 with zero plan changes). If the 1-min
-    # load is already high, wait it out briefly (bounded — the bench
-    # must still produce a number on a busy box), then run regardless
-    # and RECORD the decision plus per-pass load so drift reads
-    # against measured load inside the artifact.
-    load_gate = {"threshold": 8.0, "waited_sec": 0, "load_at_start": None}
-    gate_deadline = time.monotonic() + 120.0
-    while os.getloadavg()[0] >= load_gate["threshold"] and (
-        time.monotonic() < gate_deadline
-    ):
+    # Load gate (round 10, VERDICT r9 task 5; strengthened round 14,
+    # VERDICT r13 task 4): co-tenant load is the dominant cross-round
+    # drift source (r9: uniform +25–40% max-side deltas under loadavg
+    # ~6.4 with zero plan changes; r13: every query drifted +2–103%
+    # together at loadavg 6–8, which PASSED the old threshold-8 gate,
+    # and the builder's separate quiet-window reference had to carry
+    # the real signal).  Two tiers, both bounded — the bench must
+    # still produce a number on a busy box:
+    #   1. QUIET tier: wait up to 300 s for 1-min loadavg < 2.0 (the
+    #      SCALING.md record-measurement threshold) so the
+    #      driver-visible artifact is capture-comparable across
+    #      rounds without a side-channel quiet reference.
+    #   2. HARD tier: if the box never goes quiet, wait up to a
+    #      further 120 s for loadavg < 8.0 (the old gate), then run
+    #      regardless.
+    # The artifact RECORDS the tier outcome (quiet_achieved), the
+    # total wait, and the loadavg at gate exit, so a reader can tell
+    # a quiet capture from a forced one from the JSON alone.
+    load_gate = {
+        "quiet_threshold": 2.0,
+        "hard_threshold": 8.0,
+        "quiet_wait_budget_sec": 300,
+        "hard_wait_budget_sec": 120,
+        "waited_sec": 0,
+        "quiet_achieved": False,
+        "load_at_start": None,
+    }
+    quiet_deadline = time.monotonic() + 300.0
+    while True:
+        if os.getloadavg()[0] < load_gate["quiet_threshold"]:
+            load_gate["quiet_achieved"] = True
+            break
+        if time.monotonic() >= quiet_deadline:
+            break
         time.sleep(10.0)
         load_gate["waited_sec"] += 10
+    if not load_gate["quiet_achieved"]:
+        hard_deadline = time.monotonic() + 120.0
+        while os.getloadavg()[0] >= load_gate["hard_threshold"] and (
+            time.monotonic() < hard_deadline
+        ):
+            time.sleep(10.0)
+            load_gate["waited_sec"] += 10
     load_gate["load_at_start"] = round(os.getloadavg()[0], 2)
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}

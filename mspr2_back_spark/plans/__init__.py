@@ -38,85 +38,78 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-13 priorities (VERDICT
-# r12 task 1 — the precomputed freshness obligation in COVERAGE.md
-# "Round-13 freshness obligation" — plus task 2's single
-# registration in the precomputed spare slot):
-# 1. multimodal_adpcm_stats: the ONE new registration this round
-#    (VERDICT r12 task 2 — the compressed-WAV decode paths were
-#    pytest-pinned but not driver-hashed; this query round-trips all
-#    four compressed framings and hashes the exact-through-lossy
-#    metadata + closed-form container sizes).  Its slot is the
-#    precomputed r13 spare (49 due < 50), explicitly reserved by the
-#    r12 verdict for exactly this registration.  Registered: 151
-#    callables; treadmill: 150 (percentile_prices stays retired).
-# 2. the five entries displaced in rounds 11->12 — above_avg_orders,
-#    customers_no_jumbo_order, local_supplier_volume,
-#    pct_negative_acctbal, shipping_priority — now 3 rounds old (the
-#    age ceiling): due FIRST among the obligations.
-# 3. the full 44-entry r10 block (the 45 r10-fresh keys minus the
-#    retired percentile_prices) — nothing displaced this round.
-# After this round: 50 r13 / 50 r12 / 50 r11 — the treadmill reaches
-# the exact 3x50 steady state: round 14 owes the plain 50-query r11
-# block, round 15 the r12 block, and so on; every future
-# registration now REQUIRES a same-round retirement (the spare is
-# spent).  Precomputed in COVERAGE.md "Round-14 freshness
-# obligation".  Every key listed here must still exist in QUERIES.
+# (rotation history in COVERAGE.md).  Round-14 is the first pure
+# steady-state rotation: the treadmill reached its designed 3x50
+# state at r13 close (50 r13 / 50 r12 / 50 r11, nothing older), so
+# this round owes exactly the plain 50-entry r11 block — the keys of
+# CORRECTNESS_r11 set-minus the r12 and r13 sweeps, precomputed in
+# COVERAGE.md "Round-14 freshness obligation" and recomputed from
+# the artifacts before this edit (set-equal).  ZERO spare slots:
+# no registration this round (none needed — the registry stays at
+# 151 registered / 150 on the treadmill, percentile_prices retired),
+# no retirement, no displacement.  The r13 VERDICT's _riff_chunk
+# question (multimodal_wav_stats / audio_feature_stats share the
+# hoisted helper but their last driver verdicts predate commit
+# 49e8304) is resolved as WAIT-for-natural-r15: the written
+# justification lives in COVERAGE.md "Round-14 rotation (executed)".
+# Round 15 then owes the 50-entry r12 block (those two queries
+# included), round 16 the r13 block, cycling at period 3.  Every
+# key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- the round-13 registration (the precomputed spare slot;
-    #    plan is new, so it sweeps first) --
-    "multimodal_adpcm_stats",
-    # -- displaced in r11->r12, now 3 rounds old: due first --
-    "above_avg_orders",
-    "customers_no_jumbo_order",
-    "local_supplier_volume",
-    "pct_negative_acctbal",
-    "shipping_priority",
-    # -- latest verdict is round 10 — the full 44-entry block --
-    "ann_lsh_topk",
-    "ann_topk",
-    "asof_event_value",
-    "bigram_surprisal",
-    "brand_surrogate_ids",
-    "corpus_shuffle",
-    "cube_order_stats",
-    "customer_order_histogram",
-    "date_spine",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_norm_stats",
-    "event_debounce",
-    "event_transition_matrix",
-    "events_filtered",
-    "events_in_windows",
-    "grouping_sets_sales",
-    "hourly_events",
-    "ivf_cell_stats",
-    "latest_order_per_customer",
-    "metric_projection",
-    "multimodal_decode_stats",
-    "multimodal_frames",
-    "region_yearly_lag",
-    "rolling_sum3",
-    "rollup_revenue",
-    "segment_decode",
-    "skewed_join_topk",
-    "status_priority_rollup",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "tfidf_top_terms",
-    "token_budget_sample",
-    "top5_customers",
-    "unigram_surprisal",
-    "value_lag_diff",
-    "word_counts",
-    "yearly_orders_lag",
-    "zorder_locality_audit",
+    # -- the plain 50-entry r11 block, enumerated exactly as in
+    #    COVERAGE.md "Round-14 freshness obligation" (alphabetical;
+    #    no entry is new or plan-changed, so order carries no
+    #    priority semantics this round) --
+    "ann_batch_topk",
+    "ann_quantized_topk",
+    "approx_price_quantiles",
+    "attribution_last_touch",
+    "bigram_pmi",
+    "bm25_topk",
+    "brand_supplier_counts",
+    "cms_heavy_hitters",
+    "cohort_ltv",
+    "corpus_datacard",
+    "daily_anomaly_scores",
+    "daily_timeseries",
+    "daily_value_trend",
+    "dedup_edit_distance",
+    "dedup_embedding_cells",
+    "embedding_quantize_stats",
+    "equidepth_price_bands",
+    "event_association_rules",
+    "event_funnel",
+    "ewma_daily_value",
+    "fk_integrity_audit",
+    "funnel_latency",
+    "gapfill_user_daily",
+    "hll_distinct_users",
+    "hybrid_search_rrf",
+    "idle_customers_avg_bal",
+    "leakage_safe_splits",
+    "lineitem_corr_matrix",
+    "min_cost_supplier_per_part",
+    "ml_forecast_ar_exact",
+    "multimodal_jpeg_meta",
+    "multimodal_meta",
+    "or_of_ands_revenue",
+    "orders_page",
+    "pagination_meta",
+    "pricing_summary",
+    "quality_weighted_sample",
+    "retention_cohorts",
+    "revenue_share_by_nation",
+    "scd2_customer_merge",
+    "session_paths",
+    "simhash64_near_degree",
+    "simhash_bucket_stats",
+    "simhash_near_degree",
+    "sliding_event_rates",
+    "split_contamination_audit",
+    "table_preview",
+    "waiting_orders_by_supplier",
+    "weekly_rollup",
+    "weighted_sample_fixed_k",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

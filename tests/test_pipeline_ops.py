@@ -1271,7 +1271,8 @@ def test_dedup_chain_recovers_planted_families(spark, sf_dir, tmp_path):
     differ at the SAME single position, so every within-family pair
     shares one Jaccard — families are all-or-nothing); the chain
     must return exactly those families as clusters of exactly 4,
-    with the family minimum as the cluster id, and nothing else."""
+    with the family minimum as the cluster id, and nothing else.
+    Construction laws: FIXTURES.md "Controlled-duplication corpus"."""
     from mspr2_back_spark.operators.dedup import (
         minhash_lsh_pairs,
         near_dup_clusters,
@@ -1312,7 +1313,8 @@ def test_incremental_dedup_recovers_planted_families(spark, sf_dir, tmp_path):
     threshold, at EXACTLY the family Jaccard (one int division on
     identical operands in both engines), and nothing for the unique
     batch docs. The expected set comes from plain python over the
-    corpus construction, independent of the Spark operators."""
+    corpus construction, independent of the Spark operators.
+    Construction laws: FIXTURES.md "Controlled-duplication corpus"."""
     from mspr2_back_spark.operators.dedup import incremental_ngram_pairs
     from mspr2_back_spark.tools.build_corpora import build_dupcorp
 
@@ -1362,7 +1364,8 @@ def test_split_governance_on_planted_families(spark, sf_dir, tmp_path):
     labeled members land in different splits. The entire audit
     output (n_docs, n_leaking_docs, mean_span_overlap per held-out
     split) is recomputed in plain python from the corpus
-    construction + the md5-mod-20 split law and compared exactly."""
+    construction + the md5-mod-20 split law and compared exactly.
+    Construction laws: FIXTURES.md "Controlled-duplication corpus"."""
     import hashlib
     from decimal import ROUND_HALF_UP, Decimal
 
