@@ -163,6 +163,84 @@ def build_dupcorp(
     return spark.read.parquet(f"{out_dir}/documents.parquet")
 
 
+EMB_DIM = 64
+EMB_N_FAMILIES = 24
+EMB_N_UNIQUES = 16
+EMB_FAMILY_SIZE = 4
+EMB_ID_STRIDE = 100  # vec_id = 100*f + m / 2400 + 100*u — spreads ids
+#                      across id-contiguous verifier blocks so
+#                      block_size=256 paths exercise multi-block joins
+
+
+def _hadamard_sign(r: int, j: int) -> int:
+    """Sylvester Hadamard entry H[r][j] = (-1)^popcount(r AND j).
+
+    Distinct rows are exactly orthogonal (sum over j of
+    H[a][j]*H[b][j] = 64*[a==b]) — the closed-form basis the planted
+    embedding corpus builds on."""
+    return 1 if bin(r & j).count("1") % 2 == 0 else -1
+
+
+def _emb_tau(f: int) -> float:
+    """Per-family member spacing along the partner row.
+
+    tau straddles the registered 0.45 cosine threshold across
+    families: member m sits at t = tau*m, so the pair (m1, m2)
+    cosine is (1 + t1*t2)/sqrt((1+t1^2)(1+t2^2)) — for tau=0.15
+    every pair is near 1; for tau=1.2 the (0,2)/(0,3) pairs fall
+    below 0.45 while adjacent members stay above. Detection is
+    per-PAIR, derived from construction (FIXTURES.md)."""
+    return 0.15 * (1 + f % 8)
+
+
+def build_embcorp(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The planted-neighborhood embeddings corpus (round-14 twin of
+    ``build_dupcorp`` for the embedding-space dedup/ANN chain).
+
+    Construction laws (contract in FIXTURES.md "Planted-neighborhood
+    embeddings corpus"):
+
+    - 24 families of 4 vectors; family f lives in the exactly-
+      orthogonal 2-plane span{H[2f], H[2f+1]} of the 64-dim
+      Sylvester Hadamard basis: member m = H[2f] + tau_f*m*H[2f+1],
+      vec_id = 100*f + m, label = f.
+    - 16 uniques on the reserved rows H[48+u] (never used as a
+      family base or partner): vec_id = 2400 + 100*u, label = -1.
+    - Cross-family, family-vs-unique, and unique-vs-unique cosines
+      are all EXACTLY zero in exact arithmetic (distinct Hadamard
+      rows are orthogonal; float folds leave ~1e-16 residue, far
+      from any threshold); within-family cosines are the known
+      closed form above. The planted neighborhoods are therefore
+      mutually disjoint with infinite margin, and every expected
+      answer — exact pairs, LSH/cell co-bucketing under the
+      md5-derived planes, ANN top-k with its tie structure — is
+      recomputable in plain python from the emitted vectors.
+    """
+    rows = []
+    for f in range(EMB_N_FAMILIES):
+        tau = _emb_tau(f)
+        for m in range(EMB_FAMILY_SIZE):
+            t = tau * m
+            vec = [
+                float(_hadamard_sign(2 * f, j))
+                + t * _hadamard_sign(2 * f + 1, j)
+                for j in range(EMB_DIM)
+            ]
+            rows.append((EMB_ID_STRIDE * f + m, vec, f))
+    for u in range(EMB_N_UNIQUES):
+        vec = [float(_hadamard_sign(48 + u, j)) for j in range(EMB_DIM)]
+        rows.append(
+            (EMB_ID_STRIDE * EMB_N_FAMILIES + EMB_ID_STRIDE * u, vec, -1)
+        )
+    df = spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    return spark.read.parquet(f"{out_dir}/embeddings.parquet")
+
+
 if __name__ == "__main__":
     from mspr2_back_spark.session import get_spark
 

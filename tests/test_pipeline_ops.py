@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from mspr2_back_spark.operators import dedup, multimodal, similarity
 from pyspark.sql import functions as F
 
@@ -4579,3 +4581,250 @@ def test_audio_features_spark_operator_total(spark):
     assert out[3].rms == 0.0 and out[3].n_samples == 0
     plan = audio_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r14: planted ground truth for the EMBEDDING-space chain (VERDICT r13
+# task 3) — the build_dupcorp pattern extended to vectors. Construction
+# laws: FIXTURES.md "Planted-neighborhood embeddings corpus". Every
+# expected answer below is recomputed in plain python from the EMITTED
+# vectors (independent of the Spark operators), then cross-checked
+# against the closed-form construction law where one exists.
+# ---------------------------------------------------------------------------
+
+
+def _emb_fold(a, b):
+    """Index-order left fold of sum(a[i]*b[i]) — bit-identical to the
+    engine's aggregate(zip_with(...)) dot/norm expressions."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _emb_cos6(vecs, i, j):
+    import math
+
+    c = _emb_fold(vecs[i], vecs[j]) / (
+        math.sqrt(_emb_fold(vecs[i], vecs[i]))
+        * math.sqrt(_emb_fold(vecs[j], vecs[j]))
+    )
+    # rounding-stability margin: no cosine may sit at a 1e-6 HALF_UP
+    # boundary (python round is half-even — the margin makes both
+    # roundings, and the BLAS-ordered float64 of the block verifier,
+    # agree bit-for-bit on the rounded value)
+    frac = abs(c) * 1e6 % 1.0
+    assert abs(frac - 0.5) > 1e-3, (i, j, c)
+    return round(c, 6)
+
+
+def _emb_plane_sign_bit(vec, plane):
+    """0/1 sign bit of the md5-derived hyperplane projection —
+    the same public law operators/similarity.py::_plane_signs
+    states, recomputed independently with an index-order fold."""
+    import hashlib
+
+    acc = 0.0
+    for i, x in enumerate(vec):
+        s = (
+            1.0
+            if hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[0]
+            in "89abcdef"
+            else -1.0
+        )
+        acc += float(x) * s
+    return 1 if acc > 0 else 0
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark, tmp_path_factory):
+    from mspr2_back_spark.tools.build_corpora import build_embcorp
+
+    out = str(tmp_path_factory.mktemp("embcorp"))
+    build_embcorp(spark, out)
+    rows = spark.read.parquet(f"{out}/embeddings.parquet").collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows
+    }
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    return out, vecs, labels
+
+
+def _emb_exact_expected(vecs):
+    """All-pairs expected set at the registered 0.45 threshold, with
+    the per-pair threshold margin asserted."""
+    ids = sorted(vecs)
+    expected = {}
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            c = _emb_cos6(vecs, a, b)
+            assert abs(c - 0.45) > 1e-4, (a, b, c)
+            if c >= 0.45:
+                expected[(a, b)] = c
+    return expected
+
+
+def test_embedding_exact_pairs_recover_planted_neighborhoods(
+    spark, emb_corpus
+):
+    """The exact all-pairs verifier (dedup_embedding_cosine's plan) on
+    the planted corpus: the emitted pair set must be EXACTLY the
+    within-family pairs whose closed-form cosine
+    (1 + t1*t2)/sqrt((1+t1^2)(1+t2^2)), t = tau_f*m, clears the
+    0.45 threshold — cross-family/unique cosines are exactly zero by
+    Hadamard orthogonality, so nothing else can ever qualify.
+    Construction laws: FIXTURES.md "Planted-neighborhood embeddings
+    corpus"."""
+    import math
+
+    from mspr2_back_spark.plans.pipeline_queries import (
+        dedup_embedding_cosine,
+    )
+    from mspr2_back_spark.tools.build_corpora import _emb_tau
+
+    out, vecs, labels = emb_corpus
+    expected = _emb_exact_expected(vecs)
+
+    # closed-form cross-check from the construction LAW (not the
+    # emitted floats): within-family pairs above threshold
+    law = set()
+    for f in range(24):
+        tau = _emb_tau(f)
+        for m1 in range(4):
+            for m2 in range(m1 + 1, 4):
+                t1, t2 = tau * m1, tau * m2
+                c = (1 + t1 * t2) / math.sqrt(
+                    (1 + t1 * t1) * (1 + t2 * t2)
+                )
+                if c >= 0.45:
+                    law.add((100 * f + m1, 100 * f + m2))
+    assert set(expected) == law
+    # the threshold must do real work: some family pairs fall below
+    assert 0 < len(law) < 24 * 6
+    # family disjointness: every expected pair is within one family
+    assert all(labels[a] == labels[b] != -1 for a, b in expected)
+
+    got = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine_sim"]
+        for r in dedup_embedding_cosine(spark, out).collect()
+    }
+    assert got == expected
+
+
+def test_embedding_lsh_recovers_planted_neighborhoods(spark, emb_corpus):
+    """dedup_embedding_lsh end-to-end on the planted corpus: expected
+    output = (exact planted pair set) ∩ (pairs whose md5-derived sign
+    vectors agree in at least one of the 3 bands of 6 planes) — both
+    sides recomputed in plain python. The recall accounting is
+    closed-form: every missed pair disagrees in EVERY band, and
+    nothing outside the planted families can be emitted (candidates
+    are verified at 0.45 against exactly-orthogonal neighborhoods)."""
+    from mspr2_back_spark.plans.pipeline_queries import (
+        EMB_LSH_BANDS,
+        EMB_LSH_PLANES,
+        dedup_embedding_lsh,
+    )
+
+    out, vecs, labels = emb_corpus
+    exact = _emb_exact_expected(vecs)
+
+    rows = EMB_LSH_PLANES // EMB_LSH_BANDS
+    bits = {
+        v: [
+            _emb_plane_sign_bit(vecs[v], p) for p in range(EMB_LSH_PLANES)
+        ]
+        for v in vecs
+    }
+
+    def coband(a, b):
+        return any(
+            bits[a][band * rows : (band + 1) * rows]
+            == bits[b][band * rows : (band + 1) * rows]
+            for band in range(EMB_LSH_BANDS)
+        )
+
+    expected = {p: c for p, c in exact.items() if coband(*p)}
+    missed = set(exact) - set(expected)
+    # the accounting that names the test: misses are exactly the
+    # planted pairs whose sign vectors differ in all bands
+    assert all(not coband(a, b) for a, b in missed)
+    assert len(expected) > 10  # the corpus must plant enough signal
+
+    got = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine_sim"]
+        for r in dedup_embedding_lsh(spark, out).collect()
+    }
+    assert got == expected
+
+
+def test_embedding_cells_recover_planted_neighborhoods(spark, emb_corpus):
+    """dedup_embedding_cells (Hamming-1 multi-probe hyperplane cells +
+    BLAS per-cell verifier) end-to-end on the planted corpus:
+    expected = (exact planted pair set) ∩ (sign-vector Hamming
+    distance ≤ 2 over the 4 cell planes) — the probe sets {home} ∪
+    Hamming-1(home) of two vectors intersect iff their sign vectors
+    differ in ≤ 2 bits. Misses are exactly the planted pairs at
+    Hamming ≥ 3; emitted values ride the same rounding-margin
+    assertion as the exact verifier."""
+    from mspr2_back_spark.plans.pipeline_queries import (
+        EMB_CELL_PLANES,
+        dedup_embedding_cells,
+    )
+
+    out, vecs, labels = emb_corpus
+    exact = _emb_exact_expected(vecs)
+
+    bits = {
+        v: [
+            _emb_plane_sign_bit(vecs[v], p)
+            for p in range(EMB_CELL_PLANES)
+        ]
+        for v in vecs
+    }
+
+    def hamming(a, b):
+        return sum(x != y for x, y in zip(bits[a], bits[b]))
+
+    expected = {p: c for p, c in exact.items() if hamming(*p) <= 2}
+    assert all(hamming(a, b) >= 3 for a, b in set(exact) - set(expected))
+    assert len(expected) > 10
+
+    got = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine_sim"]
+        for r in dedup_embedding_cells(spark, out).collect()
+    }
+    assert got == expected
+
+
+def test_ann_topk_on_planted_neighborhoods(spark, emb_corpus):
+    """ann_topk (brute-force cosine top-10 for vec_id 0) on the
+    planted corpus: the answer is known closed-form — vec 0 is
+    family 0's base member, so the top 3 are its siblings at the law
+    cosines 1/sqrt(1 + (0.15*m)^2), and every other vector is
+    EXACTLY orthogonal (float residue ~1e-16 rounds to 0), so the
+    remaining 7 slots are the lowest-id zero-cosine vectors by the
+    (cosine desc, vec_id asc) tiebreak."""
+    from mspr2_back_spark.plans.pipeline_queries import ann_topk
+
+    out, vecs, labels = emb_corpus
+
+    scored = sorted(
+        (
+            (-_emb_cos6(vecs, 0, v), v)
+            for v in vecs
+            if v != 0
+        ),
+    )[:10]
+    expected = [(v, labels[v], -negc) for negc, v in scored]
+    # closed-form spot-check of the planted structure
+    assert [v for v, _, _ in expected] == [
+        1, 2, 3, 100, 101, 102, 103, 200, 201, 202
+    ]
+    assert all(c == 0.0 for _, _, c in expected[3:])
+    assert expected[0][2] == round(1 / (1 + 0.15**2) ** 0.5, 6)
+
+    got = [
+        (r["vec_id"], r["label"], r["cosine_sim"])
+        for r in ann_topk(spark, out).collect()
+    ]
+    assert got == expected
