@@ -4828,3 +4828,72 @@ def test_ann_topk_on_planted_neighborhoods(spark, emb_corpus):
         for r in ann_topk(spark, out).collect()
     ]
     assert got == expected
+
+
+def test_bmp_foreign_decoder_interop(tmp_path):
+    """r14 (VERDICT r13 stretch 6): the last image emission without a
+    foreign-decoder pin. ImageIO ships a BMP reader, and BMP is
+    lossless, so the bar is EXACT pixel identity of ImageIO's raster
+    with the source array for every ``encode_bmp`` stream. Widths
+    8..11 cover all four 4-byte row-padding classes (stride pad
+    0/1/2/3 bytes — the only layout freedom the 24-bit reference
+    format has); odd heights exercise the bottom-up row flip on an
+    asymmetric image. Skip-guarded on the JDK toolchain like the
+    PNG/JPEG/WAV interop pins."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+
+    from mspr2_back_spark.operators.multimodal import encode_bmp
+
+    if not (shutil.which("javac") and shutil.which("java")):
+        pytest.skip("JDK toolchain not available")
+
+    src = tmp_path / "DecodeRaw.java"
+    src.write_text(
+        "import javax.imageio.ImageIO;\n"
+        "import java.awt.image.BufferedImage;\n"
+        "import java.awt.image.Raster;\n"
+        "import java.io.*;\n"
+        "public class DecodeRaw {\n"
+        "  public static void main(String[] a) throws Exception {\n"
+        "    BufferedImage img = ImageIO.read(new File(a[0]));\n"
+        "    if (img == null) { System.err.println(\"unreadable\"); System.exit(2); }\n"
+        "    Raster r = img.getRaster();\n"
+        "    int w = img.getWidth(), h = img.getHeight(), b = r.getNumBands();\n"
+        "    DataOutputStream o = new DataOutputStream(\n"
+        "        new BufferedOutputStream(new FileOutputStream(a[1])));\n"
+        "    o.writeBytes((b == 1 ? \"P5\" : \"P6\") + \"\\n\" + w + \" \" + h + \"\\n255\\n\");\n"
+        "    for (int y = 0; y < h; y++)\n"
+        "      for (int x = 0; x < w; x++)\n"
+        "        for (int c = 0; c < b; c++)\n"
+        "          o.writeByte(r.getSample(x, y, c));\n"
+        "    o.close();\n"
+        "  }\n"
+        "}\n"
+    )
+    subprocess.run(
+        ["javac", str(src)], check=True, capture_output=True, cwd=tmp_path
+    )
+
+    rng = np.random.default_rng(14)
+    for w in (8, 9, 10, 11):  # stride pads 0, 3, 2, 1
+        ref = rng.integers(0, 256, (7, w, 3), dtype=np.uint8)
+        bmp = tmp_path / "in.bmp"
+        pnm = tmp_path / "out.pnm"
+        bmp.write_bytes(encode_bmp(ref))
+        subprocess.run(
+            ["java", "-cp", str(tmp_path), "DecodeRaw", str(bmp), str(pnm)],
+            check=True,
+            capture_output=True,
+        )
+        data = pnm.read_bytes()
+        magic, dims, _, raw = data.split(b"\n", 3)
+        assert magic == b"P6", w
+        gw, gh = map(int, dims.split())
+        foreign = np.frombuffer(raw, dtype=np.uint8).reshape(gh, gw, 3)
+        assert foreign.shape == ref.shape, w
+        assert np.array_equal(foreign, ref), (
+            w, int(np.abs(foreign.astype(int) - ref.astype(int)).max())
+        )
