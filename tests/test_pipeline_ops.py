@@ -4897,3 +4897,38 @@ def test_bmp_foreign_decoder_interop(tmp_path):
         assert np.array_equal(foreign, ref), (
             w, int(np.abs(foreign.astype(int) - ref.astype(int)).max())
         )
+
+
+def test_ann_lsh_topk_on_planted_neighborhoods(spark, emb_corpus):
+    """ann_lsh_topk (8-plane single-bucket ANN, query vec 0, k=5) on
+    the planted corpus: the candidate set is EXACTLY the vectors
+    sharing vec 0's 8-bit md5-derived sign bucket — recomputed
+    independently in python — and the result is the top-5 of that
+    set by (rounded cosine desc, id asc). The planted structure
+    makes the approximation visible closed-form: some family-0
+    siblings land outside the bucket (genuine recall misses of the
+    single-probe design), and the remainder of the top-5 fills from
+    exactly-orthogonal in-bucket vectors at cosine 0."""
+    from mspr2_back_spark.plans.pipeline_queries import ann_lsh_topk
+
+    out, vecs, labels = emb_corpus
+
+    bucket = {
+        v: sum(
+            _emb_plane_sign_bit(vecs[v], p) << p for p in range(8)
+        )
+        for v in vecs
+    }
+    cands = [v for v in vecs if v != 0 and bucket[v] == bucket[0]]
+    assert len(cands) >= 5  # enough in-bucket signal to fill k
+    # the approximation must be visible: at least one family-0
+    # sibling is OUT of the bucket (single-probe recall miss)
+    assert any(bucket[v] != bucket[0] for v in (1, 2, 3))
+    scored = sorted((-_emb_cos6(vecs, 0, v), v) for v in cands)[:5]
+    expected = [(v, bucket[0], -negc) for negc, v in scored]
+
+    got = [
+        (r["vec_id"], r["bucket"], r["cosine_sim"])
+        for r in ann_lsh_topk(spark, out).collect()
+    ]
+    assert got == expected
