@@ -193,7 +193,12 @@ def _emb_tau(f: int) -> float:
     return 0.15 * (1 + f % 8)
 
 
-def build_embcorp(spark: SparkSession, out_dir: str) -> DataFrame:
+EMB_BLOCK_ID_OFFSET = 10_000
+
+
+def build_embcorp(
+    spark: SparkSession, out_dir: str, blocks: int = 1
+) -> DataFrame:
     """The planted-neighborhood embeddings corpus (round-14 twin of
     ``build_dupcorp`` for the embedding-space dedup/ANN chain).
 
@@ -215,6 +220,17 @@ def build_embcorp(spark: SparkSession, out_dir: str) -> DataFrame:
       answer — exact pairs, LSH/cell co-bucketing under the
       md5-derived planes, ANN top-k with its tie structure — is
       recomputable in plain python from the emitted vectors.
+    - ``blocks`` > 1 replicates the 112-vector base corpus verbatim
+      with vec_id offset 10000*b (labels unchanged). Replication
+      PRESERVES all planted knowledge closed-form: a cross-block
+      copy pair of the same base vector is exactly colinear
+      (cosine 1.0, sign vectors identical — always a candidate in
+      every bucketed path), and any other cross-block pair has
+      exactly its base pair's cosine and sign structure. The
+      scaled expected answer is therefore pure arithmetic over the
+      base corpus: per qualifying base pair, blocks^2 emitted pairs
+      at the base cosine, plus C(blocks,2)*112 colinear pairs at
+      1.0 (the histogram law the scaled planted-truth check pins).
     """
     rows = []
     for f in range(EMB_N_FAMILIES):
@@ -232,10 +248,23 @@ def build_embcorp(spark: SparkSession, out_dir: str) -> DataFrame:
         rows.append(
             (EMB_ID_STRIDE * EMB_N_FAMILIES + EMB_ID_STRIDE * u, vec, -1)
         )
+    assert rows[-1][0] < EMB_BLOCK_ID_OFFSET  # block id spans disjoint
     df = spark.createDataFrame(
         rows, schema="vec_id bigint, embedding array<float>, label int"
     )
-    df.coalesce(1).write.mode("overwrite").parquet(
+    if blocks > 1:
+        bdf = spark.range(blocks).withColumnRenamed("id", "_b")
+        df = (
+            df.crossJoin(F.broadcast(bdf))
+            .select(
+                (
+                    F.col("vec_id") + F.col("_b") * EMB_BLOCK_ID_OFFSET
+                ).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    df.coalesce(max(1, blocks // 8)).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
     return spark.read.parquet(f"{out_dir}/embeddings.parquet")

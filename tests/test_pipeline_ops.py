@@ -4932,3 +4932,64 @@ def test_ann_lsh_topk_on_planted_neighborhoods(spark, emb_corpus):
         for r in ann_lsh_topk(spark, out).collect()
     ]
     assert got == expected
+
+
+def test_embedding_cells_histogram_law_under_replication(
+    spark, emb_corpus, tmp_path
+):
+    """The scaled planted-truth law for the cells chain: replicating
+    the base corpus verbatim with disjoint id blocks preserves every
+    expected answer closed-form — a cross-block copy pair of the
+    same base vector is exactly colinear (cosine 1.0, sign vectors
+    identical, so always a candidate at any probe depth), and every
+    other cross-block pair inherits its base pair's cosine AND sign
+    structure. The full value HISTOGRAM of dedup_embedding_cells'
+    output at B blocks is therefore pure arithmetic over the
+    112-vector base: B^2 pairs at each qualifying base-pair cosine
+    plus C(B,2)*112 pairs at 1.0. Pinned here end-to-end at B=3
+    through the registered query; the same law scales the SCALING.md
+    measurement corpus."""
+    from collections import Counter
+
+    from mspr2_back_spark.plans.pipeline_queries import (
+        EMB_CELL_PLANES,
+        dedup_embedding_cells,
+    )
+    from mspr2_back_spark.tools.build_corpora import build_embcorp
+
+    out, vecs, labels = emb_corpus
+    blocks = 3
+    scaled_dir = str(tmp_path / "embx3")
+    build_embcorp(spark, scaled_dir, blocks=blocks)
+
+    exact = _emb_exact_expected(vecs)
+    bits = {
+        v: [
+            _emb_plane_sign_bit(vecs[v], p)
+            for p in range(EMB_CELL_PLANES)
+        ]
+        for v in vecs
+    }
+    base = {
+        p: c
+        for p, c in exact.items()
+        if sum(x != y for x, y in zip(bits[p[0]], bits[p[1]])) <= 2
+    }
+    expected = Counter()
+    for c in base.values():
+        expected[c] += blocks * blocks
+    expected[1.0] += blocks * (blocks - 1) // 2 * len(vecs)
+    assert sum(expected.values()) == blocks**2 * len(base) + (
+        blocks * (blocks - 1) // 2
+    ) * len(vecs)
+
+    got = Counter(
+        {
+            r["cosine_sim"]: r["n"]
+            for r in dedup_embedding_cells(spark, scaled_dir)
+            .groupBy("cosine_sim")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    )
+    assert got == expected
