@@ -4795,6 +4795,26 @@ def test_embedding_cells_recover_planted_neighborhoods(spark, emb_corpus):
     }
     assert got == expected
 
+    # and the SINGLE-probe law (the plain 100 TB composition the
+    # docstring documents): candidates are exactly the same-cell
+    # pairs, i.e. sign-Hamming 0
+    from mspr2_back_spark.operators.similarity import cell_cosine_pairs
+    from mspr2_back_spark.sources.readers import load_table
+
+    single = {p: c for p, c in exact.items() if hamming(*p) == 0}
+    got1 = {
+        (r["vec_id_1"], r["vec_id_2"]): r["cosine_sim"]
+        for r in cell_cosine_pairs(
+            load_table(spark, out, "embeddings"),
+            0.45,
+            n_planes=EMB_CELL_PLANES,
+            block_size=256,
+            multi_probe=False,
+        ).collect()
+    }
+    assert got1 == single
+    assert set(single) < set(expected)  # multi-probe strictly widens
+
 
 def test_ann_topk_on_planted_neighborhoods(spark, emb_corpus):
     """ann_topk (brute-force cosine top-10 for vec_id 0) on the
