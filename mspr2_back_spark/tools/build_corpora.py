@@ -274,8 +274,8 @@ if __name__ == "__main__":
     from mspr2_back_spark.session import get_spark
 
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["scaled", "dupcorp"])
-    p.add_argument("sf_dir")
+    p.add_argument("kind", choices=["scaled", "dupcorp", "embcorp"])
+    p.add_argument("sf_dir", help="ignored for embcorp (self-contained)")
     p.add_argument("out_dir")
     p.add_argument("--copies", type=int, default=256)
     p.add_argument("--tables", nargs="*", default=None)
@@ -283,6 +283,8 @@ if __name__ == "__main__":
     s = get_spark(shuffle_partitions=128)
     if a.kind == "scaled":
         build_scaled(s, a.sf_dir, a.out_dir, a.copies, a.tables)
+    elif a.kind == "embcorp":
+        build_embcorp(s, a.out_dir, blocks=a.copies)
     else:
         build_dupcorp(s, a.sf_dir, a.out_dir, a.copies)
     print("done:", a.out_dir)
