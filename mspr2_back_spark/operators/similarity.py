@@ -84,9 +84,37 @@ def _block_pair_scorer(slack: float):
     """mapInPandas scorer over packed block pairs: normalize both
     blocks, one BLAS matmul, keep (a < b, sim >= slack). Shared by
     the unbucketed (`cosine_pairs`) and per-cell
-    (`cell_cosine_pairs`) verifiers."""
+    (`cell_cosine_pairs`) verifiers.
+
+    Dirty rows (NULL embeddings, mismatched dimensions) are dropped
+    HERE, before the matmul — the same silent-exclusion contract the
+    fold-based verify paths already have (``zip_with`` pads a
+    mismatched pair with NULL, the fold yields NULL, the threshold
+    filter drops it), instead of a ragged-array crash mid-job. The
+    block dimension is the modal non-NULL length within the packed
+    block pair, so a lone corrupt row can never eject the clean
+    majority. Values on clean corpora are untouched — the filter
+    passes everything through."""
     import numpy as np
     import pandas as pd
+
+    def clean(ids_c, mat_c):
+        entries = list(mat_c)
+        lens = [len(v) for v in entries if v is not None]
+        if not lens:
+            return np.empty(0, dtype=np.int64), None
+        # modal length, larger wins a tie — deterministic, and every
+        # appearance of a pair sees the same data so the decision is
+        # consistent across probe cells
+        d = max(sorted(set(lens)), key=lambda x: (lens.count(x), x))
+        keep = [
+            i
+            for i, v in enumerate(entries)
+            if v is not None and len(v) == d
+        ]
+        ids = np.asarray(ids_c, dtype=np.int64)[keep]
+        mat = np.array([entries[i] for i in keep], dtype=np.float64)
+        return ids, mat
 
     def score(batches):
         for pdf in batches:
@@ -94,11 +122,13 @@ def _block_pair_scorer(slack: float):
             for a_ids_c, a_mat_c, b_ids_c, b_mat_c in zip(
                 pdf["a_ids"], pdf["a_mat"], pdf["b_ids"], pdf["b_mat"]
             ):
-                a_ids = np.asarray(a_ids_c, dtype=np.int64)
-                a_mat = np.array(list(a_mat_c), dtype=np.float64)
+                a_ids, a_mat = clean(a_ids_c, a_mat_c)
+                b_ids, b_mat = clean(b_ids_c, b_mat_c)
+                if a_mat is None or b_mat is None or (
+                    a_mat.shape[1] != b_mat.shape[1]
+                ):
+                    continue
                 a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-                b_ids = np.asarray(b_ids_c, dtype=np.int64)
-                b_mat = np.array(list(b_mat_c), dtype=np.float64)
                 b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
                 sims = a_mat @ b_mat.T
                 keep = (sims >= slack) & (a_ids[:, None] < b_ids[None, :])

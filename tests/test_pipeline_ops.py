@@ -5013,3 +5013,89 @@ def test_embedding_cells_histogram_law_under_replication(
         }
     )
     assert got == expected
+
+
+def test_similarity_dirty_row_exclusion_contract(spark):
+    """r14 robustness: dirty embedding rows — NULL vectors, wrong
+    dimensions, empty arrays — must be SILENTLY EXCLUDED from pair
+    outputs, not crash the job (at 100 TB a single corrupt row must
+    not kill task 17,000 of a 3-hour run). The fold-based paths
+    already had this contract for free (zip_with pads a mismatched
+    pair with NULL → NULL cosine → threshold filter drops it); the
+    BLAS block scorer previously raised on the ragged numpy array —
+    now it drops dirty entries per packed block with a modal-length
+    rule. Pinned: every pair path returns EXACTLY the clean
+    sub-corpus's pairs on the dirtied corpus; brute-force top-k's
+    NULL-cosine tail (dirty rows can fill trailing slots only when
+    scoreable candidates < k, since NULLS LAST in the desc order) is
+    a documented contract, not a defect."""
+    from mspr2_back_spark.operators.similarity import (
+        brute_force_topk,
+        cell_cosine_pairs,
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+
+    clean_rows = [
+        (0, [1.0] * 64, 0),
+        (1, [1.0] * 64, 0),
+        (5, [0.5] * 64, 2),
+        (300, [float(j % 3) for j in range(64)], 3),
+    ]
+    dirty_rows = [
+        (2, None, 1),
+        (3, [1.0] * 32, 1),
+        (4, [], 1),
+    ]
+    schema = "vec_id bigint, embedding array<float>, label int"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(clean_rows + dirty_rows, schema)
+
+    paths = [
+        ("exact", lambda df: cosine_pairs(df, 0.45, block_size=4)),
+        (
+            "lsh",
+            lambda df: lsh_cosine_pairs(df, 0.45, n_planes=6, bands=3),
+        ),
+        (
+            "cells",
+            lambda df: cell_cosine_pairs(
+                df, 0.45, n_planes=4, block_size=4, multi_probe=True
+            ),
+        ),
+        (
+            "cells-single",
+            lambda df: cell_cosine_pairs(
+                df, 0.45, n_planes=4, block_size=4, multi_probe=False
+            ),
+        ),
+    ]
+    for tag, fn in paths:
+        want = {
+            (r["vec_id_1"], r["vec_id_2"]): r["cosine_sim"]
+            for r in fn(clean).collect()
+        }
+        got = {
+            (r["vec_id_1"], r["vec_id_2"]): r["cosine_sim"]
+            for r in fn(dirty).collect()
+        }
+        assert got == want, tag
+        assert not any(a in (2, 3, 4) or b in (2, 3, 4) for a, b in got), tag
+    # the exact path must still find the planted clean pairs at all
+    assert len({p for p in fn(clean).collect()}) >= 0  # smoke
+    exact_pairs = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in cosine_pairs(dirty, 0.45, block_size=4).collect()
+    }
+    assert (0, 1) in exact_pairs and (0, 5) in exact_pairs
+
+    # brute-force: dirty rows may only appear BELOW every scoreable
+    # candidate (NULLS LAST), with NULL cosine — here k exceeds the
+    # scoreable candidates so the tail surfaces them
+    top = brute_force_topk(dirty, 0, k=6).collect()
+    sims = [r["cosine_sim"] for r in top]
+    ids = [r["vec_id"] for r in top]
+    n_scored = sum(s is not None for s in sims)
+    assert set(ids[:n_scored]) == {1, 5, 300}
+    assert all(s is None for s in sims[n_scored:])
+    assert set(ids[n_scored:]) == {2, 3, 4}
