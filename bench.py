@@ -344,6 +344,10 @@ def main() -> None:
         name: round(max(ts[1:]), 4) if len(ts) > 1 else round(max(ts), 4)
         for name, ts in samples.items()
     }
+    best_warm = {
+        name: round(min(ts[1:]), 4) if len(ts) > 1 else round(min(ts), 4)
+        for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 4)
     total_max = round(sum(worst.values()), 4)
     total_max_warm = round(sum(worst_warm.values()), 4)
@@ -383,6 +387,15 @@ def main() -> None:
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "loadavg_per_pass": loadavg_per_pass,
                 "load_gate": load_gate,
+                # floors LAST: the driver's BENCH_r{N} artifact keeps
+                # only the tail of this line, and the per-query floor
+                # (min over warm passes) is the stat that survives
+                # co-tenant noise — three rounds of max-warm drift had
+                # to be adjudicated from side-channels because these
+                # fields didn't exist in the artifact (r14 VERDICT
+                # task 2); keep them at the end of the dict
+                "queries_min_warm": best_warm,
+                "total_min_warm": round(sum(best_warm.values()), 4),
             }
         )
     )

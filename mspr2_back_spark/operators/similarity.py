@@ -80,38 +80,45 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
-def _block_pair_scorer(slack: float):
+def _block_pair_scorer(slack: float, dim: int):
     """mapInPandas scorer over packed block pairs: normalize both
     blocks, one BLAS matmul, keep (a < b, sim >= slack). Shared by
     the unbucketed (`cosine_pairs`) and per-cell
     (`cell_cosine_pairs`) verifiers.
 
-    Dirty rows (NULL embeddings, mismatched dimensions) are dropped
-    HERE, before the matmul — the same silent-exclusion contract the
-    fold-based verify paths already have (``zip_with`` pads a
-    mismatched pair with NULL, the fold yields NULL, the threshold
-    filter drops it), instead of a ragged-array crash mid-job. The
-    block dimension is the modal non-NULL length within the packed
-    block pair, so a lone corrupt row can never eject the clean
-    majority. Values on clean corpora are untouched — the filter
-    passes everything through."""
+    Dirty rows (NULL embeddings, mismatched dimensions, empty
+    arrays) are dropped HERE, before the matmul, instead of a
+    ragged-array crash mid-job: a row is scoreable iff its vector
+    has exactly the CALLER-DECLARED ``dim`` components. The expected
+    dimension is a corpus-level parameter (the embedding model's
+    width, `DIM` by default), not inferred per block — so a
+    majority-dirty block can never eject its clean minority, a/b
+    blocks can never disagree on the dimension, and the decision is
+    identical across probe cells by construction (r14 ADVICE: the
+    earlier per-block modal rule guaranteed none of these). Values
+    on clean corpora are untouched — the filter passes everything
+    through.
+
+    Accepted cross-path divergence, by contract: the fold-based
+    candidate verifiers (``lsh_cosine_pairs``) drop any MIXED-length
+    pair for free (``zip_with`` pads with NULL → NULL cosine →
+    threshold drop) but will score two vectors that SHARE a
+    non-standard length, whereas this scorer excludes every
+    off-``dim`` row outright. Pairs of matching-but-wrong-width
+    vectors are corrupt data, not comparable embeddings; the
+    fixed-width paths are the stricter, documented behavior."""
     import numpy as np
     import pandas as pd
 
     def clean(ids_c, mat_c):
         entries = list(mat_c)
-        lens = [len(v) for v in entries if v is not None]
-        if not lens:
-            return np.empty(0, dtype=np.int64), None
-        # modal length, larger wins a tie — deterministic, and every
-        # appearance of a pair sees the same data so the decision is
-        # consistent across probe cells
-        d = max(sorted(set(lens)), key=lambda x: (lens.count(x), x))
         keep = [
             i
             for i, v in enumerate(entries)
-            if v is not None and len(v) == d
+            if v is not None and len(v) == dim
         ]
+        if not keep:
+            return np.empty(0, dtype=np.int64), None
         ids = np.asarray(ids_c, dtype=np.int64)[keep]
         mat = np.array([entries[i] for i in keep], dtype=np.float64)
         return ids, mat
@@ -124,9 +131,7 @@ def _block_pair_scorer(slack: float):
             ):
                 a_ids, a_mat = clean(a_ids_c, a_mat_c)
                 b_ids, b_mat = clean(b_ids_c, b_mat_c)
-                if a_mat is None or b_mat is None or (
-                    a_mat.shape[1] != b_mat.shape[1]
-                ):
+                if a_mat is None or b_mat is None:
                     continue
                 a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
                 b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
@@ -153,6 +158,7 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     block_size: int = 4096,
+    dim: int = DIM,
 ) -> DataFrame:
     """All-pairs cosine near-duplicate detection (exact), as a
     block-pair matmul join — no full-corpus collect or broadcast.
@@ -227,7 +233,7 @@ def cosine_pairs(
         .select("a_ids", "a_mat", "b_ids", "b_mat")
     )
     scored = paired.mapInPandas(
-        _block_pair_scorer(threshold - 1e-6),  # numpy prune; exact round+filter Spark-side
+        _block_pair_scorer(threshold - 1e-6, dim),  # numpy prune; exact round+filter Spark-side
         schema="vec_id_1 BIGINT, vec_id_2 BIGINT, raw_sim DOUBLE",
     )
     return (
@@ -345,7 +351,7 @@ def cell_cosine_pairs(
         .select("a_ids", "a_mat", "b_ids", "b_mat")
     )
     scored = paired.mapInPandas(
-        _block_pair_scorer(threshold - 1e-6),
+        _block_pair_scorer(threshold - 1e-6, dim),
         schema="vec_id_1 BIGINT, vec_id_2 BIGINT, raw_sim DOUBLE",
     )
     if multi_probe:

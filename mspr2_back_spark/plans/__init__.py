@@ -38,78 +38,79 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-14 is the first pure
-# steady-state rotation: the treadmill reached its designed 3x50
-# state at r13 close (50 r13 / 50 r12 / 50 r11, nothing older), so
-# this round owes exactly the plain 50-entry r11 block — the keys of
-# CORRECTNESS_r11 set-minus the r12 and r13 sweeps, precomputed in
-# COVERAGE.md "Round-14 freshness obligation" and recomputed from
-# the artifacts before this edit (set-equal).  ZERO spare slots:
-# no registration this round (none needed — the registry stays at
-# 151 registered / 150 on the treadmill, percentile_prices retired),
-# no retirement, no displacement.  The r13 VERDICT's _riff_chunk
-# question (multimodal_wav_stats / audio_feature_stats share the
-# hoisted helper but their last driver verdicts predate commit
-# 49e8304) is resolved as WAIT-for-natural-r15: the written
-# justification lives in COVERAGE.md "Round-14 rotation (executed)".
-# Round 15 then owes the 50-entry r12 block (those two queries
-# included), round 16 the r13 block, cycling at period 3.  Every
-# key listed here must still exist in QUERIES.
+# (rotation history in COVERAGE.md).  Round-15 continues the 3x50
+# steady state (50 r14 / 50 r13 / 50 r12 at r14 close): this round
+# owes exactly the plain 50-entry r12 block — the keys of
+# CORRECTNESS_r12 set-minus the r13 sweep, precomputed in
+# COVERAGE.md "Round-15 freshness obligation" and recomputed from
+# the artifacts before this edit (set-equal, 50 = 50).  ZERO spare
+# slots: no registration this round (the registry stays at 151
+# registered / 150 on the treadmill, percentile_prices retired),
+# no retirement, no displacement.  This sweep pays off both r14
+# WAIT decisions: multimodal_wav_stats + audio_feature_stats get
+# their first natural driver verdict after the _riff_chunk hoist
+# (commit 49e8304), and dedup_embedding_cosine its first after the
+# r14 dirty-row hardening of _block_pair_scorer — the builder's
+# sf0.01 pre-pass (r14) and the judge's independent sim both
+# already pass all three at HEAD, so a red here means environment
+# drift, to be investigated rather than papered over.  Round 16
+# then owes the plain 50-entry r13 block, cycling at period 3.
+# Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- the plain 50-entry r11 block, enumerated exactly as in
-    #    COVERAGE.md "Round-14 freshness obligation" (alphabetical;
+    # -- the plain 50-entry r12 block, enumerated exactly as in
+    #    COVERAGE.md "Round-15 freshness obligation" (alphabetical;
     #    no entry is new or plan-changed, so order carries no
     #    priority semantics this round) --
-    "ann_batch_topk",
-    "ann_quantized_topk",
-    "approx_price_quantiles",
-    "attribution_last_touch",
-    "bigram_pmi",
-    "bm25_topk",
-    "brand_supplier_counts",
-    "cms_heavy_hitters",
-    "cohort_ltv",
-    "corpus_datacard",
-    "daily_anomaly_scores",
-    "daily_timeseries",
-    "daily_value_trend",
-    "dedup_edit_distance",
-    "dedup_embedding_cells",
-    "embedding_quantize_stats",
-    "equidepth_price_bands",
-    "event_association_rules",
-    "event_funnel",
-    "ewma_daily_value",
-    "fk_integrity_audit",
-    "funnel_latency",
-    "gapfill_user_daily",
-    "hll_distinct_users",
-    "hybrid_search_rrf",
-    "idle_customers_avg_bal",
-    "leakage_safe_splits",
-    "lineitem_corr_matrix",
-    "min_cost_supplier_per_part",
-    "ml_forecast_ar_exact",
-    "multimodal_jpeg_meta",
-    "multimodal_meta",
-    "or_of_ands_revenue",
-    "orders_page",
-    "pagination_meta",
-    "pricing_summary",
-    "quality_weighted_sample",
-    "retention_cohorts",
-    "revenue_share_by_nation",
-    "scd2_customer_merge",
-    "session_paths",
-    "simhash64_near_degree",
-    "simhash_bucket_stats",
-    "simhash_near_degree",
-    "sliding_event_rates",
-    "split_contamination_audit",
-    "table_preview",
-    "waiting_orders_by_supplier",
-    "weekly_rollup",
-    "weighted_sample_fixed_k",
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "audio_feature_stats",
+    "avg_by_segment",
+    "bloom_prefilter_audit",
+    "chunk_documents",
+    "contamination_screen",
+    "crud_delete",
+    "crud_point_lookup",
+    "crud_upsert",
+    "customer_order_coverage",
+    "dedup_clusters",
+    "dedup_corpus_summary",
+    "dedup_embedding_cosine",
+    "dedup_gate",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "distinct_counts",
+    "event_weekday_contingency",
+    "global_totals",
+    "hll_distinct_users_sketch_only",
+    "hot_shingles",
+    "last_value_sum",
+    "max_year_orders",
+    "ml_forecast_ar",
+    "multimodal_wav_stats",
+    "order_rank_metrics",
+    "pack_documents",
+    "percentile_prices_refined",
+    "pii_scrub",
+    "price_histogram",
+    "profile_orders",
+    "props_extract",
+    "props_variant_stats",
+    "quality_filter",
+    "repeated_spans",
+    "revenue_by_nation",
+    "rfm_segments",
+    "rolling_active_users",
+    "scaled_user_values",
+    "seasonal_decompose_daily",
+    "sessionize_events",
+    "set_ops_nations",
+    "source_mixture_sample",
+    "status_pivot",
+    "top3_orders_per_segment",
+    "urgent_semijoin",
+    "user_event_sequences",
+    "window_frame_metrics",
+    "year_week_rollup_join",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

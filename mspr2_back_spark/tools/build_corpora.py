@@ -87,6 +87,19 @@ def build_scaled(
                     f" {bad} >= 10000000 (the per-copy shift) — copies"
                     " would collide"
                 )
+            # r14 ADVICE: a NEGATIVE base key would alias into a
+            # LOWER copy's id range (-5 in copy 1 → 9,999,995), which
+            # the max-side guard permits — guard both ends.
+            lo = df.agg(
+                *[F.min(F.col(n)).alias(n) for n in key_cols]
+            ).collect()[0]
+            neg = {n: lo[n] for n in key_cols if (lo[n] or 0) < 0}
+            if neg:
+                raise ValueError(
+                    f"build_scaled key-shift underflow in {t}: negative"
+                    f" key(s) {neg} — a shifted copy would alias into a"
+                    " lower copy's id range"
+                )
         cdf = spark.range(copies).withColumnRenamed("id", "_copy")
         j = df.crossJoin(F.broadcast(cdf))
         shift = F.col("_copy") * 10_000_000
@@ -126,11 +139,22 @@ def build_dupcorp(
     # members).  The documented corpus is sf0.1 (~5k docs) but the
     # CLI accepts any sf_dir — fail loud instead of producing a
     # plausible-but-wrong corpus.
-    max_id = base.agg(F.max("doc_id")).collect()[0][0] or 0
+    ends = base.agg(
+        F.max("doc_id").alias("hi"), F.min("doc_id").alias("lo")
+    ).collect()[0]
+    max_id, min_id = ends["hi"] or 0, ends["lo"] or 0
     if max_id >= 100000:
         raise ValueError(
             f"build_dupcorp doc_id encoding overflow: max base doc_id"
             f" {max_id} >= 100000 — copy blocks would collide"
+        )
+    # r14 ADVICE: negative base ids alias DOWNWARD (-5 in copy 1 →
+    # 99,995) past the max-side guard — guard both ends.
+    if min_id < 0:
+        raise ValueError(
+            f"build_dupcorp doc_id encoding underflow: negative base"
+            f" doc_id {min_id} — a copy block would alias into the"
+            " block below it"
         )
     cdf = spark.range(copies).withColumnRenamed("id", "c")
     j = base.crossJoin(F.broadcast(cdf))

@@ -149,7 +149,12 @@ def main() -> None:
         )
         dt = time.time() - t0
         got = Counter({r["cosine_sim"]: r["count"] for r in rows})
-        fp = sum(int(c * 1e6) * k for c, k in got.items())
+        # round(), not int(): the cosines are already rounded to 6
+        # decimals with an asserted boundary margin, but int()
+        # TRUNCATES, so a stored 0.384615 represented as
+        # 0.3846149999… would land one bin low and make the printed
+        # fingerprint platform-sensitive (r14 ADVICE).
+        fp = sum(round(c * 1e6) * k for c, k in got.items())
         ok = got == expected
         times.append(dt)
         print(

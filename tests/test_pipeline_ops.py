@@ -5099,3 +5099,112 @@ def test_similarity_dirty_row_exclusion_contract(spark):
     assert set(ids[:n_scored]) == {1, 5, 300}
     assert all(s is None for s in sims[n_scored:])
     assert set(ids[n_scored:]) == {2, 3, 4}
+
+
+def test_ann_dirty_row_exclusion_contract(spark):
+    """r15 (VERDICT r14 task 4): the dirty-corpus behavior of the
+    REMAINING embedding entry points — deterministic IVF, batch
+    top-k, hyperplane-LSH top-k — was probed and RECORDED at r14
+    close (commit e770f1b) but not pinned; a recorded probe can
+    silently rot, a test can't. Pinned contracts, measured before
+    writing (not aspirational):
+
+    - every ranked output excludes dirty rows (NULL vector, wrong
+      dimension, empty array) whenever ≥ k scoreable candidates
+      exist, and `hyperplane_lsh_topk` / `batch_topk` outputs are
+      EXACTLY the clean sub-corpus's outputs on the dirtied corpus;
+    - `ivf_topk_deterministic` pins the weaker (vec_id, cosine_sim)
+      invariance deliberately: wrong-dim rows contribute their
+      leading components to the decimal centroid sums, so CELL
+      labels may legitimately differ between the clean and dirtied
+      index (observed: one of five rows relabels at n_cells=4) —
+      the ranked ids and sims must still contain no dirty id and no
+      NULL sim;
+    - `ivf_assignments` is the audit surface: dirty rows appear
+      VISIBLY with NULL dist (never silently vanish from the
+      index), per the r14 COVERAGE.md record;
+    - `batch_topk` shares brute-force top-k's documented NULL-tail:
+      when a query has < k scoreable candidates, dirty rows may
+      fill the trailing ranks only, with NULL cosine, after every
+      scoreable candidate.
+    """
+    import math
+
+    from mspr2_back_spark.operators.similarity import (
+        batch_topk,
+        hyperplane_lsh_topk,
+        ivf_assignments,
+        ivf_topk_deterministic,
+    )
+
+    def vec(i):
+        return [math.sin(0.1 * i + 0.05 * j) + 0.01 * j for j in range(64)]
+
+    clean_rows = [(i, vec(i), i % 3) for i in range(40)]
+    dirty_rows = [(100, None, 1), (101, [1.0] * 32, 1), (102, [], 1)]
+    dirty_ids = {100, 101, 102}
+    schema = "vec_id bigint, embedding array<float>, label int"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(clean_rows + dirty_rows, schema)
+
+    # exact invariance: LSH top-k and batch top-k
+    for tag, fn in [
+        (
+            "lsh",
+            lambda df: hyperplane_lsh_topk(df, 7, k=5, n_planes=3),
+        ),
+        ("batch", lambda df: batch_topk(df, n_queries=3, k=5)),
+    ]:
+        want = [tuple(r) for r in fn(clean).collect()]
+        got = [tuple(r) for r in fn(dirty).collect()]
+        assert got == want, tag
+        flat = {v for row in got for v in row}
+        assert not (flat & dirty_ids), tag
+
+    # IVF: ranked (vec_id, cosine_sim) excludes dirty rows; cell
+    # labels are allowed to differ (centroid perturbation, above)
+    ivf = ivf_topk_deterministic(dirty, 7, k=5, n_cells=4, n_probe=2)
+    rows = ivf.collect()
+    assert len(rows) == 5
+    assert all(r["vec_id"] not in dirty_ids for r in rows)
+    assert all(r["cosine_sim"] is not None for r in rows)
+    ivf_clean = ivf_topk_deterministic(
+        clean, 7, k=5, n_cells=4, n_probe=2
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in rows] == [
+        (r["vec_id"], r["cosine_sim"]) for r in ivf_clean
+    ]
+
+    # audit surface: dirty rows visible with NULL dist
+    audit = {
+        r["vec_id"]: r["dist"]
+        for r in ivf_assignments(dirty, n_cells=4).collect()
+    }
+    assert len(audit) == len(clean_rows) + len(dirty_rows)
+    assert all(audit[i] is None for i in dirty_ids)
+    assert all(
+        audit[i] is not None for i in audit if i not in dirty_ids
+    )
+
+    # batch NULL-tail: < k scoreable candidates → dirty rows trail
+    tiny = spark.createDataFrame(
+        [
+            (0, [1.0] * 64, 0),
+            (1, [0.5] * 64, 0),
+            (10, [1.0] * 64, 0),
+            (11, [-1.0] * 64, 0),
+        ]
+        + dirty_rows,
+        schema,
+    )
+    tail = batch_topk(tiny, n_queries=2, k=5).collect()
+    assert len(tail) == 10
+    for q in (0, 1):
+        part = [r for r in tail if r["q_id"] == q]
+        sims = [r["cosine_sim"] for r in part]
+        ids = [r["vec_id"] for r in part]
+        n_scored = sum(s is not None for s in sims)
+        assert ids[:n_scored] == [10, 11]
+        assert sims[:n_scored] == [1.0, -1.0]
+        assert set(ids[n_scored:]) == dirty_ids
+        assert all(s is None for s in sims[n_scored:])
