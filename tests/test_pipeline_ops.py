@@ -5208,3 +5208,62 @@ def test_ann_dirty_row_exclusion_contract(spark):
         assert sims[:n_scored] == [1.0, -1.0]
         assert set(ids[n_scored:]) == dirty_ids
         assert all(s is None for s in sims[n_scored:])
+
+
+def test_ivf_planted_recall_contract(spark, emb_corpus):
+    """r15: pin the deterministic numbers of the SCALING.md IVF
+    recall-vs-planted-truth record (VERDICT r14 task 3) so the
+    record can't silently rot — same maxim as the dirty-corpus pin.
+    The full 96-query sweep lives in `tools/ivf_planted_check.py`
+    (231/252 qualifying directed edges recovered at the registered
+    n_cells=8 / n_probe=3 / k=10 shape); this test pins the cheap
+    deterministic anchors:
+
+    - same-cell candidate recall of the 126 qualifying family pairs
+      at n_cells=8 is EXACTLY 87 (the decimal-sum index build is
+      order-invariant, so this is a constant of the corpus);
+    - the probe-bounded ASYMMETRY is real: query 400 (family 4,
+      tau=0.75) recovers NO family member — its 3-probe set misses
+      every family cell — while query 401 recovers all three
+      siblings 400/402/403 (the record's (400,401)/(401,400)
+      asymmetric miss pair);
+    - a low-tau family is fully recovered: query 0 (family 0,
+      tau=0.15, all cosines near 1) finds members 1, 2, 3.
+    """
+    from mspr2_back_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_topk_deterministic,
+    )
+
+    out, vecs, labels = emb_corpus
+    corpus = spark.read.parquet(f"{out}/embeddings.parquet")
+
+    qual = []
+    for f in range(24):
+        ids = [100 * f + m for m in range(4)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if _emb_cos6(vecs, a, b) >= 0.45:
+                    qual.append((a, b))
+    assert len(qual) == 126
+
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assignments(corpus, n_cells=8).collect()
+    }
+    same_cell = sum(1 for a, b in qual if cells[a] == cells[b])
+    assert same_cell == 87
+
+    def family_hits(q):
+        fam = labels[q]
+        return {
+            r["vec_id"]
+            for r in ivf_topk_deterministic(
+                corpus, q, k=10, n_cells=8, n_probe=3
+            ).collect()
+            if labels.get(r["vec_id"]) == fam
+        }
+
+    assert family_hits(400) == set()
+    assert family_hits(401) == {400, 402, 403}
+    assert family_hits(0) == {1, 2, 3}
