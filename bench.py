@@ -314,6 +314,30 @@ def main() -> None:
             load_gate["waited_sec"] += 10
     load_gate["load_at_start"] = round(os.getloadavg()[0], 2)
 
+    # Box-speed denominator (round 15): a fixed single-thread
+    # pure-python loop timed at gate exit and again after the
+    # passes.  Cross-round floor comparisons have repeatedly had to
+    # guess whether drift is code or box (r12-r15: broad-based
+    # 10-30% moves on queries frozen since r4).  Measured behavior
+    # on this box: the probe swings ~3x (129-376 ms) with HOST-side
+    # contention that container metrics miss entirely (container
+    # loadavg < 2 and /proc/stat steal = 0 during 2x swings) — so
+    # it is NOT a constant, it is the effective-core-speed sample
+    # the floors actually run under.  Read BENCH floors against it:
+    # floors that move with cpu_probe_ms are the box; floors that
+    # move against a flat probe are the engine.
+    def cpu_probe_ms() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = 0
+            for i in range(2_000_000):
+                s += i * i
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1000.0, 1)
+
+    probe_start = cpu_probe_ms()
+
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     loadavg_per_pass: list[list[float]] = []
     for _ in range(REPEATS):
@@ -394,6 +418,7 @@ def main() -> None:
                 # to be adjudicated from side-channels because these
                 # fields didn't exist in the artifact (r14 VERDICT
                 # task 2); keep them at the end of the dict
+                "cpu_probe_ms": [probe_start, cpu_probe_ms()],
                 "queries_min_warm": best_warm,
                 "total_min_warm": round(sum(best_warm.values()), 4),
             }
