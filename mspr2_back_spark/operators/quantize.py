@@ -33,6 +33,26 @@ QUANT_LEVELS = 254
 DIM = 64
 
 
+def conforming(vectors: DataFrame, dim: int) -> DataFrame:
+    """Rows whose embedding has exactly ``dim`` components.
+
+    The fixed-width contract (similarity._block_pair_scorer's rule,
+    extended here in round 15): dirty rows — NULL vectors, wrong
+    dimensions, empty arrays — are silently EXCLUDED from
+    quantization stats, audits, and serving output instead of
+    killing the job. Without this filter every ``element_at(xs, i)``
+    for i past a short array's length throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode, so ONE
+    corrupt row aborted the whole scan (found by the round-15
+    dirty-corpus probe; the r14 record had wrongly assumed these
+    pure-SQL paths were total). A scan-side Filter node, fully
+    pushdown-eligible; on a clean corpus it passes every row, so
+    values are untouched."""
+    return vectors.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+
+
 def quant_recon_sql(x: str, mn: str, mx: str) -> str:
     """dequant(quant(x)) for one element — engine-portable SQL.
     Degenerate zero-span dimensions reconstruct as mn (exact)."""
@@ -54,8 +74,9 @@ def quant_err_term_sql(x: str, mn: str, mx: str) -> str:
 
 def minmax_stats(vectors: DataFrame, dim: int = DIM) -> DataFrame:
     """The one-row per-dimension (mn, mx) array relation every
-    quantization consumer (audit + int8 serving) broadcasts."""
-    xs = vectors.select(
+    quantization consumer (audit + int8 serving) broadcasts.
+    Non-conforming rows are excluded (see ``conforming``)."""
+    xs = conforming(vectors, dim).select(
         F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("xs")
     )
     return xs.agg(
@@ -72,8 +93,9 @@ def int8_quantize_stats(
     vectors: DataFrame, dim: int = DIM, label_col: str = "label"
 ) -> DataFrame:
     """Per-label L1 reconstruction-error audit of global-range
-    scalar quantization."""
-    xs = vectors.select(
+    scalar quantization. Non-conforming rows are excluded from both
+    the stats and the audited population (see ``conforming``)."""
+    xs = conforming(vectors, dim).select(
         label_col,
         F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("xs"),
     )
@@ -133,7 +155,7 @@ def quantized_topk(
     stats = minmax_stats(vectors, dim)
     key = F.spark_partition_id() * 0 + 1
     base = (
-        vectors.select(
+        conforming(vectors, dim).select(
             id_col,
             "label",
             F.expr("transform(embedding, e -> CAST(e AS DOUBLE))").alias("xs"),

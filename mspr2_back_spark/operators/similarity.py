@@ -493,6 +493,7 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     seed: int = 42,
+    dim: int = DIM,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells + probe search.
 
@@ -509,25 +510,39 @@ def ivf_topk(
     Centroid distances for probe selection are computed driver-side
     on the collected query vector — a deliberate point-op (the
     centroid table is n_cells × dim, microscopic at any scale).
+
+    Dirty corpus rows (NULL vectors, wrong dimensions, empty
+    arrays) are excluded up front — MLlib KMeans otherwise aborts
+    the fit on the first one (round-15 dirty-corpus probe); a dirty
+    or missing QUERY vector raises a ValueError, since a
+    user-supplied query must be valid.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = vectors.withColumn("features", array_to_vector("embedding"))
+    ok = vectors.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    feats = ok.withColumn("features", array_to_vector("embedding"))
     model = KMeans(k=n_cells, seed=seed).fit(feats.select("features"))
     assigned = model.transform(feats).withColumnRenamed("prediction", "cell")
 
-    q_vec = np.array(
-        vectors.filter(F.col(id_col) == query_id).select("embedding").first()[0],
-        dtype=np.float64,
+    q_row = (
+        ok.filter(F.col(id_col) == query_id).select("embedding").first()
     )
+    if q_row is None:
+        raise ValueError(
+            f"ivf_topk: query vector {query_id} is missing or does not"
+            f" conform to dim={dim}"
+        )
+    q_vec = np.array(q_row[0], dtype=np.float64)
     centers = np.array(model.clusterCenters())
     probe_cells = [
         int(c) for c in np.argsort(((centers - q_vec) ** 2).sum(axis=1))[:n_probe]
     ]
 
-    q = vectors.filter(F.col(id_col) == query_id).select(
+    q = ok.filter(F.col(id_col) == query_id).select(
         F.col("embedding").alias("q_embedding"),
         norm_col("embedding").alias("q_norm"),
     )

@@ -5267,3 +5267,54 @@ def test_ivf_planted_recall_contract(spark, emb_corpus):
     assert family_hits(400) == set()
     assert family_hits(401) == {400, 402, 403}
     assert family_hits(0) == {1, 2, 3}
+
+
+def test_quantize_dirty_row_exclusion_contract(spark):
+    """r15 dirty-corpus probe follow-up: the r14 COVERAGE.md record
+    claimed the quantize paths were total pure-SQL transforms — the
+    probe proved it WRONG: `element_at(xs, i)` past a short array's
+    length throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI, so
+    one wrong-dim row aborted `minmax_stats`,
+    `int8_quantize_stats`, and `quantized_topk` (two REGISTERED
+    queries ride these), and MLlib KMeans aborted `ivf_topk` on one
+    NULL vector. All four now exclude non-conforming rows up front
+    (the fixed-width contract) and must return EXACTLY the clean
+    sub-corpus's output on the dirtied corpus; a dirty or missing
+    QUERY vector in `ivf_topk` raises ValueError (a user-supplied
+    query must be valid)."""
+    import math
+
+    import pytest as _pytest
+
+    from mspr2_back_spark.operators.quantize import (
+        int8_quantize_stats,
+        minmax_stats,
+        quantized_topk,
+    )
+    from mspr2_back_spark.operators.similarity import ivf_topk
+
+    def vec(i):
+        return [math.sin(0.1 * i + 0.05 * j) + 0.01 * j for j in range(64)]
+
+    clean_rows = [(i, vec(i), i % 3) for i in range(40)]
+    dirty_rows = [(100, None, 1), (101, [1.0] * 32, 1), (102, [], 1)]
+    schema = "vec_id bigint, embedding array<float>, label int"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(clean_rows + dirty_rows, schema)
+
+    for tag, fn in [
+        ("minmax", lambda df: minmax_stats(df)),
+        ("audit", lambda df: int8_quantize_stats(df)),
+        ("serving", lambda df: quantized_topk(df, 7, k=5)),
+        (
+            "mllib-ivf",
+            lambda df: ivf_topk(df, 7, k=5, n_cells=4, n_probe=2),
+        ),
+    ]:
+        want = [tuple(r) for r in fn(clean).collect()]
+        got = [tuple(r) for r in fn(dirty).collect()]
+        assert got == want, tag
+        assert want, tag  # non-vacuous
+
+    with _pytest.raises(ValueError, match="does not conform"):
+        ivf_topk(dirty, 101, k=5, n_cells=4, n_probe=2)
