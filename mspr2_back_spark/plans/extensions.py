@@ -652,9 +652,12 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     props_extract keeps for comparison). Oracle: DuckDB JSON
     extraction of the same field."""
     e = _t(spark, sf_dir, "events")
+    # try_parse_json: parse_json ABORTS the scan on the first
+    # malformed payload (r15 dirty-events sweep); NULL variant →
+    # NULL k → drops out of the aggregates, n_events still counts.
     parsed = e.select(
         "event_type",
-        F.parse_json("props").alias("v"),
+        F.try_parse_json("props").alias("v"),
     ).select(
         "event_type",
         F.expr("variant_get(v, '$.k', 'int')").alias("k"),

@@ -428,7 +428,14 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed extraction from a semi-structured string column +
     rollup (F12 casts; the events.props JSON payload)."""
     e = _t(spark, sf_dir, "events")
-    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    # NULLIF before the cast: regexp_extract yields '' on no-match
+    # (malformed or key-less props), and ANSI CAST('' AS INT) aborts
+    # the scan — one bad payload must not kill the job (r15
+    # dirty-events sweep). NULL k drops out of SUM; n_events still
+    # counts every event. Mirrored in the oracle.
+    k = F.nullif(
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")
+    ).cast("int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -88,11 +88,18 @@ def zscore_sql() -> str:
 def trend_slope_sql() -> str:
     """OLS slope from moment sums n / sx / sxx / sy / sxy — shared
     template, fixed double operation order (same discipline as
-    workloads.corr_sql)."""
+    workloads.corr_sql).
+
+    NULLIF on the denominator: a single-day group has zero x
+    variance, and ANSI division by zero aborts the job (r15
+    dirty-events sweep — one never-before-seen event type with one
+    event did it). Slope over one point is genuinely undefined →
+    NULL, identically on both engines (the oracle imports this
+    template)."""
     return (
         "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)"
     )
 
 

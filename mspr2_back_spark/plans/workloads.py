@@ -426,11 +426,16 @@ def corr_sql(a: str, b: str) -> str:
     """Pearson correlation from exact-decimal moment sums —
     engine-portable SQL text over columns n / s_{a} / s_{b} /
     ss_{a}{b} etc. Fixed operation order ⇒ identical IEEE doubles
-    on both engines."""
+    on both engines.
+
+    NULLIF on the denominator (r15, same class as trend_slope_sql):
+    a group where either column is constant has zero variance, and
+    correlation against a constant is undefined → NULL instead of
+    an ANSI divide-by-zero abort; both engines share this text."""
     return (
         f"ROUND((CAST(n AS DOUBLE) * ss_{a}{b} - s_{a} * s_{b})"
-        f" / sqrt((CAST(n AS DOUBLE) * ss_{a}{a} - s_{a} * s_{a})"
-        f" * (CAST(n AS DOUBLE) * ss_{b}{b} - s_{b} * s_{b})), 6)"
+        f" / NULLIF(sqrt((CAST(n AS DOUBLE) * ss_{a}{a} - s_{a} * s_{a})"
+        f" * (CAST(n AS DOUBLE) * ss_{b}{b} - s_{b} * s_{b})), 0), 6)"
     )
 
 

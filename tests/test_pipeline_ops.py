@@ -5318,3 +5318,92 @@ def test_quantize_dirty_row_exclusion_contract(spark):
 
     with _pytest.raises(ValueError, match="does not conform"):
         ivf_topk(dirty, 101, k=5, n_cells=4, n_probe=2)
+
+
+def test_dirty_events_totality_contract(spark, tmp_path):
+    """r15 dirty-events sweep pins (the collect()-forced sweep — a
+    count()-based probe lets Catalyst PRUNE the crash-prone
+    expression out of the plan and vacuously passes; that
+    methodology trap is recorded in COVERAGE.md). Four registered
+    queries aborted on one bad row; all are now total with defined
+    NULL semantics, mirrored in their oracles via the shared
+    templates:
+
+    - `props_extract`: '' from a no-match regexp_extract is
+      NULLIF'd before the ANSI INT cast — malformed/key-less props
+      count in n_events but not sum_k;
+    - `props_variant_stats`: try_parse_json — a malformed payload
+      yields NULL variant instead of aborting the scan;
+    - `daily_value_trend`: a single-day event type has zero x
+      variance — slope/intercept are NULL (undefined), not a
+      DIVIDE_BY_ZERO abort;
+    - `lineitem_corr_matrix` (same template class): a group where a
+      column is constant gets NULL for correlations involving it,
+      non-NULL for the rest.
+    """
+    from pyspark.sql import functions as F
+
+    from mspr2_back_spark.plans.extensions import props_variant_stats
+    from mspr2_back_spark.plans.queries import props_extract
+    from mspr2_back_spark.plans.timeseries import daily_value_trend
+    from mspr2_back_spark.plans.workloads import lineitem_corr_matrix
+
+    out = str(tmp_path / "dirtysf")
+    clean_ev = [
+        (i, f"2024-01-{(i % 27) + 1:02d} 0{i % 9}:00:00", i % 5,
+         ["click", "view"][i % 2], float(i), '{"k": %d}' % (i % 7))
+        for i in range(30)
+    ]
+    dirty_ev = [
+        (90001, None, 5, "click", 1.0, '{"k": 3}'),
+        (90002, "2024-02-01 00:00:00", None, "click", 1.0, '{"k": 4}'),
+        (90003, "2024-02-01 01:00:00", 6, None, 1.0, '{"k": 5}'),
+        (90004, "2024-02-01 02:00:00", 7, "click", None, None),
+        (90005, "2024-02-01 03:00:00", 8, "click", -5.0, '{"broken'),
+        (90006, "2024-02-01 04:00:00", 9, "weird_type", 0.0, '{"j": 1}'),
+        (None, "2024-02-01 05:00:00", 10, "click", 2.0, '{"k": 6}'),
+    ]
+    ev = spark.createDataFrame(
+        clean_ev + dirty_ev,
+        "event_id bigint, ts string, user_id bigint,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.write.parquet(f"{out}/events.parquet")
+    li = spark.createDataFrame(
+        # flag A: all three vary; flag B: discount CONSTANT
+        [("A", 1.0 + i, 100.0 + 3 * i, 0.01 * i) for i in range(6)]
+        + [("B", 2.0 + i, 90.0 + 5 * i, 0.05) for i in range(6)],
+        "l_returnflag string, l_quantity double,"
+        " l_extendedprice double, l_discount double",
+    )
+    li.write.parquet(f"{out}/lineitem.parquet")
+
+    pe = {r["event_type"]: r for r in props_extract(spark, out).collect()}
+    assert pe["click"]["n_events"] == 15 + 5  # dirty clicks counted
+    assert pe["weird_type"]["sum_k"] is None  # no k key → NULL
+    assert pe["weird_type"]["n_events"] == 1
+
+    pv = {
+        r["event_type"]: r
+        for r in props_variant_stats(spark, out).collect()
+    }
+    assert pv["weird_type"]["k_sum"] is None
+    assert pv["click"]["n_events"] == 20
+
+    tr = {
+        r["event_type"]: r
+        for r in daily_value_trend(spark, out).collect()
+    }
+    assert tr["weird_type"]["n_days"] == 1
+    assert tr["weird_type"]["slope_per_day"] is None
+    assert tr["weird_type"]["intercept"] is None
+    assert tr["click"]["slope_per_day"] is not None
+
+    cm = {
+        r["l_returnflag"]: r
+        for r in lineitem_corr_matrix(spark, out).collect()
+    }
+    assert cm["A"]["corr_qp"] is not None
+    assert cm["B"]["corr_qd"] is None  # constant discount → NULL
+    assert cm["B"]["corr_pd"] is None
+    assert cm["B"]["corr_qp"] is not None
