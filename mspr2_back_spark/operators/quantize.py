@@ -145,6 +145,10 @@ def quantized_topk(
     template, so serving and audit can never drift. Ranking quality
     vs the fp32 path is pinned by the recall test in
     tests/test_workloads.py.
+
+    Non-conforming corpus rows are excluded (``conforming``); a
+    non-conforming QUERY id therefore yields an EMPTY result —
+    defined behavior, not a crash.
     """
     from mspr2_back_spark.operators.similarity import dot_col, norm_col
 

@@ -50,7 +50,10 @@ from mspr2_back_spark.operators.similarity import (
     ivf_assignments,
     ivf_topk_deterministic,
 )
-from mspr2_back_spark.tools.build_corpora import build_embcorp
+from mspr2_back_spark.tools.build_corpora import (
+    EMB_BLOCK_ID_OFFSET,
+    build_embcorp,
+)
 from mspr2_back_spark.tools.emb_planted_check import (
     THRESHOLD,
     _fold,
@@ -60,7 +63,6 @@ from mspr2_back_spark.tools.emb_planted_check import (
 N_CELLS = 8
 N_PROBE = 3
 K = 10
-EMB_BLOCK_ID_OFFSET = 10_000
 
 
 def family_edges() -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
