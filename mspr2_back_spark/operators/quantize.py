@@ -147,8 +147,22 @@ def quantized_topk(
     tests/test_workloads.py.
 
     Non-conforming corpus rows are excluded (``conforming``); a
-    non-conforming QUERY id therefore yields an EMPTY result —
-    defined behavior, not a crash.
+    non-conforming (or missing) QUERY id therefore yields an EMPTY
+    result — defined behavior, not a crash. This INTENTIONALLY
+    differs from ``ivf_topk``, which raises ValueError for the same
+    condition (r15 ADVICE asked to align or document; documented):
+    ``ivf_topk`` already materializes the query vector driver-side
+    to select probe cells, so validating it there is free — raising
+    costs nothing the path doesn't already pay. This path has no
+    driver-side materialization point: it is ONE fully-lazy
+    declarative plan (scan → broadcast-joined stats → broadcast
+    query → TakeOrderedAndProject), and detecting an empty query
+    relation would require adding a blocking point-lookup job to
+    every serving call just to upgrade empty→error. Empty-result is
+    the cheapest correct contract for a lazy plan; callers that
+    need fail-loud semantics check ``result.count() == 0`` (or
+    validate the id upfront), paying the extra job only when they
+    want it. Pinned by test_quantized_topk_dirty_query_contract.
     """
     from mspr2_back_spark.operators.similarity import dot_col, norm_col
 

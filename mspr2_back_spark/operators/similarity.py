@@ -97,7 +97,11 @@ def _block_pair_scorer(slack: float, dim: int):
     identical across probe cells by construction (r14 ADVICE: the
     earlier per-block modal rule guaranteed none of these). Values
     on clean corpora are untouched — the filter passes everything
-    through.
+    through. The degenerate misuse — a declared ``dim`` that
+    excludes EVERY row of a non-empty corpus — fails loudly at the
+    callers via ``_require_some_conforming`` (r15 ADVICE), so a
+    mis-declared dim can't masquerade as "no near-duplicates";
+    per-block all-dirty batches here remain silent row exclusion.
 
     Accepted cross-path divergence, by contract: the fold-based
     candidate verifiers (``lsh_cosine_pairs``) drop any MIXED-length
@@ -153,6 +157,32 @@ def _block_pair_scorer(slack: float, dim: int):
     return score
 
 
+def _require_some_conforming(vectors: DataFrame, dim: int) -> None:
+    """Fail loudly when the caller-declared ``dim`` excludes EVERY
+    row of a non-empty corpus (r15 ADVICE): under the fixed-width
+    contract a mis-declared dim would otherwise silently yield zero
+    pairs — indistinguishable from "no near-duplicates", the one
+    outcome a dedup caller must never get by accident.
+
+    Cost discipline: on the expected path this is ONE limit-1 point
+    job (CollectLimit submits partitions incrementally — the first
+    conforming row short-circuits the scan); only when NO row
+    conforms does a second limit-1 distinguish an empty corpus
+    (fine: zero rows → zero pairs) from total exclusion (raise).
+    Per-block all-dirty batches inside the scorer remain silently
+    skippable — on a dirtied corpus that is defined row exclusion
+    (test-pinned), not a mis-declared contract."""
+    conforming = vectors.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    if conforming.limit(1).count() == 0 and vectors.limit(1).count() > 0:
+        raise ValueError(
+            f"no embedding conforms to the declared dim={dim}: every "
+            "row of a non-empty corpus was excluded by the fixed-width "
+            "contract — a mis-declared dim, not an empty result"
+        )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -185,6 +215,7 @@ def cosine_pairs(
     is applied Spark-side — output is bit-identical to the
     broadcast-index formulation this replaces.
     """
+    _require_some_conforming(vectors, dim)
     blk = F.floor(F.col(id_col) / block_size).cast("bigint")
     packed = (
         vectors.select(blk.alias("blk"), id_col, "embedding")
@@ -288,6 +319,7 @@ def cell_cosine_pairs(
     round+threshold, so output values are identical to the exact
     verifier's on every emitted pair.
     """
+    _require_some_conforming(vectors, dim)
     cells = hyperplane_buckets(vectors, n_planes, dim, id_col).select(
         id_col, F.col("bucket").alias("cell")
     )

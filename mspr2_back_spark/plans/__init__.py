@@ -38,79 +38,79 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-15 continues the 3x50
-# steady state (50 r14 / 50 r13 / 50 r12 at r14 close): this round
-# owes exactly the plain 50-entry r12 block — the keys of
-# CORRECTNESS_r12 set-minus the r13 sweep, precomputed in
-# COVERAGE.md "Round-15 freshness obligation" and recomputed from
-# the artifacts before this edit (set-equal, 50 = 50).  ZERO spare
+# (rotation history in COVERAGE.md).  Round-16 continues the 3x50
+# steady state (50 r15 / 50 r14 / 50 r13 at r15 close): this round
+# owes exactly the plain 50-entry r13 block — the keys of
+# CORRECTNESS_r13 set-minus the r14 sweep, precomputed in
+# COVERAGE.md "Round-16 freshness obligation" and recomputed by the
+# r15 judge from the artifacts (set-equal, 50 = 50).  ZERO spare
 # slots: no registration this round (the registry stays at 151
 # registered / 150 on the treadmill, percentile_prices retired),
-# no retirement, no displacement.  This sweep pays off both r14
-# WAIT decisions: multimodal_wav_stats + audio_feature_stats get
-# their first natural driver verdict after the _riff_chunk hoist
-# (commit 49e8304), and dedup_embedding_cosine its first after the
-# r14 dirty-row hardening of _block_pair_scorer — the builder's
-# sf0.01 pre-pass (r14) and the judge's independent sim both
-# already pass all three at HEAD, so a red here means environment
-# drift, to be investigated rather than papered over.  Round 16
-# then owes the plain 50-entry r13 block, cycling at period 3.
+# no retirement, no displacement.  Every key in this block was
+# pre-verified 50/50 green at r15 HEAD (recorded; judge
+# spot-checked 10/10 independently), so a red here means
+# environment drift, to be investigated rather than papered over.
+# The four queries plan-changed late in r15 under the WAIT protocol
+# (embedding_quantize_stats, ann_quantized_topk, daily_value_trend,
+# lineitem_corr_matrix) are all r14-block — NOT in this sweep — and
+# are FROZEN until their natural r17 verdicts.  Round 17 then owes
+# the plain 50-entry r14 block, cycling at period 3.
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- the plain 50-entry r12 block, enumerated exactly as in
-    #    COVERAGE.md "Round-15 freshness obligation" (alphabetical;
+    # -- the plain 50-entry r13 block, enumerated exactly as in
+    #    COVERAGE.md "Round-16 freshness obligation" (alphabetical;
     #    no entry is new or plan-changed, so order carries no
     #    priority semantics this round) --
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "audio_feature_stats",
-    "avg_by_segment",
-    "bloom_prefilter_audit",
-    "chunk_documents",
-    "contamination_screen",
-    "crud_delete",
-    "crud_point_lookup",
-    "crud_upsert",
-    "customer_order_coverage",
-    "dedup_clusters",
-    "dedup_corpus_summary",
-    "dedup_embedding_cosine",
-    "dedup_gate",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "distinct_counts",
-    "event_weekday_contingency",
-    "global_totals",
-    "hll_distinct_users_sketch_only",
-    "hot_shingles",
-    "last_value_sum",
-    "max_year_orders",
-    "ml_forecast_ar",
-    "multimodal_wav_stats",
-    "order_rank_metrics",
-    "pack_documents",
-    "percentile_prices_refined",
-    "pii_scrub",
-    "price_histogram",
-    "profile_orders",
-    "props_extract",
-    "props_variant_stats",
-    "quality_filter",
-    "repeated_spans",
-    "revenue_by_nation",
-    "rfm_segments",
-    "rolling_active_users",
-    "scaled_user_values",
-    "seasonal_decompose_daily",
-    "sessionize_events",
-    "set_ops_nations",
-    "source_mixture_sample",
-    "status_pivot",
-    "top3_orders_per_segment",
-    "urgent_semijoin",
-    "user_event_sequences",
-    "window_frame_metrics",
-    "year_week_rollup_join",
+    "above_avg_orders",
+    "ann_lsh_topk",
+    "ann_topk",
+    "asof_event_value",
+    "bigram_surprisal",
+    "brand_surrogate_ids",
+    "corpus_shuffle",
+    "cube_order_stats",
+    "customer_order_histogram",
+    "customers_no_jumbo_order",
+    "date_spine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_norm_stats",
+    "event_debounce",
+    "event_transition_matrix",
+    "events_filtered",
+    "events_in_windows",
+    "grouping_sets_sales",
+    "hourly_events",
+    "ivf_cell_stats",
+    "latest_order_per_customer",
+    "local_supplier_volume",
+    "metric_projection",
+    "multimodal_adpcm_stats",
+    "multimodal_decode_stats",
+    "multimodal_frames",
+    "pct_negative_acctbal",
+    "region_yearly_lag",
+    "rolling_sum3",
+    "rollup_revenue",
+    "segment_decode",
+    "shipping_priority",
+    "skewed_join_topk",
+    "status_priority_rollup",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "top5_customers",
+    "unigram_surprisal",
+    "value_lag_diff",
+    "word_counts",
+    "yearly_orders_lag",
+    "zorder_locality_audit",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

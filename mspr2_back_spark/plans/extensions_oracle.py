@@ -338,12 +338,24 @@ WHERE rn <= 3
 # AS BIGINT.  k_min/k_max stay INTEGER on both engines (MIN/MAX never
 # widen), so the bare INTEGER casts below are the aligned type, not an
 # oversight.  (Trap history: COVERAGE.md "oracle traps".)
+# json_valid guard mirrors the Spark side's try_parse_json (r15
+# totality fix): on a malformed payload Spark yields NULL while bare
+# json_extract would ABORT the oracle — the guard keeps dirty-corpus
+# parity instead of erroring where Spark returns NULL (r15 ADVICE).
+# Clean corpora are unaffected: every props is valid JSON, the CASE
+# passes through, and the sf0.01 hash is unchanged (sim-verified).
 EXTENSION_ORACLE_SQL["props_variant_stats"] = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
-       MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
-       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max
+       CAST(SUM(CASE WHEN json_valid(props)
+                     THEN CAST(json_extract(props, '$.k') AS INTEGER)
+                END) AS BIGINT) AS k_sum,
+       MIN(CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS INTEGER)
+           END) AS k_min,
+       MAX(CASE WHEN json_valid(props)
+                THEN CAST(json_extract(props, '$.k') AS INTEGER)
+           END) AS k_max
 FROM events
 GROUP BY event_type
 """

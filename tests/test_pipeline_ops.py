@@ -5333,7 +5333,9 @@ def test_dirty_events_totality_contract(spark, tmp_path):
       NULLIF'd before the ANSI INT cast — malformed/key-less props
       count in n_events but not sum_k;
     - `props_variant_stats`: try_parse_json — a malformed payload
-      yields NULL variant instead of aborting the scan;
+      yields NULL variant instead of aborting the scan (oracle
+      mirror is a json_valid guard, r15 ADVICE; pinned by
+      test_props_variant_oracle_dirty_parity below);
     - `daily_value_trend`: a single-day event type has zero x
       variance — slope/intercept are NULL (undefined), not a
       DIVIDE_BY_ZERO abort;
@@ -5407,3 +5409,125 @@ def test_dirty_events_totality_contract(spark, tmp_path):
     assert cm["B"]["corr_qd"] is None  # constant discount → NULL
     assert cm["B"]["corr_pd"] is None
     assert cm["B"]["corr_qp"] is not None
+
+
+def test_props_variant_oracle_dirty_parity(spark, tmp_path):
+    """The props_variant_stats DuckDB oracle must stay TOTAL and
+    value-identical to the Spark side on dirty payloads (r15
+    ADVICE: the Spark side went try_parse_json in r15 but the
+    oracle kept strict json_extract, which ABORTS on a malformed
+    payload — parity diverged exactly where the totality fix
+    mattered). The oracle now guards extraction behind json_valid;
+    this pin runs BOTH engines on a dirty corpus (malformed JSON,
+    NULL props, key-less valid JSON) and compares every group's
+    values, so the oracle can't silently regress to the strict
+    form. Clean-corpus parity is the driver's job (r15 sweep green;
+    natural re-sweep r18)."""
+    import duckdb
+
+    from mspr2_back_spark.plans import ORACLE_SQL as _SQL
+    from mspr2_back_spark.plans.extensions import props_variant_stats
+
+    out = str(tmp_path / "dirtyprops")
+    rows = [
+        (i, ["click", "view"][i % 2], '{"k": %d}' % (i % 7))
+        for i in range(30)
+    ] + [
+        (90001, "click", '{"broken'),        # malformed → NULL k
+        (90002, "click", None),              # NULL props → NULL k
+        (90003, "weird_type", '{"j": 1}'),   # valid, no k → NULL k
+        (90004, "view", "[1, 2"),            # malformed array prefix
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, event_type string, props string"
+    ).write.parquet(f"{out}/events.parquet")
+
+    got = {
+        r["event_type"]: (r["n_events"], r["k_sum"], r["k_min"], r["k_max"])
+        for r in props_variant_stats(spark, out).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{out}/events.parquet/*.parquet')"
+    )
+    want = {
+        et: (n, ks, kmin, kmax)
+        for et, n, ks, kmin, kmax in con.execute(
+            _SQL["props_variant_stats"]
+        ).fetchall()
+    }
+    assert got == want
+    assert got["weird_type"] == (1, None, None, None)  # non-vacuous
+    assert got["click"][0] == 17  # dirty rows counted, not dropped
+
+
+def test_quantized_topk_dirty_query_contract(spark):
+    """Documented contrast between the two int8-adjacent serving
+    paths on a non-conforming query id (r15 ADVICE — aligned-or-
+    documented; documented, rationale in quantized_topk's
+    docstring): quantized_topk is one fully-lazy plan and returns
+    EMPTY; ivf_topk already collects the query vector driver-side
+    and raises ValueError for free. Both are defined behavior; this
+    pin keeps either path from silently swapping contracts."""
+    import pytest as _pytest
+
+    from mspr2_back_spark.operators.quantize import quantized_topk
+    from mspr2_back_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float(i + j) for j in range(64)], i % 3)
+            for i in range(24)]
+    dirty = spark.createDataFrame(
+        rows + [(101, [1.0] * 7, 1), (102, None, 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    # wrong-dim query id: excluded by conforming() → empty, no crash
+    assert quantized_topk(dirty, 101, k=5).collect() == []
+    # absent query id: same contract
+    assert quantized_topk(dirty, 99999, k=5).collect() == []
+    # the IVF path's documented opposite
+    with _pytest.raises(ValueError, match="does not conform"):
+        ivf_topk(dirty, 101, k=5, n_cells=4, n_probe=2)
+    # sanity: a conforming query still serves
+    assert len(quantized_topk(dirty, 7, k=5).collect()) == 5
+
+
+def test_cosine_pairs_total_exclusion_fails_loudly(spark):
+    """r15 ADVICE: under the caller-declared fixed-width contract, a
+    mis-declared dim over a uniformly non-dim corpus used to yield
+    ZERO pairs silently — indistinguishable from "no
+    near-duplicates". Both block-scorer paths now raise ValueError
+    when every row of a NON-EMPTY corpus is excluded; an empty
+    corpus still returns an empty result (zero rows → zero pairs is
+    honest, not a mis-declared contract), and a partially-dirty
+    corpus keeps the documented row-exclusion semantics."""
+    import pytest as _pytest
+
+    from mspr2_back_spark.operators.similarity import (
+        cell_cosine_pairs,
+        cosine_pairs,
+    )
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    uniform32 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(32)], 0) for i in range(8)],
+        schema,
+    )
+    # mis-declared dim (default 64 over a 32-wide corpus): loud
+    with _pytest.raises(ValueError, match="mis-declared dim"):
+        cosine_pairs(uniform32, 0.9, block_size=4)
+    with _pytest.raises(ValueError, match="mis-declared dim"):
+        cell_cosine_pairs(uniform32, 0.9, n_planes=2, block_size=4)
+    # correctly-declared dim on the same corpus: runs
+    assert cosine_pairs(uniform32, 0.99, block_size=4, dim=32).collect()
+    # empty corpus: empty result, no raise
+    empty = spark.createDataFrame([], schema)
+    assert cosine_pairs(empty, 0.9, block_size=4).collect() == []
+    # partially-dirty corpus: dirty rows excluded, clean rows scored
+    mixed = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(64)], 0) for i in range(6)]
+        + [(100, None, 0), (101, [1.0] * 32, 0)],
+        schema,
+    )
+    assert cosine_pairs(mixed, 0.99, block_size=4).collect()
