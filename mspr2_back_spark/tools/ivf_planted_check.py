@@ -94,10 +94,80 @@ def same_cell_recall(
     return hit, len(pairs)
 
 
+def boundary_check(spark, out: str, B: int, n_cells: int = 32) -> None:
+    """The replication law's BOUNDARY (VERDICT r15 task 4): the B=128
+    exactness at n_cells=8 rests on n_cells dividing
+    EMB_BLOCK_ID_OFFSET (10,000 — divisible by 8 and 16, NOT by 32:
+    10,000 = 32·312 + 16). At a non-dividing n_cells, copy i of base
+    v seeds at residue (v + 16·i) mod 32 — alternating with block
+    PARITY between v%32 and (v+16)%32 — so the seed shards, hence
+    the decimal centroid means, hence the one-step assignment, are
+    no longer replication-invariant and only APPROXIMATE
+    preservation is predicted. This measures the prediction: base
+    same-cell at n_cells=32, the B-replica's same-cell vs the
+    exact-law expectation hit·B², and the parity split (equal-parity
+    block pairs share seed geometry; mixed-parity pairs don't — the
+    mechanism, made visible)."""
+    _, qual = family_edges()
+    base = spark.read.parquet(f"{out}/embeddings.parquet")
+    cells_b = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assignments(base, n_cells=n_cells).collect()
+    }
+    h1, n1 = same_cell_recall(cells_b, qual)
+    print(
+        f"boundary base (n_cells={n_cells}, offset mod n_cells = "
+        f"{EMB_BLOCK_ID_OFFSET % n_cells}): qualifying same-cell "
+        f"{h1}/{n1}",
+        flush=True,
+    )
+    build_embcorp(spark, f"{out}_b{B}", blocks=B)
+    rep = spark.read.parquet(f"{out}_b{B}/embeddings.parquet")
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assignments(rep, n_cells=n_cells).collect()
+    }
+    scaled = [
+        (x + EMB_BLOCK_ID_OFFSET * i, y + EMB_BLOCK_ID_OFFSET * j, i, j)
+        for x, y in qual
+        for i in range(B)
+        for j in range(B)
+    ]
+    hq = sum(1 for x, y, _, _ in scaled if cells[x] == cells[y])
+    nq = len(scaled)
+    same_par = [(x, y) for x, y, i, j in scaled if (i - j) % 2 == 0]
+    mix_par = [(x, y) for x, y, i, j in scaled if (i - j) % 2 == 1]
+    hs = sum(1 for x, y in same_par if cells[x] == cells[y])
+    hm = sum(1 for x, y in mix_par if cells[x] == cells[y])
+    exact_law = h1 * B * B
+    colinear = [
+        (v + EMB_BLOCK_ID_OFFSET * i, v + EMB_BLOCK_ID_OFFSET * j)
+        for v in base_vectors()
+        for i in range(B)
+        for j in range(i + 1, B)
+    ]
+    hc, nc2 = same_cell_recall(cells, colinear)
+    print(
+        f"boundary B={B} replica ({112 * B} vectors, "
+        f"n_cells={n_cells}): qualifying same-cell {hq}/{nq} "
+        f"(exact-law expectation {exact_law}; deviation "
+        f"{hq - exact_law:+d} = {100.0 * (hq - exact_law) / nq:+.2f} "
+        f"pp of pairs); parity split same={hs}/{len(same_par)} "
+        f"mixed={hm}/{len(mix_par)}; colinear copies {hc}/{nc2}",
+        flush=True,
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/embcorp_ivf")
     p.add_argument("--blocks", type=int, default=8)
+    p.add_argument(
+        "--boundary-only",
+        action="store_true",
+        help="run ONLY the non-dividing-n_cells replication-law "
+        "boundary measurement (n_cells=32)",
+    )
     a = p.parse_args()
 
     all_pairs, qual = family_edges()
@@ -111,6 +181,10 @@ def main() -> None:
 
     spark = get_spark(app_name="ivf_planted_check", shuffle_partitions=8)
     build_embcorp(spark, a.out, blocks=1)
+    if a.boundary_only:
+        boundary_check(spark, a.out, a.blocks)
+        spark.stop()
+        return
     corpus = spark.read.parquet(f"{a.out}/embeddings.parquet")
     corpus = corpus.persist()
     corpus.count()

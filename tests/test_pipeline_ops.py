@@ -5531,3 +5531,80 @@ def test_cosine_pairs_total_exclusion_fails_loudly(spark):
         schema,
     )
     assert cosine_pairs(mixed, 0.99, block_size=4).collect()
+
+
+def test_ivf_replication_boundary_contract(spark, emb_corpus, tmp_path):
+    """r16: pin the deterministic anchors of the SCALING.md
+    replication-law BOUNDARY record (VERDICT r15 task 4). The r15
+    B=128 exactness at n_cells=8 rests on n_cells dividing the
+    block id offset (10,000); n_cells=32 does NOT divide it
+    (10,000 = 32·312 + 16), and the measured boundary shows the
+    predicted non-preservation of the base law PLUS the refined
+    structure the measurement surfaced:
+
+    - base corpus same-cell at n_cells=32 is 12/126 (over-
+      fragmented: 112 vectors in 32 cells);
+    - the B=2 replica is 276/504 — NOT 12·4 = 48: the base law does
+      not survive a non-dividing n_cells;
+    - but exactness RE-INDEXES to parity classes: for even B each
+      base vector puts exactly B/2 copies in each of its two seed
+      residues (v and v+16 mod 32), the shard means are invariant
+      in B, and hq = 276·(B/2)² exactly (B=8 → 4,416 and B=128 →
+      1,130,496 measured in SCALING.md; re-running B>2 here would
+      tax the suite for arithmetic already pinned by the B=2
+      constant);
+    - the parity split is symmetric at even B (138/252 both);
+    - colinear copies NEVER split (112/112 at B=2).
+    """
+    from mspr2_back_spark.operators.similarity import ivf_assignments
+    from mspr2_back_spark.tools.build_corpora import (
+        EMB_BLOCK_ID_OFFSET,
+        build_embcorp,
+    )
+
+    out, vecs, _labels = emb_corpus
+    assert EMB_BLOCK_ID_OFFSET % 32 == 16  # the non-dividing premise
+
+    qual = []
+    for f in range(24):
+        ids = [100 * f + m for m in range(4)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if _emb_cos6(vecs, a, b) >= 0.45:
+                    qual.append((a, b))
+    assert len(qual) == 126
+
+    base = spark.read.parquet(f"{out}/embeddings.parquet")
+    cells1 = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assignments(base, n_cells=32).collect()
+    }
+    assert sum(1 for a, b in qual if cells1[a] == cells1[b]) == 12
+
+    out2 = str(tmp_path / "embcorp_b2")
+    build_embcorp(spark, out2, blocks=2)
+    rep = spark.read.parquet(f"{out2}/embeddings.parquet")
+    cells2 = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assignments(rep, n_cells=32).collect()
+    }
+    scaled = [
+        (a + EMB_BLOCK_ID_OFFSET * i, b + EMB_BLOCK_ID_OFFSET * j, i, j)
+        for a, b in qual
+        for i in range(2)
+        for j in range(2)
+    ]
+    hits_same = sum(
+        1 for x, y, i, j in scaled
+        if (i - j) % 2 == 0 and cells2[x] == cells2[y]
+    )
+    hits_mixed = sum(
+        1 for x, y, i, j in scaled
+        if (i - j) % 2 == 1 and cells2[x] == cells2[y]
+    )
+    assert hits_same + hits_mixed == 276  # NOT the base law's 48
+    assert (hits_same, hits_mixed) == (138, 138)  # symmetric parity
+    colinear = [
+        (v, v + EMB_BLOCK_ID_OFFSET) for v in sorted(vecs)
+    ]
+    assert all(cells2[a] == cells2[b] for a, b in colinear)  # 112/112
