@@ -1438,6 +1438,24 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.encode(F.col(text_col), "utf-8").alias("payload"))
 
 
+def _doc_ids(docs: DataFrame) -> DataFrame:
+    """doc_id projection for the closed-form codec probes, with the
+    dirty-row contract: a NULL doc_id has no synthesizable payload —
+    excluded SCAN-SIDE (a pushdown-eligible IsNotNull filter, no new
+    exchange; the same discipline as quantize.conforming). Without
+    it, Arrow hands a NULL bigint column to pandas as NaN and one
+    all-NULL documents row aborts the whole mapInPandas job with
+    `int(NaN)` — found by the r16 opt-in whole-surface dirty smoke
+    (tests/test_dirty_smoke.py). The crash is deterministic, so the
+    r15 round-close "all-NULL document" totality record must in
+    fact have run with a non-NULL doc_id on its dirty documents row
+    — the record's wording overclaimed (corrected in COVERAGE.md,
+    same class as the r14 quantize record error r15 corrected).
+    Clean corpora are unaffected: every doc_id is non-NULL, the
+    filter passes every row through."""
+    return docs.select("doc_id").filter(F.col("doc_id").isNotNull())
+
+
 def image_metadata(docs: DataFrame) -> DataFrame:
     """Extract typed metadata from binary payloads via mapInPandas.
 
@@ -1755,7 +1773,7 @@ def decode_stats(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+    return _doc_ids(docs).mapInPandas(run, schema=DECODE_STATS_SCHEMA)
 
 
 JPEG_META_SCHEMA = (
@@ -1895,7 +1913,7 @@ def jpeg_meta_stats(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    ids = docs.select("doc_id")
+    ids = _doc_ids(docs)
     par = docs.sparkSession.sparkContext.defaultParallelism
     return ids.repartition(par).mapInPandas(run, schema=JPEG_META_SCHEMA)
 
@@ -1996,7 +2014,7 @@ def wav_meta_stats(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(run, schema=WAV_META_SCHEMA)
+    return _doc_ids(docs).mapInPandas(run, schema=WAV_META_SCHEMA)
 
 
 AUDIO_PROBE_SCHEMA = (
@@ -2061,7 +2079,7 @@ def audio_feature_probe(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(run, schema=AUDIO_PROBE_SCHEMA)
+    return _doc_ids(docs).mapInPandas(run, schema=AUDIO_PROBE_SCHEMA)
 
 
 ADPCM_PROBE_SCHEMA = (
@@ -2178,6 +2196,6 @@ def adpcm_roundtrip_probe(docs: DataFrame) -> DataFrame:
     # fan-out (6.4 s -> sub-second at sf0.1 on local[32]; at 100 TB
     # the scan has thousands of splits and AQE coalescing makes this
     # a no-op-sized rebalance).
-    ids = docs.select("doc_id")
+    ids = _doc_ids(docs)
     par = docs.sparkSession.sparkContext.defaultParallelism
     return ids.repartition(par).mapInPandas(run, schema=ADPCM_PROBE_SCHEMA)

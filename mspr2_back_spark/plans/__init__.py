@@ -59,8 +59,12 @@ ORACLE_SQL = {
 _SWEEP_FIRST = [
     # -- the plain 50-entry r13 block, enumerated exactly as in
     #    COVERAGE.md "Round-16 freshness obligation" (alphabetical;
-    #    no entry is new or plan-changed, so order carries no
-    #    priority semantics this round) --
+    #    no entry is new; order carries no priority semantics.  Two
+    #    entries, multimodal_adpcm_stats + multimodal_decode_stats,
+    #    carry a PRE-sweep r16 totality fix — the scan-side
+    #    NULL-doc_id exclusion, sim-verified, oracles unchanged —
+    #    so their r16 verdicts certify the fixed plans, the r15
+    #    props_* precedent) --
     "above_avg_orders",
     "ann_lsh_topk",
     "ann_topk",

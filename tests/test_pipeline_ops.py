@@ -5608,3 +5608,47 @@ def test_ivf_replication_boundary_contract(spark, emb_corpus, tmp_path):
         (v, v + EMB_BLOCK_ID_OFFSET) for v in sorted(vecs)
     ]
     assert all(cells2[a] == cells2[b] for a, b in colinear)  # 112/112
+
+
+def test_multimodal_null_docid_exclusion_contract(spark):
+    """r16 dirty-corpus find (from the new opt-in whole-surface dirty
+    smoke, tests/test_dirty_smoke.py): ALL FIVE closed-form codec
+    probes crashed on a NULL doc_id — Arrow hands a NULL bigint to
+    pandas as NaN and `int(NaN)` aborted the whole mapInPandas job.
+    This is the same crash class the r15 quantize fix closed (one
+    corrupt row killing a corpus-wide scan) and the same record-
+    error class r15 itself corrected in the r14 evidence: the r15
+    "all-NULL document" totality record could not have included a
+    NULL doc_id (the crash is deterministic) — corrected in
+    COVERAGE.md. Contract now: NULL doc_ids are excluded scan-side
+    (`_doc_ids`, pushdown-eligible IsNotNull), and each probe
+    returns EXACTLY the clean sub-corpus's output on the dirtied
+    corpus."""
+    from mspr2_back_spark.operators.multimodal import (
+        adpcm_roundtrip_probe,
+        audio_feature_probe,
+        decode_stats,
+        jpeg_meta_stats,
+        wav_meta_stats,
+    )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    clean_rows = [
+        (i, f"doc {i}", "en", "web", 10 + i) for i in range(12)
+    ]
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(
+        clean_rows + [(None, None, None, None, None)], schema
+    )
+
+    for tag, fn in [
+        ("decode", decode_stats),
+        ("jpeg", jpeg_meta_stats),
+        ("wav", wav_meta_stats),
+        ("audio", audio_feature_probe),
+        ("adpcm", adpcm_roundtrip_probe),
+    ]:
+        want = sorted(tuple(r) for r in fn(clean).collect())
+        got = sorted(tuple(r) for r in fn(dirty).collect())
+        assert got == want, tag
+        assert want, tag  # non-vacuous
