@@ -114,3 +114,55 @@ def test_whole_surface_dirty_totality(spark, dirty_dir):
         f"{len(failures)}/{len(QUERIES)} queries crashed on the "
         f"dirtied corpus: {failures}"
     )
+
+
+def test_streaming_surface_dirty_totality(spark, dirty_dir):
+    """The streaming half of the r15 totality record, made
+    repeatable (the r15 sweep probed all ten streaming ops on dirty
+    events manually — recorded in COVERAGE.md, not re-runnable).
+    Each op reads the dirtied events table as an availableNow
+    stream, drains to a memory sink, and the sink is collect()ed —
+    full evaluation, per the totality-probes discipline. Defined
+    dirty semantics (r15 record): NULL-ts rows drop at the
+    window/watermark boundary; NULL keys form their own bounded
+    state group. Output modes mirror each op's pytest."""
+    from mspr2_back_spark.streaming import events as stream_events
+
+    src = load_table(spark, dirty_dir, "events")
+    stream_dir = f"{dirty_dir}/_events_stream_src"
+    if not os.path.exists(os.path.join(stream_dir, "_SUCCESS")):
+        src.orderBy(F.col("ts").asc_nulls_last()).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stream_dir)
+
+    ops = [
+        ("windowed", lambda s: stream_events.windowed_event_counts(s), "update"),
+        ("sessions", lambda s: stream_events.sessionized_event_counts(s), "append"),
+        ("totals", lambda s: stream_events.running_user_totals(s), "update"),
+        ("funnel", lambda s: stream_events.funnel_stage_progress(s), "update"),
+        ("transitions", lambda s: stream_events.transition_increments(s), "update"),
+        ("ewma", lambda s: stream_events.ewma_value_live(s), "update"),
+        ("hopping", lambda s: stream_events.hopping_event_rates(s), "update"),
+        ("cms", lambda s: stream_events.cms_cells_live(s), "update"),
+        ("hll", lambda s: stream_events.hll_registers_live(s), "update"),
+        ("dau", lambda s: stream_events.dau_live(s), "update"),
+    ]
+    failures = []
+    for tag, build, mode in ops:
+        try:
+            stream = stream_events.read_event_stream(
+                spark, stream_dir, src.schema
+            )
+            stream_events.run_to_memory(
+                build(stream), f"dirty_{tag}", mode=mode
+            )
+            rows = spark.table(f"dirty_{tag}").collect()
+            assert rows, tag  # dirty rows must not empty the output
+        except Exception as exc:  # noqa: BLE001 — enumerate, then fail
+            failures.append((tag, f"{type(exc).__name__}: {exc}"))
+        finally:
+            spark.catalog.clearCache()
+    assert not failures, (
+        f"{len(failures)}/10 streaming ops crashed on dirty events: "
+        f"{failures}"
+    )
