@@ -38,83 +38,84 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-16 continues the 3x50
-# steady state (50 r15 / 50 r14 / 50 r13 at r15 close): this round
-# owes exactly the plain 50-entry r13 block — the keys of
-# CORRECTNESS_r13 set-minus the r14 sweep, precomputed in
-# COVERAGE.md "Round-16 freshness obligation" and recomputed by the
-# r15 judge from the artifacts (set-equal, 50 = 50).  ZERO spare
+# (rotation history in COVERAGE.md).  Round-17 continues the 3x50
+# steady state (50 r16 / 50 r15 / 50 r14 at r16 close): this round
+# owes exactly the plain 50-entry r14 block — the keys of
+# CORRECTNESS_r14 set-minus the r15 sweep, precomputed in
+# COVERAGE.md "Round-17 freshness obligation" and recomputed by the
+# r16 judge from the artifacts (set-equal, 50 = 50).  ZERO spare
 # slots: no registration this round (the registry stays at 151
 # registered / 150 on the treadmill, percentile_prices retired),
 # no retirement, no displacement.  Every key in this block was
-# pre-verified 50/50 green at r15 HEAD (recorded; judge
-# spot-checked 10/10 independently), so a red here means
-# environment drift, to be investigated rather than papered over.
-# The four queries plan-changed late in r15 under the WAIT protocol
+# pre-verified 49/49+1 green at r16 HEAD (recorded; judge
+# spot-checked 10+1 independently), so a red here means environment
+# drift, to be investigated rather than papered over.  This is the
+# WAIT-payoff round: FIVE keys certify deferred plan changes under
+# natural driver verdicts — the four plan-changed late in r15
 # (embedding_quantize_stats, ann_quantized_topk, daily_value_trend,
-# lineitem_corr_matrix) are all r14-block — NOT in this sweep — and
-# are FROZEN until their natural r17 verdicts.  Round 17 then owes
-# the plain 50-entry r14 block, cycling at period 3.
+# lineitem_corr_matrix; frozen through r16, diff-verified by the
+# judge) plus multimodal_jpeg_meta (r16 NULL-doc_id scan-side
+# exclusion, sim-verified at change time, oracle unchanged).  The
+# two r18-block codec probes (multimodal_wav_stats,
+# audio_feature_stats) stay FROZEN until their natural r18
+# verdicts.  Round 18 then owes the plain 50-entry r15 block,
+# cycling at period 3.
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- the plain 50-entry r13 block, enumerated exactly as in
-    #    COVERAGE.md "Round-16 freshness obligation" (alphabetical;
-    #    no entry is new; order carries no priority semantics.  Two
-    #    entries, multimodal_adpcm_stats + multimodal_decode_stats,
-    #    carry a PRE-sweep r16 totality fix — the scan-side
-    #    NULL-doc_id exclusion, sim-verified, oracles unchanged —
-    #    so their r16 verdicts certify the fixed plans, the r15
-    #    props_* precedent) --
-    "above_avg_orders",
-    "ann_lsh_topk",
-    "ann_topk",
-    "asof_event_value",
-    "bigram_surprisal",
-    "brand_surrogate_ids",
-    "corpus_shuffle",
-    "cube_order_stats",
-    "customer_order_histogram",
-    "customers_no_jumbo_order",
-    "date_spine",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_norm_stats",
-    "event_debounce",
-    "event_transition_matrix",
-    "events_filtered",
-    "events_in_windows",
-    "grouping_sets_sales",
-    "hourly_events",
-    "ivf_cell_stats",
-    "latest_order_per_customer",
-    "local_supplier_volume",
-    "metric_projection",
-    "multimodal_adpcm_stats",
-    "multimodal_decode_stats",
-    "multimodal_frames",
-    "pct_negative_acctbal",
-    "region_yearly_lag",
-    "rolling_sum3",
-    "rollup_revenue",
-    "segment_decode",
-    "shipping_priority",
-    "skewed_join_topk",
-    "status_priority_rollup",
-    "text_fingerprints",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "tfidf_top_terms",
-    "token_budget_sample",
-    "top5_customers",
-    "unigram_surprisal",
-    "value_lag_diff",
-    "word_counts",
-    "yearly_orders_lag",
-    "zorder_locality_audit",
+    # -- the plain 50-entry r14 block, enumerated exactly as in
+    #    COVERAGE.md "Round-17 freshness obligation" (alphabetical;
+    #    no entry is new; order carries no priority semantics.  One
+    #    entry, approx_price_quantiles, is rows-only by design) --
+    "ann_batch_topk",
+    "ann_quantized_topk",
+    "approx_price_quantiles",
+    "attribution_last_touch",
+    "bigram_pmi",
+    "bm25_topk",
+    "brand_supplier_counts",
+    "cms_heavy_hitters",
+    "cohort_ltv",
+    "corpus_datacard",
+    "daily_anomaly_scores",
+    "daily_timeseries",
+    "daily_value_trend",
+    "dedup_edit_distance",
+    "dedup_embedding_cells",
+    "embedding_quantize_stats",
+    "equidepth_price_bands",
+    "event_association_rules",
+    "event_funnel",
+    "ewma_daily_value",
+    "fk_integrity_audit",
+    "funnel_latency",
+    "gapfill_user_daily",
+    "hll_distinct_users",
+    "hybrid_search_rrf",
+    "idle_customers_avg_bal",
+    "leakage_safe_splits",
+    "lineitem_corr_matrix",
+    "min_cost_supplier_per_part",
+    "ml_forecast_ar_exact",
+    "multimodal_jpeg_meta",
+    "multimodal_meta",
+    "or_of_ands_revenue",
+    "orders_page",
+    "pagination_meta",
+    "pricing_summary",
+    "quality_weighted_sample",
+    "retention_cohorts",
+    "revenue_share_by_nation",
+    "scd2_customer_merge",
+    "session_paths",
+    "simhash64_near_degree",
+    "simhash_bucket_stats",
+    "simhash_near_degree",
+    "sliding_event_rates",
+    "split_contamination_audit",
+    "table_preview",
+    "waiting_orders_by_supplier",
+    "weekly_rollup",
+    "weighted_sample_fixed_k",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"
