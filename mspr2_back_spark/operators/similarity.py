@@ -214,6 +214,17 @@ def cosine_pairs(
     pruned with a small slack, and the exact round+threshold contract
     is applied Spark-side — output is bit-identical to the
     broadcast-index formulation this replaces.
+
+    EAGER at plan-construction time: this call runs up to two limit-1
+    point jobs on ``vectors`` BEFORE returning (the mis-declared-dim
+    guard — see ``_require_some_conforming``). Building the plan
+    therefore blocks the driver briefly and, if ``vectors`` ends in a
+    shuffle/aggregation, forces that upstream subplan to execute for
+    the probe; callers composing plans without executing them pay
+    this up front (measured +0.12 s fixed, corpus-size-independent on
+    scan-shaped input). A nondeterministic ``vectors`` source may
+    also make the guard's verdict differ from the scoring run's own
+    row exclusion — feed deterministic relations.
     """
     _require_some_conforming(vectors, dim)
     blk = F.floor(F.col(id_col) / block_size).cast("bigint")
@@ -318,6 +329,13 @@ def cell_cosine_pairs(
     scores from shared probe cells are dropped before the exact
     round+threshold, so output values are identical to the exact
     verifier's on every emitted pair.
+
+    EAGER at plan-construction time: same contract as
+    ``cosine_pairs`` — up to two limit-1 point jobs run on
+    ``vectors`` before this returns (the mis-declared-dim guard),
+    so plan construction blocks the driver briefly and forces any
+    upstream shuffle in ``vectors`` to execute for the probe; feed
+    deterministic relations (see ``_require_some_conforming``).
     """
     _require_some_conforming(vectors, dim)
     cells = hyperplane_buckets(vectors, n_planes, dim, id_col).select(

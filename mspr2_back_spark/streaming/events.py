@@ -400,10 +400,13 @@ def run_upsert_to_gold(
     q.awaitTermination()
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str, mode: str = "update") -> None:
+def run_to_memory(stream_df: DataFrame, table_name: str, mode: str = "update"):
     """Drain all available input into an in-memory sink (test/serving
     harness; a production job would write a parquet/Delta sink with a
-    checkpoint location)."""
+    checkpoint location). Returns the terminated query handle so
+    callers can read ``lastProgress`` — e.g. to tell "watermark never
+    finalized" apart from "the data emptied the output" when an
+    append-mode sink comes back empty (the dirty-smoke gate does)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
@@ -412,6 +415,7 @@ def run_to_memory(stream_df: DataFrame, table_name: str, mode: str = "update") -
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def dedup_gate_against_corpus(

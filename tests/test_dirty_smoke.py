@@ -153,11 +153,37 @@ def test_streaming_surface_dirty_totality(spark, dirty_dir):
             stream = stream_events.read_event_stream(
                 spark, stream_dir, src.schema
             )
-            stream_events.run_to_memory(
+            q = stream_events.run_to_memory(
                 build(stream), f"dirty_{tag}", mode=mode
             )
             rows = spark.table(f"dirty_{tag}").collect()
-            assert rows, tag  # dirty rows must not empty the output
+            if not rows:
+                # Non-vacuous either way, but the message must say
+                # WHICH failure this is (r16 ADVICE): an append-mode
+                # op with a watermark emits closed windows only if
+                # availableNow runs a finalizing no-data batch —
+                # behavior that has changed across Spark versions. An
+                # un-advanced watermark means the finalizing batch
+                # never ran (environment/Spark drift); an advanced
+                # watermark with zero rows means the dirty rows
+                # really emptied the output (a totality regression).
+                wm = ((q.lastProgress or {}).get("eventTime") or {}).get(
+                    "watermark"
+                )
+                finalized = bool(wm) and not str(wm).startswith("1970")
+                if mode == "append" and not finalized:
+                    raise AssertionError(
+                        f"{tag}: empty append-mode sink and the "
+                        f"watermark never advanced (watermark={wm!r})"
+                        " — availableNow did not run a finalizing "
+                        "no-data batch (Spark-version behavior "
+                        "drift), NOT a dirty-data totality regression"
+                    )
+                raise AssertionError(
+                    f"{tag}: dirty rows emptied the output "
+                    f"(mode={mode}, watermark={wm!r}) — a real "
+                    "totality regression"
+                )
         except Exception as exc:  # noqa: BLE001 — enumerate, then fail
             failures.append((tag, f"{type(exc).__name__}: {exc}"))
         finally:
