@@ -488,7 +488,34 @@ def lsh_cosine_pairs(
     At scale: bucket cardinality is bands × 2^r; wide embedding
     arrays never enter the band shuffle — the verify joins fetch
     them by id for the candidates only.
+
+    Dirty corpus rows (NULL / wrong-dim / EMPTY embeddings) are
+    excluded scan-side, exactly like the top-k family and
+    ``quantize.conforming`` (r17 scatter-probe find): without the
+    filter, every non-conforming row lands in band-bucket 0 (the
+    sign fold yields NULL or 0 for every plane → ``IF`` picks 0), so
+    TWO OR MORE dirty rows anywhere in the corpus become candidate
+    pairs — and an empty×empty pair folds a non-NULL dot of 0 over
+    zero norms, so the exact-verify division throws ANSI
+    DIVIDE_BY_ZERO and aborts the whole job (one representative per
+    dirty class can never expose this: a lone bucket-0 dirty row is
+    dropped by the ``size(ds) > 1`` bucket filter, which is how the
+    single-row dirty sweeps stayed green). At 100 TB the same
+    mechanism is also a skew bomb: every dirty row corpus-wide
+    converges on bucket 0 with quadratic pair expansion. Clean-data
+    output is bit-identical — conforming rows pass untouched.
+
+    EAGER at plan-construction time: same contract as
+    ``cosine_pairs`` — up to two limit-1 point jobs run on
+    ``vectors`` before this returns (the mis-declared-dim guard),
+    so a dim that excludes every row of a non-empty corpus raises
+    instead of reading as "no near-duplicates" (see
+    ``_require_some_conforming``).
     """
+    _require_some_conforming(vectors, dim)
+    vectors = vectors.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
     rows = n_planes // bands
     band_exprs = [
         " + ".join(

@@ -692,10 +692,18 @@ def _band_bucket_sql(band: int, rows: int = _LSH_ROWS, vec: str = "embedding") -
 
 
 PIPELINE_ORACLE_SQL["dedup_embedding_lsh"] = """
-WITH sb AS (
+WITH conf AS (
+  -- mirrors the Spark side's scan-side conformance filter (r17):
+  -- NULL / wrong-dim / empty embeddings are excluded before banding
+  -- on BOTH engines, so dirty-corpus parity holds; clean-data
+  -- results are unchanged (every clean row conforms)
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+),
+sb AS (
   SELECT vec_id,
          {band_cols}
-  FROM embeddings
+  FROM conf
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
@@ -708,7 +716,7 @@ nv AS (
          sqrt(list_reduce(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
               (x, y) -> x + y)) AS nrm
-  FROM embeddings
+  FROM conf
 )
 SELECT c.vec_id_1, c.vec_id_2,
        ROUND({dot} / (v1.nrm * v2.nrm), 6) AS cosine_sim

@@ -5042,10 +5042,22 @@ def test_similarity_dirty_row_exclusion_contract(spark):
         (5, [0.5] * 64, 2),
         (300, [float(j % 3) for j in range(64)], 3),
     ]
+    # TWO instances of every dirty class (r17 scatter-probe find):
+    # one representative per class can NEVER expose the crash class
+    # where dirty rows meet EACH OTHER — all non-conforming rows fold
+    # to band-bucket 0, so a lone one is dropped by the size(ds) > 1
+    # bucket filter, but a second empty array makes an empty x empty
+    # candidate pair whose dot is a NON-NULL 0 over zero norms: ANSI
+    # DIVIDE_BY_ZERO, aborting the whole job. lsh_cosine_pairs
+    # crashed exactly there on the scattered-dirty sf0.01 corpus
+    # until it gained the scan-side conformance filter.
     dirty_rows = [
         (2, None, 1),
         (3, [1.0] * 32, 1),
         (4, [], 1),
+        (6, None, 1),
+        (7, [1.0] * 32, 1),
+        (8, [], 1),
     ]
     schema = "vec_id bigint, embedding array<float>, label int"
     clean = spark.createDataFrame(clean_rows, schema)
@@ -5080,7 +5092,8 @@ def test_similarity_dirty_row_exclusion_contract(spark):
             for r in fn(dirty).collect()
         }
         assert got == want, tag
-        assert not any(a in (2, 3, 4) or b in (2, 3, 4) for a, b in got), tag
+        dirty_ids = {2, 3, 4, 6, 7, 8}
+        assert not any(a in dirty_ids or b in dirty_ids for a, b in got), tag
     # the exact path must still find the planted clean pairs at all
     assert len({p for p in fn(clean).collect()}) >= 0  # smoke
     exact_pairs = {
