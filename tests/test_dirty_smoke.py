@@ -27,6 +27,13 @@ type / NULL value+props / malformed JSON / valid-JSON-without-k /
 NULL id). The dir is cached at a stable /tmp path and rebuilt only
 when absent (delete it to force a rebuild), so repeat runs skip the
 build cost.
+
+Third gate (r17): the SCATTERED dirty-VALUES sweep at sf0.01 —
+in-place corruption of every k-th existing row, at least two
+instances per dirty class, so dirty rows can meet EACH OTHER
+(which the appended single-row recipe structurally cannot probe;
+its first run found the lsh empty x empty DIVIDE_BY_ZERO). Own
+cached dir, same opt-in.
 """
 
 from __future__ import annotations
@@ -191,4 +198,134 @@ def test_streaming_surface_dirty_totality(spark, dirty_dir):
     assert not failures, (
         f"{len(failures)}/10 streaming ops crashed on dirty events: "
         f"{failures}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scattered dirty-VALUES gate (r17). The appended-row recipe above
+# plants dirty KEYS: one row per class, one partition. That shape can
+# never expose crash classes where dirty rows meet EACH OTHER — the
+# r17 find (lsh_cosine_pairs: all non-conforming embeddings fold to
+# band-bucket 0; a lone one drops at size(ds) > 1, but two empties
+# pair up and empty x empty folds a NON-NULL dot of 0 over zero norms
+# -> ANSI DIVIDE_BY_ZERO aborting the corpus-wide job). Here every
+# k-th EXISTING row's non-key columns are corrupted IN PLACE at
+# sf0.01, so each dirty class has many instances scattered across
+# partitions, band buckets, packed blocks, Arrow batches, and window
+# groups. Keys stay unique and valid; the fixed ANN query vectors
+# (vec_id 0-7) are never corrupted (corrupting the query itself is a
+# different, separately-pinned contract: ivf raises / quantized
+# empties). Totality criterion only — values shift by design.
+
+SCATTER_CLEAN_SF_DIR = "/root/testdata/sf0.01"
+SCATTER_DIRTY_DIR = "/tmp/mspr2_dirty_scatter_sf0.01"
+
+
+def _scatter_nullify(df, col, cond):
+    return df.withColumn(col, F.when(cond, F.lit(None)).otherwise(F.col(col)))
+
+
+def _build_scatter_dirty_dir(spark) -> None:
+    for t in TESTDATA_TABLES:
+        df = load_table(spark, SCATTER_CLEAN_SF_DIR, t)
+        if t == "documents":
+            df = _scatter_nullify(df, "text", F.col("doc_id") % 29 == 11)
+            # zero-shingle classes that can MEET each other: empty
+            # string, whitespace-only, below-shingle-width
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 43 == 19, F.lit(""))
+                .when(F.col("doc_id") % 47 == 23, F.lit("   "))
+                .when(F.col("doc_id") % 53 == 29, F.lit("two words"))
+                .otherwise(F.col("text")),
+            )
+            df = _scatter_nullify(df, "lang", F.col("doc_id") % 31 == 13)
+            df = _scatter_nullify(df, "source", F.col("doc_id") % 37 == 17)
+        elif t == "embeddings":
+            keep = F.col("vec_id") >= 8  # never corrupt the query vectors
+            df = _scatter_nullify(
+                df, "embedding", keep & (F.col("vec_id") % 29 == 11)
+            )
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    keep & (F.col("vec_id") % 31 == 13),
+                    F.slice(F.col("embedding"), 1, 5),
+                ).otherwise(F.col("embedding")),
+            )
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    keep & (F.col("vec_id") % 37 == 17),
+                    F.array().cast("array<float>"),
+                ).otherwise(F.col("embedding")),
+            )
+        elif t == "events":
+            df = df.withColumn(
+                "props",
+                F.when(
+                    F.col("event_id") % 101 == 7, F.lit('{"broken')
+                ).otherwise(F.col("props")),
+            )
+            df = _scatter_nullify(df, "value", F.col("event_id") % 103 == 11)
+            df = _scatter_nullify(
+                df, "event_type", F.col("event_id") % 107 == 13
+            )
+            df = _scatter_nullify(df, "ts", F.col("event_id") % 109 == 17)
+        elif t == "customer":
+            df = _scatter_nullify(df, "c_acctbal", F.col("c_custkey") % 53 == 7)
+            df = _scatter_nullify(
+                df, "c_mktsegment", F.col("c_custkey") % 59 == 11
+            )
+        elif t == "orders":
+            df = _scatter_nullify(
+                df, "o_orderdate", F.col("o_orderkey") % 97 == 13
+            )
+            df = _scatter_nullify(
+                df, "o_totalprice", F.col("o_orderkey") % 89 == 7
+            )
+        elif t == "lineitem":
+            df = _scatter_nullify(
+                df, "l_quantity", F.col("l_orderkey") % 211 == 17
+            )
+            df = _scatter_nullify(
+                df, "l_returnflag", F.col("l_orderkey") % 223 == 19
+            )
+            df = _scatter_nullify(
+                df, "l_shipdate", F.col("l_orderkey") % 227 == 23
+            )
+        elif t == "part":
+            df = _scatter_nullify(df, "p_brand", F.col("p_partkey") % 41 == 7)
+        elif t == "supplier":
+            df = _scatter_nullify(df, "s_nationkey", F.col("s_suppkey") % 23 == 5)
+        # nation/region: 5/25 rows — dirtying them breaks joins
+        # corpus-wide, which is a different (covered) class
+        df.write.mode("overwrite").parquet(f"{SCATTER_DIRTY_DIR}/{t}.parquet")
+
+
+@pytest.fixture(scope="module")
+def scatter_dirty_dir(spark) -> str:
+    marker = os.path.join(SCATTER_DIRTY_DIR, "_BUILT")
+    if not os.path.exists(marker):
+        _build_scatter_dirty_dir(spark)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return SCATTER_DIRTY_DIR
+
+
+def test_whole_surface_scatter_dirty_totality(spark, scatter_dirty_dir):
+    from mspr2_back_spark.plans import QUERIES
+
+    failures: list[tuple[str, str]] = []
+    for name, fn in QUERIES.items():
+        try:
+            rows = fn(spark, scatter_dirty_dir).collect()
+            assert rows is not None
+        except Exception as exc:  # noqa: BLE001 — enumerate, then fail
+            failures.append((name, f"{type(exc).__name__}: {exc}"))
+        finally:
+            spark.catalog.clearCache()
+    assert not failures, (
+        f"{len(failures)}/{len(QUERIES)} queries crashed on the "
+        f"scattered-dirty corpus: {failures}"
     )
