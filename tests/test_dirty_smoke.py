@@ -123,20 +123,14 @@ def test_whole_surface_dirty_totality(spark, dirty_dir):
     )
 
 
-def test_streaming_surface_dirty_totality(spark, dirty_dir):
-    """The streaming half of the r15 totality record, made
-    repeatable (the r15 sweep probed all ten streaming ops on dirty
-    events manually — recorded in COVERAGE.md, not re-runnable).
-    Each op reads the dirtied events table as an availableNow
-    stream, drains to a memory sink, and the sink is collect()ed —
-    full evaluation, per the totality-probes discipline. Defined
-    dirty semantics (r15 record): NULL-ts rows drop at the
-    window/watermark boundary; NULL keys form their own bounded
-    state group. Output modes mirror each op's pytest."""
+def _drain_streaming_surface(spark, events_dir, prefix):
+    """Drain all ten streaming ops over ``events_dir``'s events table
+    as an availableNow stream; return the (tag, error) failure list.
+    Shared by the appended-row and scattered streaming gates."""
     from mspr2_back_spark.streaming import events as stream_events
 
-    src = load_table(spark, dirty_dir, "events")
-    stream_dir = f"{dirty_dir}/_events_stream_src"
+    src = load_table(spark, events_dir, "events")
+    stream_dir = f"{events_dir}/_events_stream_src"
     if not os.path.exists(os.path.join(stream_dir, "_SUCCESS")):
         src.orderBy(F.col("ts").asc_nulls_last()).coalesce(1).write.mode(
             "overwrite"
@@ -161,9 +155,9 @@ def test_streaming_surface_dirty_totality(spark, dirty_dir):
                 spark, stream_dir, src.schema
             )
             q = stream_events.run_to_memory(
-                build(stream), f"dirty_{tag}", mode=mode
+                build(stream), f"{prefix}_{tag}", mode=mode
             )
-            rows = spark.table(f"dirty_{tag}").collect()
+            rows = spark.table(f"{prefix}_{tag}").collect()
             if not rows:
                 # Non-vacuous either way, but the message must say
                 # WHICH failure this is (r16 ADVICE): an append-mode
@@ -195,6 +189,20 @@ def test_streaming_surface_dirty_totality(spark, dirty_dir):
             failures.append((tag, f"{type(exc).__name__}: {exc}"))
         finally:
             spark.catalog.clearCache()
+    return failures
+
+
+def test_streaming_surface_dirty_totality(spark, dirty_dir):
+    """The streaming half of the r15 totality record, made
+    repeatable (the r15 sweep probed all ten streaming ops on dirty
+    events manually — recorded in COVERAGE.md, not re-runnable).
+    Each op reads the dirtied events table as an availableNow
+    stream, drains to a memory sink, and the sink is collect()ed —
+    full evaluation, per the totality-probes discipline. Defined
+    dirty semantics (r15 record): NULL-ts rows drop at the
+    window/watermark boundary; NULL keys form their own bounded
+    state group. Output modes mirror each op's pytest."""
+    failures = _drain_streaming_surface(spark, dirty_dir, "dirty")
     assert not failures, (
         f"{len(failures)}/10 streaming ops crashed on dirty events: "
         f"{failures}"
@@ -328,4 +336,19 @@ def test_whole_surface_scatter_dirty_totality(spark, scatter_dirty_dir):
     assert not failures, (
         f"{len(failures)}/{len(QUERIES)} queries crashed on the "
         f"scattered-dirty corpus: {failures}"
+    )
+
+
+def test_streaming_surface_scatter_dirty_totality(spark, scatter_dirty_dir):
+    """The ten streaming ops over the SCATTERED dirty events: the
+    availableNow stream carries many in-place-corrupted rows (NULL
+    ts / NULL type / NULL value / malformed props spread through the
+    whole sf0.01 history) instead of seven appended tail rows —
+    dirty keys and values inside many micro-batch windows and state
+    groups at once. Same non-vacuous drain + watermark diagnosis as
+    the appended-row gate."""
+    failures = _drain_streaming_surface(spark, scatter_dirty_dir, "scdirty")
+    assert not failures, (
+        f"{len(failures)}/10 streaming ops crashed on scattered "
+        f"dirty events: {failures}"
     )
