@@ -268,6 +268,30 @@ def _build_scatter_dirty_dir(spark) -> None:
                     F.array().cast("array<float>"),
                 ).otherwise(F.col("embedding")),
             )
+            # IEEE specials (r17 NaN probe): a poisoned ELEMENT of a
+            # conforming 64-wide vector passes every isNotNull/size
+            # conformance filter — NaN/Inf must propagate as doubles
+            # and drop at comparisons, never crash (under ANSI,
+            # CAST(NaN AS BIGINT) would throw if any value->int cast
+            # sat downstream of a data double)
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    keep & (F.col("vec_id") % 41 == 19),
+                    F.expr(
+                        "transform(embedding, (x, i) ->"
+                        " IF(i = 3, CAST('NaN' AS FLOAT), x))"
+                    ),
+                )
+                .when(
+                    keep & (F.col("vec_id") % 43 == 23),
+                    F.expr(
+                        "transform(embedding, (x, i) ->"
+                        " IF(i = 5, CAST('Infinity' AS FLOAT), x))"
+                    ),
+                )
+                .otherwise(F.col("embedding")),
+            )
         elif t == "events":
             df = df.withColumn(
                 "props",
@@ -280,6 +304,14 @@ def _build_scatter_dirty_dir(spark) -> None:
                 df, "event_type", F.col("event_id") % 107 == 13
             )
             df = _scatter_nullify(df, "ts", F.col("event_id") % 109 == 17)
+            # IEEE specials in the value column (r17 NaN probe)
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 113 == 19, F.lit(float("nan")))
+                .when(F.col("event_id") % 127 == 23, F.lit(float("inf")))
+                .when(F.col("event_id") % 131 == 29, F.lit(float("-inf")))
+                .otherwise(F.col("value")),
+            )
         elif t == "customer":
             df = _scatter_nullify(df, "c_acctbal", F.col("c_custkey") % 53 == 7)
             df = _scatter_nullify(
