@@ -156,8 +156,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
+            # decimal(28,2), not MONEY (r17 money-extremes probe):
+            # `monetary` is ALREADY a per-customer SUM — re-casting
+            # an aggregate through the per-row money type overflows
+            # when one customer's in-contract orders total past 1e16
+            # (a 100 TB certainty for segment totals). The wider
+            # fixed-point keeps the second-level sum order-free and
+            # engine-exact; values for in-(18,2) totals unchanged.
             F.round(
-                F.sum(F.col("monetary").cast(MONEY)).cast("double"), 2
+                F.sum(F.col("monetary").cast("decimal(28,2)")).cast(
+                    "double"
+                ),
+                2,
             ).alias("total_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")

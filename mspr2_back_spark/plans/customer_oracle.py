@@ -56,7 +56,7 @@ scored AS (
 )
 SELECT r_score, f_score, m_score,
        COUNT(*) AS n_customers,
-       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(28,2))) AS DOUBLE), 2)
          AS total_monetary
 FROM scored
 GROUP BY 1, 2, 3

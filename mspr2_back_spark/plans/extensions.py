@@ -615,7 +615,13 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan, one small-key aggregate; the distribution-profiling
     twin of percentile_prices."""
     o = _t(spark, sf_dir, "orders")
-    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    # long, not int (r17 money-extremes probe): the DECIMAL(18,2)
+    # money contract admits prices up to ~1e16, whose bin id
+    # (price/50000 ≈ 2e11) overflows INT under ANSI — a crash on
+    # contract-VALID data. Out-of-contract prices still fail loudly
+    # at the DECIMAL cast in bucket_total, which is the money
+    # contract's documented behavior.
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
     return (
         o.groupBy(bucket.alias("price_bucket"))
         .agg(
@@ -655,12 +661,17 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_parse_json: parse_json ABORTS the scan on the first
     # malformed payload (r15 dirty-events sweep); NULL variant →
     # NULL k → drops out of the aggregates, n_events still counts.
+    # try_variant_get (r17): a VALID payload whose k does not fit
+    # the target type (e.g. a 20-digit integer) made the strict
+    # variant_get abort the scan after parsing succeeded — the same
+    # one-bad-row class one level deeper. NULL instead; the oracle
+    # mirrors with TRY_CAST.
     parsed = e.select(
         "event_type",
         F.try_parse_json("props").alias("v"),
     ).select(
         "event_type",
-        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(v, '$.k', 'int')").alias("k"),
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

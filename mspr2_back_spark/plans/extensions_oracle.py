@@ -348,13 +348,13 @@ EXTENSION_ORACLE_SQL["props_variant_stats"] = """
 SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CASE WHEN json_valid(props)
-                     THEN CAST(json_extract(props, '$.k') AS INTEGER)
+                     THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER)
                 END) AS BIGINT) AS k_sum,
        MIN(CASE WHEN json_valid(props)
-                THEN CAST(json_extract(props, '$.k') AS INTEGER)
+                THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER)
            END) AS k_min,
        MAX(CASE WHEN json_valid(props)
-                THEN CAST(json_extract(props, '$.k') AS INTEGER)
+                THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER)
            END) AS k_max
 FROM events
 GROUP BY event_type
@@ -362,11 +362,11 @@ GROUP BY event_type
 
 
 EXTENSION_ORACLE_SQL["price_histogram"] = """
-SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS price_bucket,
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bucket,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
 FROM orders
-GROUP BY CAST(FLOOR(o_totalprice / 50000) AS INTEGER)
+GROUP BY CAST(FLOOR(o_totalprice / 50000) AS BIGINT)
 """
 
 

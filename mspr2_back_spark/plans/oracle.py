@@ -279,7 +279,7 @@ SELECT event_type,
        COUNT(*) AS n_events
 FROM (
   SELECT event_type,
-         CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS k
+         TRY_CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS INT) AS k
   FROM events
 )
 GROUP BY event_type

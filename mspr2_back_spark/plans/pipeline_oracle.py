@@ -541,9 +541,9 @@ WITH hashed AS (
 ),
 rated AS (
   SELECT source, {bucket} AS bucket,
-         CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 1.0
-              WHEN CAST(substring(source, 4) AS INT) < 10 THEN 0.5
-              WHEN CAST(substring(source, 4) AS INT) < 15 THEN 0.25
+         CASE WHEN TRY_CAST(substring(source, 4) AS INT) < 5 THEN 1.0
+              WHEN TRY_CAST(substring(source, 4) AS INT) < 10 THEN 0.5
+              WHEN TRY_CAST(substring(source, 4) AS INT) < 15 THEN 0.25
               ELSE 0.1 END AS rate
   FROM hashed
 ),

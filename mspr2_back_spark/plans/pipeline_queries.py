@@ -680,7 +680,14 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mspr2_back_spark.operators.sampling import mixture_sample
 
     d = load_table(spark, sf_dir, "documents")
-    idx = F.substring("source", 4, 10).cast("int")
+    # try_cast (r17): a source label outside the srcNN format made
+    # the bare ANSI cast abort the scan (CAST_INVALID_INPUT on e.g.
+    # 'rd_source'). try_cast NULLs the index instead, every when()
+    # comparison on NULL is false, and the row falls into the
+    # otherwise-branch tail rate (0.1) — unknown-format sources
+    # sample at the most conservative rate rather than killing the
+    # job. DuckDB TRY_CAST mirrors in the oracle.
+    idx = F.substring("source", 4, 10).try_cast("int")
     rate = (
         F.when(idx < 5, F.lit(1.0))
         .when(idx < 10, F.lit(0.5))

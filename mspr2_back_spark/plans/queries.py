@@ -431,11 +431,15 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLIF before the cast: regexp_extract yields '' on no-match
     # (malformed or key-less props), and ANSI CAST('' AS INT) aborts
     # the scan — one bad payload must not kill the job (r15
-    # dirty-events sweep). NULL k drops out of SUM; n_events still
-    # counts every event. Mirrored in the oracle.
+    # dirty-events sweep). try_cast instead of cast (r17): the
+    # NULLIF guard only covers the EMPTY match — a matched digit run
+    # too long for INT (e.g. '{"k": 99999999999999999999}') still
+    # aborted the scan with CAST_INVALID_INPUT. try_cast NULLs any
+    # unrepresentable k on both engines (DuckDB TRY_CAST mirrors).
+    # NULL k drops out of SUM; n_events still counts every event.
     k = F.nullif(
         F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1), F.lit("")
-    ).cast("int")
+    ).try_cast("int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

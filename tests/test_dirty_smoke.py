@@ -249,6 +249,15 @@ def _build_scatter_dirty_dir(spark) -> None:
             )
             df = _scatter_nullify(df, "lang", F.col("doc_id") % 31 == 13)
             df = _scatter_nullify(df, "source", F.col("doc_id") % 37 == 17)
+            # malformed source labels (r17 cast probe): outside the
+            # srcNN format — the parsed index must NULL via try_cast
+            # and fall to the tail mixture rate, not abort the scan
+            df = df.withColumn(
+                "source",
+                F.when(F.col("doc_id") % 59 == 37, F.lit("weird_source"))
+                .when(F.col("doc_id") % 61 == 41, F.lit("s"))
+                .otherwise(F.col("source")),
+            )
         elif t == "embeddings":
             keep = F.col("vec_id") >= 8  # never corrupt the query vectors
             df = _scatter_nullify(
@@ -312,6 +321,16 @@ def _build_scatter_dirty_dir(spark) -> None:
                 .when(F.col("event_id") % 131 == 29, F.lit(float("-inf")))
                 .otherwise(F.col("value")),
             )
+            # VALID json whose k overflows INT (r17 cast probe):
+            # must NULL via try_variant_get / try_cast on both
+            # engines, not abort after a successful parse
+            df = df.withColumn(
+                "props",
+                F.when(
+                    F.col("event_id") % 137 == 31,
+                    F.lit('{"k": 99999999999999999999}'),
+                ).otherwise(F.col("props")),
+            )
         elif t == "customer":
             df = _scatter_nullify(df, "c_acctbal", F.col("c_custkey") % 53 == 7)
             df = _scatter_nullify(
@@ -323,6 +342,17 @@ def _build_scatter_dirty_dir(spark) -> None:
             )
             df = _scatter_nullify(
                 df, "o_totalprice", F.col("o_orderkey") % 89 == 7
+            )
+            # in-contract extreme price (r17 money probe): 5e15 is
+            # within DECIMAL(18,2) but its histogram bin id
+            # overflows INT — exercises the widened long bin; truly
+            # out-of-contract money still fails loudly BY CONTRACT
+            # and deliberately stays out of this totality corpus
+            df = df.withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 139 == 37, F.lit(5.0e15)
+                ).otherwise(F.col("o_totalprice")),
             )
         elif t == "lineitem":
             df = _scatter_nullify(

@@ -5344,7 +5344,14 @@ def test_dirty_events_totality_contract(spark, tmp_path):
 
     - `props_extract`: '' from a no-match regexp_extract is
       NULLIF'd before the ANSI INT cast — malformed/key-less props
-      count in n_events but not sum_k;
+      count in n_events but not sum_k; r17 extends the class: a
+      MATCHED digit run too long for INT (20-digit k) is NULLed by
+      try_cast instead of aborting with CAST_INVALID_INPUT (the
+      NULLIF guard alone cannot cover it);
+    - `source_mixture_sample` (r17, same class): a source label
+      outside the srcNN format NULLs its parsed index via try_cast
+      and falls into the otherwise-branch tail rate instead of
+      aborting the scan;
     - `props_variant_stats`: try_parse_json — a malformed payload
       yields NULL variant instead of aborting the scan (oracle
       mirror is a json_valid guard, r15 ADVICE; pinned by
@@ -5377,6 +5384,9 @@ def test_dirty_events_totality_contract(spark, tmp_path):
         (90005, "2024-02-01 03:00:00", 8, "click", -5.0, '{"broken'),
         (90006, "2024-02-01 04:00:00", 9, "weird_type", 0.0, '{"j": 1}'),
         (None, "2024-02-01 05:00:00", 10, "click", 2.0, '{"k": 6}'),
+        # r17: matched digits that overflow INT — try_cast NULLs
+        (90007, "2024-02-01 06:00:00", 11, "click", 1.0,
+         '{"k": 99999999999999999999}'),
     ]
     ev = spark.createDataFrame(
         clean_ev + dirty_ev,
@@ -5394,16 +5404,37 @@ def test_dirty_events_totality_contract(spark, tmp_path):
     li.write.parquet(f"{out}/lineitem.parquet")
 
     pe = {r["event_type"]: r for r in props_extract(spark, out).collect()}
-    assert pe["click"]["n_events"] == 15 + 5  # dirty clicks counted
+    assert pe["click"]["n_events"] == 15 + 6  # dirty clicks counted
     assert pe["weird_type"]["sum_k"] is None  # no k key → NULL
     assert pe["weird_type"]["n_events"] == 1
+    # the overflow-k row counts in n_events; its k is NULL, so the
+    # click sum equals the clean rows' k total + the three parseable
+    # dirty clicks (k=3, k=4, k=6)
+    clean_click_k = sum(i % 7 for i in range(30) if i % 2 == 0)
+    assert pe["click"]["sum_k"] == clean_click_k + 3 + 4 + 6
 
     pv = {
         r["event_type"]: r
         for r in props_variant_stats(spark, out).collect()
     }
     assert pv["weird_type"]["k_sum"] is None
-    assert pv["click"]["n_events"] == 20
+    assert pv["click"]["n_events"] == 21
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}", "en", f"src{i % 20}", 10) for i in range(40)]
+        + [(100, "weird doc", "en", "rd_source", 9),
+           (101, "weird doc 2", "en", "s", 11)],
+        "doc_id bigint, text string, lang string,"
+        " source string, n_chars bigint",
+    )
+    docs.write.parquet(f"{out}/documents.parquet")
+    from mspr2_back_spark.plans.pipeline_queries import source_mixture_sample
+
+    sm = {r["source"]: r for r in source_mixture_sample(spark, out).collect()}
+    # malformed sources are PRESENT (total, not dropped) at the
+    # otherwise-branch tail rate — not an abort
+    assert "rd_source" in sm and "s" in sm
+    assert sm["rd_source"]["n_total"] == 1
 
     tr = {
         r["event_type"]: r
@@ -5450,6 +5481,9 @@ def test_props_variant_oracle_dirty_parity(spark, tmp_path):
         (90002, "click", None),              # NULL props → NULL k
         (90003, "weird_type", '{"j": 1}'),   # valid, no k → NULL k
         (90004, "view", "[1, 2"),            # malformed array prefix
+        # r17: VALID json whose k overflows INT — try_variant_get /
+        # TRY_CAST must NULL it identically on both engines
+        (90005, "view", '{"k": 99999999999999999999}'),
     ]
     spark.createDataFrame(
         rows, "event_id bigint, event_type string, props string"
