@@ -1141,6 +1141,35 @@ def test_registry_report_matches_documented_counts():
     assert len(markdown().splitlines()) == s["total"] + 4
 
 
+def test_sweep_rotation_matches_artifacts():
+    """The sweep window must equal the declared freshness obligation
+    COMPUTED FROM THE ARTIFACTS (r17: CORRECTNESS_r14 keys set-minus
+    the r15 sweep), not just name known queries — an accidental edit
+    to _SWEEP_FIRST between rotation and the driver run would
+    otherwise silently break the steady-state rotation the verdicts
+    audit. Update the two artifact names here at each rotation; skip
+    silently if the artifacts are absent (fresh clone without driver
+    history)."""
+    import json
+    import os
+
+    from mspr2_back_spark.plans import QUERIES
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    owed_src = os.path.join(root, "CORRECTNESS_r14.json")
+    done_src = os.path.join(root, "CORRECTNESS_r15.json")
+    if not (os.path.exists(owed_src) and os.path.exists(done_src)):
+        pytest.skip("driver correctness artifacts absent")
+    owed = set(json.load(open(owed_src))) - set(json.load(open(done_src)))
+    window = list(QUERIES)[:50]
+    assert len(window) == 50
+    assert set(window) == owed, (
+        "sweep window != artifact-computed obligation: "
+        f"extra={sorted(set(window) - owed)} "
+        f"missing={sorted(owed - set(window))}"
+    )
+
+
 def _word_grams(text):
     """Independent word-3-gram shingle set (whole text when shorter
     than 3 words) — the plain-python ground-truth reference the
