@@ -38,84 +38,87 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-17 continues the 3x50
-# steady state (50 r16 / 50 r15 / 50 r14 at r16 close): this round
-# owes exactly the plain 50-entry r14 block — the keys of
-# CORRECTNESS_r14 set-minus the r15 sweep, precomputed in
-# COVERAGE.md "Round-17 freshness obligation" and recomputed by the
-# r16 judge from the artifacts (set-equal, 50 = 50).  ZERO spare
+# (rotation history in COVERAGE.md).  Round-18 continues the 3x50
+# steady state (50 r17 / 50 r16 / 50 r15 at r17 close): this round
+# owes exactly the plain 50-entry r15 block — the keys of
+# CORRECTNESS_r15 set-minus the r16 sweep, precomputed in
+# COVERAGE.md "Round-18 freshness obligation" and recomputed by the
+# r17 judge from the artifacts (set-equal, 50 = 50).  ZERO spare
 # slots: no registration this round (the registry stays at 151
 # registered / 150 on the treadmill, percentile_prices retired),
-# no retirement, no displacement.  Every key in this block was
-# pre-verified 49/49+1 green at r16 HEAD (recorded; judge
-# spot-checked 10+1 independently), so a red here means environment
-# drift, to be investigated rather than papered over.  This is the
-# WAIT-payoff round: FIVE keys certify deferred plan changes under
-# natural driver verdicts — the four plan-changed late in r15
-# (embedding_quantize_stats, ann_quantized_topk, daily_value_trend,
-# lineitem_corr_matrix; frozen through r16, diff-verified by the
-# judge) plus multimodal_jpeg_meta (r16 NULL-doc_id scan-side
-# exclusion, sim-verified at change time, oracle unchanged).  The
-# two r18-block codec probes (multimodal_wav_stats,
-# audio_feature_stats) stay FROZEN until their natural r18
-# verdicts.  Round 18 then owes the plain 50-entry r15 block,
-# cycling at period 3.
+# no retirement, no displacement.  TWO entries are rows-only by
+# design (approx_distinct_users, ml_forecast_ar).  This block
+# carries SEVEN changed-plan keys whose r18 verdicts certify
+# deferred or fix-before-sweep changes: the two codec probes
+# multimodal_wav_stats + audio_feature_stats (r16 NULL-doc_id
+# scan-side exclusion, frozen through r17 as ordered) plus the five
+# late-r17 try_cast-family totality fixes (props_extract,
+# props_variant_stats, source_mixture_sample, price_histogram,
+# rfm_segments) — all seven sim-verified at change time and
+# judge-sim-confirmed at r17.  EIGHTH fix-before-sweep key, r18:
+# rolling_active_users (extreme-timestamp operating-window +
+# bounded-spine fix, landed early r18 pre-sweep — the r15 props_*
+# precedent; sim-verified, declared in COVERAGE.md "Round-18
+# rotation (executed)").  Round 19 then owes the plain 50-entry r16
+# block (carrying dedup_embedding_lsh, the r17 conformance-filter
+# WAIT key), cycling at period 3.
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- the plain 50-entry r14 block, enumerated exactly as in
-    #    COVERAGE.md "Round-17 freshness obligation" (alphabetical;
-    #    no entry is new; order carries no priority semantics.  One
-    #    entry, approx_price_quantiles, is rows-only by design) --
-    "ann_batch_topk",
-    "ann_quantized_topk",
-    "approx_price_quantiles",
-    "attribution_last_touch",
-    "bigram_pmi",
-    "bm25_topk",
-    "brand_supplier_counts",
-    "cms_heavy_hitters",
-    "cohort_ltv",
-    "corpus_datacard",
-    "daily_anomaly_scores",
-    "daily_timeseries",
-    "daily_value_trend",
-    "dedup_edit_distance",
-    "dedup_embedding_cells",
-    "embedding_quantize_stats",
-    "equidepth_price_bands",
-    "event_association_rules",
-    "event_funnel",
-    "ewma_daily_value",
-    "fk_integrity_audit",
-    "funnel_latency",
-    "gapfill_user_daily",
-    "hll_distinct_users",
-    "hybrid_search_rrf",
-    "idle_customers_avg_bal",
-    "leakage_safe_splits",
-    "lineitem_corr_matrix",
-    "min_cost_supplier_per_part",
-    "ml_forecast_ar_exact",
-    "multimodal_jpeg_meta",
-    "multimodal_meta",
-    "or_of_ands_revenue",
-    "orders_page",
-    "pagination_meta",
-    "pricing_summary",
-    "quality_weighted_sample",
-    "retention_cohorts",
-    "revenue_share_by_nation",
-    "scd2_customer_merge",
-    "session_paths",
-    "simhash64_near_degree",
-    "simhash_bucket_stats",
-    "simhash_near_degree",
-    "sliding_event_rates",
-    "split_contamination_audit",
-    "table_preview",
-    "waiting_orders_by_supplier",
-    "weekly_rollup",
-    "weighted_sample_fixed_k",
+    # -- the plain 50-entry r15 block, enumerated exactly as in
+    #    COVERAGE.md "Round-18 freshness obligation" (alphabetical;
+    #    no entry is new; order carries no priority semantics.  Two
+    #    entries, approx_distinct_users and ml_forecast_ar, are
+    #    rows-only by design) --
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "audio_feature_stats",
+    "avg_by_segment",
+    "bloom_prefilter_audit",
+    "chunk_documents",
+    "contamination_screen",
+    "crud_delete",
+    "crud_point_lookup",
+    "crud_upsert",
+    "customer_order_coverage",
+    "dedup_clusters",
+    "dedup_corpus_summary",
+    "dedup_embedding_cosine",
+    "dedup_gate",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "distinct_counts",
+    "event_weekday_contingency",
+    "global_totals",
+    "hll_distinct_users_sketch_only",
+    "hot_shingles",
+    "last_value_sum",
+    "max_year_orders",
+    "ml_forecast_ar",
+    "multimodal_wav_stats",
+    "order_rank_metrics",
+    "pack_documents",
+    "percentile_prices_refined",
+    "pii_scrub",
+    "price_histogram",
+    "profile_orders",
+    "props_extract",
+    "props_variant_stats",
+    "quality_filter",
+    "repeated_spans",
+    "revenue_by_nation",
+    "rfm_segments",
+    "rolling_active_users",
+    "scaled_user_values",
+    "seasonal_decompose_daily",
+    "sessionize_events",
+    "set_ops_nations",
+    "source_mixture_sample",
+    "status_pivot",
+    "top3_orders_per_segment",
+    "urgent_semijoin",
+    "user_event_sequences",
+    "window_frame_metrics",
+    "year_week_rollup_join",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"
