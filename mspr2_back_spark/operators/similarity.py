@@ -103,14 +103,17 @@ def _block_pair_scorer(slack: float, dim: int):
     mis-declared dim can't masquerade as "no near-duplicates";
     per-block all-dirty batches here remain silent row exclusion.
 
-    Accepted cross-path divergence, by contract: the fold-based
-    candidate verifiers (``lsh_cosine_pairs``) drop any MIXED-length
-    pair for free (``zip_with`` pads with NULL → NULL cosine →
-    threshold drop) but will score two vectors that SHARE a
-    non-standard length, whereas this scorer excludes every
-    off-``dim`` row outright. Pairs of matching-but-wrong-width
-    vectors are corrupt data, not comparable embeddings; the
-    fixed-width paths are the stricter, documented behavior."""
+    Cross-path behavior (updated r17/r18 — the pre-r17 divergence
+    is CLOSED): the fold-based candidate verifier
+    (``lsh_cosine_pairs``) now also excludes every non-conforming
+    row SCAN-SIDE via its r17 conformance filter, so no pair path
+    will score two vectors that share a non-standard length
+    anymore. Historical context only: before r17 the fold path
+    dropped MIXED-length pairs for free (``zip_with`` pads with
+    NULL → NULL cosine → threshold drop) yet scored
+    matching-but-wrong-width pairs; that asymmetry motivated the
+    ADVICE note this paragraph replaces. All three pair paths now
+    share the same fixed-width exclusion contract."""
     import numpy as np
     import pandas as pd
 
@@ -433,7 +436,18 @@ def _hyperplane_sign(vec: str, plane: int, dim: int) -> str:
 
     The ±1 components are an array literal zipped against the vector:
     x*1.0 and x*-1.0 are bit-exact ±x, and the fold sums in index
-    order, so the projection equals the explicit signed sum."""
+    order, so the projection equals the explicit signed sum.
+
+    Known cross-engine NaN divergence, latent by corpus contract
+    (r17 ADVICE, recorded rather than guarded): when the projection
+    folds to NaN (a NaN element in an otherwise-conforming vector),
+    Spark's ``IF(proj > 0, 1, 0)`` yields 0 (NaN comparisons are
+    false) while DuckDB's total float ordering evaluates ``NaN > 0``
+    as TRUE — the row would bucket differently on the two engines.
+    Harmless today: clean sweep corpora carry no NaNs and the
+    scatter gate is totality-only. If a dirty-embedding ORACLE
+    PARITY gate is ever added, guard both sides with an explicit
+    isnan → 0 branch first."""
     signs = _plane_signs(plane, dim)
     lit = "array(" + ", ".join(f"{s:d}.0D" for s in signs) + ")"
     proj = (

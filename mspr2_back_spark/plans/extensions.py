@@ -171,11 +171,18 @@ def asof_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     event value from AT LEAST 30 minutes earlier — "state as of half
     an hour ago". DuckDB's native ASOF JOIN is the oracle; Spark-side
     it's the union + ordered-carry composition in operators/asof.py.
-    Decimal-exact value sums keep both engines bit-identical."""
+    Decimal-exact value sums keep both engines bit-identical.
+    Rows outside the timestamp operating window are excluded
+    scan-side (r18, timeseries.ts_operating_window_sql rationale:
+    the output carries raw timestamps, and a day-one year-1 value is
+    unrepresentable at the driver's collect boundary). Oracle
+    mirrors the same predicate template."""
     from mspr2_back_spark.operators.asof import asof_join
+    from mspr2_back_spark.plans.timeseries import ts_operating_window_sql
 
     e = (
         _t(spark, sf_dir, "events")
+        .filter(F.expr(ts_operating_window_sql("ts")))
         .groupBy("user_id", "ts")
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value"))
     )
@@ -233,8 +240,17 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     group key; the sequence is assembled with sort_array(collect_list)
     so the order is data-defined, not partition-defined. Serialized
     as a delimited string (engine-portable; an array column would
-    pin the comparator to array formatting)."""
-    e = _t(spark, sf_dir, "events")
+    pin the comparator to array formatting). Rows outside the
+    timestamp operating window are excluded scan-side (r18,
+    timeseries.ts_operating_window_sql rationale: first_ts/last_ts
+    are raw timestamps, and a day-one year-1 value is
+    unrepresentable at the driver's collect boundary). Oracle
+    mirrors the same predicate template."""
+    from mspr2_back_spark.plans.timeseries import ts_operating_window_sql
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.expr(ts_operating_window_sql("ts"))
+    )
     seq = F.expr(
         "concat_ws('|', transform(sort_array(collect_list("
         "struct(ts, event_id, event_type))), s -> s.event_type))"

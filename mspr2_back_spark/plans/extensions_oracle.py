@@ -8,6 +8,8 @@ oracle by design (estimates are implementation-defined).
 
 from __future__ import annotations
 
+from mspr2_back_spark.plans.timeseries import ts_operating_window_sql
+
 EXTENSION_ORACLE_SQL: dict[str, str] = {}
 
 
@@ -182,11 +184,12 @@ GROUP BY c_mktsegment
 """
 
 
-EXTENSION_ORACLE_SQL["asof_event_value"] = """
+EXTENSION_ORACLE_SQL["asof_event_value"] = f"""
 WITH e AS (
     SELECT user_id, ts,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
     FROM events
+    WHERE {ts_operating_window_sql("ts")}
     GROUP BY user_id, ts
 )
 SELECT a.user_id, a.ts, a.value, b.value AS asof_value
@@ -513,7 +516,7 @@ LIMIT 10
 )
 
 
-EXTENSION_ORACLE_SQL["user_event_sequences"] = """
+EXTENSION_ORACLE_SQL["user_event_sequences"] = f"""
 SELECT user_id,
        COUNT(*) AS n_events,
        MIN(ts) AS first_ts,
@@ -521,6 +524,7 @@ SELECT user_id,
        array_to_string(list(event_type ORDER BY ts, event_id), '|')
            AS event_type_seq
 FROM events
+WHERE {ts_operating_window_sql("ts")}
 GROUP BY user_id
 """
 

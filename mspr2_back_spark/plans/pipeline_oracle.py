@@ -857,6 +857,7 @@ def _ar2_oracle_sql() -> str:
         ar2_step_sql,
         ar2_weight_sqls,
     )
+    from mspr2_back_spark.plans.timeseries import ts_operating_window_sql
 
     det, d1, d2, d3 = ar2_weight_sqls()
     ok = f"(n >= 3 AND {det} <> CAST(0.0 AS DOUBLE))"
@@ -884,7 +885,7 @@ def _ar2_oracle_sql() -> str:
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
-  FROM events GROUP BY 1, 2
+  FROM events WHERE {ts_operating_window_sql("ts")} GROUP BY 1, 2
 ),
 lagged AS (
   SELECT user_id, day, y,

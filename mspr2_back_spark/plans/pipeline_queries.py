@@ -277,10 +277,23 @@ def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible; driver checks rows-only). The oracle-checked
     twin is ``ml_forecast_ar_exact`` below — together they give the
     AR operator the split green + rows-only driver record (VERDICT
-    r5 task 4)."""
+    r5 task 4). Rows outside the PANDAS timestamp domain are
+    excluded scan-side (r18, timeseries.pandas_ts_window_sql
+    rationale: this is a python-path forecaster — event days cross
+    into pandas as datetime64[ns], whose domain ends at 2262-04-11,
+    and both an in-domain day's Arrow conversion past that bound
+    and the 7-step pd.Timedelta horizon past 9999-12-24 abort the
+    applyInPandas worker — measured OutOfBoundsDatetime-class
+    PythonException. The JVM closed-form twin ml_forecast_ar_exact
+    covers the full operating window; this documented narrower
+    domain is the python path's contract)."""
     from mspr2_back_spark.ml import forecast
+    from mspr2_back_spark.plans.timeseries import pandas_ts_window_sql
 
-    series = forecast.daily_user_series(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr(pandas_ts_window_sql("ts"))
+    )
+    series = forecast.daily_user_series(ev)
     return forecast.autoregressive_forecast(series, horizon=7)
 
 
@@ -348,13 +361,23 @@ def ml_forecast_ar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two shuffles (user-day agg, user window/agg); everything
     after the moment aggregation is arithmetic over a users-sized
     relation. Sequentiality of autoregression costs nothing here —
-    the recursion is unrolled into the projection.
+    the recursion is unrolled into the projection. Rows outside the
+    timestamp operating window are excluded scan-side (r18,
+    timeseries.ts_operating_window_sql rationale: date_add(last_day,
+    7) from a last observation past 9999-12-24 produces a year-10000
+    date, unrepresentable at the driver's collect boundary —
+    measured `ValueError: year 10000 is out of range`; the window's
+    7-day upper margin bounds forecast_day at 9999-12-31). Oracle
+    mirrors the same predicate template.
     """
     from pyspark.sql import Window as W
 
     from mspr2_back_spark.functions.numeric import METRIC
+    from mspr2_back_spark.plans.timeseries import ts_operating_window_sql
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr(ts_operating_window_sql("ts"))
+    )
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(F.col("value").cast(METRIC)).cast("double").alias("y"))

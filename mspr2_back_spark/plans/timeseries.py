@@ -50,6 +50,14 @@ ATTR_NO_TOUCH = "none"
 # Any fixed origin gives the same slope; intercept is "value at
 # TREND_EPOCH". The events table starts 2024-01-01 at every SF.
 TREND_EPOCH = "2024-01-01"
+# Trend moment-sum scale (r18): the y and x·y moment sums go through
+# this exact decimal on BOTH engines. Widened from METRIC
+# (decimal(18,6)) so an extreme-but-valid day index (|x| ~2.9e6 at
+# the date-domain edges) times a large daily total stays
+# representable (bound |x·y| < 1e22 instead of 1e12); clean-data
+# values are bit-identical (exact sums either way, same double
+# conversion at the boundary).
+TREND_MOMENT_SCALE = "DECIMAL(28,6)"
 # Exponential smoothing factor for ewma_daily_value.
 EWMA_ALPHA = 0.3
 # Debounce window: an event is dropped when the previous event of
@@ -57,6 +65,101 @@ EWMA_ALPHA = 0.3
 # events at sf0.001 / sf0.01 — the threshold demonstrably binds at
 # every sweep SF (a 10-min window drops just 1 at sf0.001).
 DEBOUNCE_MINUTES = 30
+
+# --- Timestamp operating window (r18, COVERAGE.md addendum 3) ---
+# Spark's own timestamp domain is [0001-01-01, 9999-12-31], but the
+# DRIVER boundary is narrower: PySpark's collect()/toPandas
+# timestamp conversion underflows day 0001-01-01 to a year-ZERO
+# Python datetime (measured r18: 0001-01-01 23:59:59 raises
+# `ValueError: year 0 is out of range`; 0001-01-02 00:00:00 is the
+# first representable value), and window/lag/horizon arithmetic can
+# push an otherwise-representable value past either edge (a 15-min
+# hop start for an 0001-01-01 event lands in year 0; a 7-step
+# forecast from a 9999-12-31 observation lands in year 10000).
+# Consumers whose OUTPUT carries raw or window-shifted timestamps
+# therefore enforce this documented operating window SCAN-SIDE (the
+# conformance-filter pattern — r16 multimodal NULL doc_ids, r17 lsh
+# non-conforming embeddings): margin = 7 days on each edge, wider
+# than every registered window/slide/horizon (1 h hop, 30 min
+# debounce, 7-day AR horizon). Rows outside are non-conforming for
+# timestamp-arithmetic analytics and excluded identically on both
+# engines (the oracles format the SAME predicate template). Clean
+# corpora (2024-2025 events) are untouched — sim-verified at
+# change time, natural driver verdicts per each query's sweep slot.
+TS_OPERATING_MIN = "0001-01-08 00:00:00"
+TS_OPERATING_MAX = "9999-12-25 00:00:00"
+
+
+def ts_operating_window_sql(col: str = "ts") -> str:
+    """Shared conformance predicate: ``col`` within the documented
+    timestamp operating window [TS_OPERATING_MIN, TS_OPERATING_MAX).
+    One SQL text, valid on both engines (``TIMESTAMP '...'`` literals
+    parse identically), formatted into the Spark plan via F.expr and
+    into every mirroring DuckDB oracle — the two sides cannot
+    drift."""
+    return (
+        f"{col} >= TIMESTAMP '{TS_OPERATING_MIN}'"
+        f" AND {col} < TIMESTAMP '{TS_OPERATING_MAX}'"
+    )
+
+
+# --- Spine calendar window (r18, COVERAGE.md addendum 3) ---
+# The dense-spine consumers (gapfill_user_daily,
+# rolling_active_users) densify over [min, max] OBSERVED days, so a
+# single extreme-but-valid date inflates the spine without bound:
+# one year-9999 event measured 16,268x on gapfill and 121,735x on
+# rolling_active_users at sf0.001 — at 100 TB that is a memory bomb
+# reachable by one corrupt row. The operating window above cannot
+# bound this (it is ~3.65M days wide). Calendar-spine analytics
+# therefore have their own documented CONSTANT-width domain: events
+# outside [SPINE_CALENDAR_MIN, SPINE_CALENDAR_MAX) are
+# non-conforming for spine densification and excluded scan-side, so
+# the worst-case spine length is the window width (36,524 days) —
+# a constant, data-independent bound — instead of whatever a corrupt
+# date dictates. Clean corpora (2024-2025) are untouched; both
+# engines format the same predicate template.
+SPINE_CALENDAR_MIN = "2000-01-01 00:00:00"
+SPINE_CALENDAR_MAX = "2100-01-01 00:00:00"
+
+
+def spine_calendar_sql(col: str = "ts") -> str:
+    """Shared conformance predicate for dense-spine consumers:
+    ``col`` within [SPINE_CALENDAR_MIN, SPINE_CALENDAR_MAX) — see
+    the window rationale above. Same one-template discipline as
+    ts_operating_window_sql."""
+    return (
+        f"{col} >= TIMESTAMP '{SPINE_CALENDAR_MIN}'"
+        f" AND {col} < TIMESTAMP '{SPINE_CALENDAR_MAX}'"
+    )
+
+
+# --- Pandas-path timestamp domain (r18) ---
+# Consumers that move raw event time INTO pandas
+# (applyInPandas / applyInPandasWithState / mapInPandas) inherit
+# pandas' datetime64[ns] domain — nanoseconds since epoch in int64,
+# i.e. [1677-09-21 00:12, 2262-04-11 23:47] — far narrower than
+# Spark's microsecond timestamp domain. A timestamp INSIDE the
+# operating window but past 2262 (e.g. year 2999) aborts the Arrow
+# batch conversion before user code runs, so a scan-side filter is
+# the only total placement. The python-path ops carry this
+# documented narrower domain; their JVM closed-form twins
+# (ml_forecast_ar_exact, event_transition_matrix, ewma_daily_value,
+# event_funnel) cover the full operating window — the split the
+# registry already uses for oracle coverage. Day-grain consumers
+# use whole-day bounds strictly inside the ns range.
+PANDAS_TS_MIN = "1677-09-22 00:00:00"
+PANDAS_TS_MAX = "2262-04-11 00:00:00"
+
+
+def pandas_ts_window_sql(col: str = "ts") -> str:
+    """Shared conformance predicate for python-path consumers:
+    ``col`` within [PANDAS_TS_MIN, PANDAS_TS_MAX) — the
+    datetime64[ns]-representable domain (see rationale above).
+    Strictly inside the operating window."""
+    return (
+        f"{col} >= TIMESTAMP '{PANDAS_TS_MIN}'"
+        f" AND {col} < TIMESTAMP '{PANDAS_TS_MAX}'"
+    )
 
 
 def ewma_step_sql() -> str:
@@ -123,10 +226,17 @@ def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar span, not corpus size — so the shape survives 100× (the
     spine explode is sequence() scan-side; no driver state). The
     filled value is never NULL because each user's spine starts on a
-    day that has events by construction.
+    day that has events by construction. Events outside the spine
+    calendar window are excluded scan-side (r18, spine_calendar_sql
+    rationale: one extreme-but-valid date otherwise inflates a
+    user's spine without bound — measured 16,268× at sf0.001; the
+    constant window width is the worst-case spine length). Oracle
+    mirrors the same predicate template.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.expr(spine_calendar_sql("ts")))
+        .select("user_id", F.col("ts").cast("date").alias("day"), "value")
     )
     daily = ev.groupBy("user_id", "day").agg(
         F.count(F.lit(1)).alias("n_raw"),
@@ -294,19 +404,26 @@ def daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation; the regression algebra (trend_slope_sql /
     trend_intercept_sql — shared templates) runs over that tiny
     relation. Day totals go through DECIMAL(18,6) first so y is
-    identical on both engines; x is an exact BIGINT day index.
+    identical on both engines; x is an exact BIGINT day index
+    (r18: datediff returns INT, and a year-9999 day index ~2.9e6
+    overflows INT in x·x under ANSI — measured ARITHMETIC_OVERFLOW;
+    the oracle's date_diff was already BIGINT, so the widening
+    changes no clean-data value) and the y / x·y moment sums go
+    through TREND_MOMENT_SCALE on both engines (same rationale).
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(dsum("value", METRIC).alias("y"))
-    x = F.datediff(F.col("day"), F.to_date(F.lit(TREND_EPOCH)))
+    x = F.datediff(F.col("day"), F.to_date(F.lit(TREND_EPOCH))).cast("bigint")
     moments = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(x * x).alias("sxx"),
-        F.sum(F.col("y").cast(METRIC)).cast("double").alias("sy"),
-        F.sum((x * F.col("y")).cast(METRIC)).cast("double").alias("sxy"),
+        F.sum(F.col("y").cast(TREND_MOMENT_SCALE)).cast("double").alias("sy"),
+        F.sum((x * F.col("y")).cast(TREND_MOMENT_SCALE))
+            .cast("double")
+            .alias("sxy"),
     )
     return moments.select(
         "event_type",
@@ -372,8 +489,16 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the scan — the 100 TB shape. The LAG orders by
     (ts, event_id) so the "previous raw event" is deterministic even
     under timestamp collisions; the oracle pins the same tie-break.
+    Rows outside the timestamp operating window are excluded
+    scan-side (r18, ts_operating_window_sql rationale: this query's
+    output carries raw timestamps, and a day-one year-1 value is
+    unrepresentable at the driver's collect boundary — measured
+    `ValueError: year 0 is out of range`). Oracle mirrors the same
+    predicate template.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr(ts_operating_window_sql("ts"))
+    )
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     return (
@@ -711,9 +836,17 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing window is entirely empty, wau=0 and stickiness is NULL
     (0/0 has no defensible value; both engines guard the division).
     The spine is days-sized, so densification adds no corpus-scale
-    work.
+    work. Events outside the spine calendar window are excluded
+    scan-side (r18, spine_calendar_sql rationale: one
+    extreme-but-valid date otherwise inflates the GLOBAL spine
+    without bound — measured 121,735× at sf0.001 — and a day past
+    9999-12-25 overflows the date_add(day, k) target arithmetic;
+    the constant window width bounds both). Oracle mirrors the same
+    predicate template.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr(spine_calendar_sql("ts"))
+    )
     # NOT persisted, on evidence (r7): ReusedExchange shares the
     # distinct across dau / WAU targets / spine; a persist measured
     # WORSE at every scale (0.29→0.43 s sf0.1, 0.38→0.69 s 256x).

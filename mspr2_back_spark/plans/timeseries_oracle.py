@@ -19,10 +19,13 @@ from mspr2_back_spark.plans.timeseries import (
     DECOMP_HALF_WINDOW,
     SEASON_PERIOD,
     TREND_EPOCH,
+    TREND_MOMENT_SCALE,
     assoc_lift_sql,
     ewma_step_sql,
+    spine_calendar_sql,
     trend_intercept_sql,
     trend_slope_sql,
+    ts_operating_window_sql,
     zscore_sql,
 )
 
@@ -31,6 +34,7 @@ TIMESERIES_ORACLE_SQL: dict[str, str] = {}
 TIMESERIES_ORACLE_SQL["gapfill_user_daily"] = f"""
 WITH ev AS (
   SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+  WHERE {spine_calendar_sql("ts")}
 ),
 daily AS (
   SELECT user_id, day, COUNT(*) AS n_raw,
@@ -137,8 +141,8 @@ WITH daily AS (
 moments AS (
   SELECT event_type, COUNT(*) AS n,
          SUM(x) AS sx, SUM(x * x) AS sxx,
-         CAST(SUM(CAST(y AS {METRIC})) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * y AS {METRIC})) AS DOUBLE) AS sxy
+         CAST(SUM(CAST(y AS {TREND_MOMENT_SCALE})) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS {TREND_MOMENT_SCALE})) AS DOUBLE) AS sxy
   FROM (SELECT event_type, y,
                date_diff('day', DATE '{TREND_EPOCH}', day) AS x
         FROM daily)
@@ -214,6 +218,7 @@ WITH l AS (
                        ORDER BY ts, event_id)
            AS prev_ts
   FROM events
+  WHERE {ts_operating_window_sql("ts")}
 )
 SELECT event_id, user_id, event_type, ts
 FROM l
@@ -335,6 +340,7 @@ def _rau_oracle_sql() -> str:
     return f"""
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE {spine_calendar_sql("ts")}
 ),
 dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
 targets AS (

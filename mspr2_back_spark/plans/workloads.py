@@ -392,11 +392,19 @@ def sliding_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation on (window, event_type). Shuffle volume is 4× the
     tumbling form's — the price of overlap, paid in the exchange,
     not in any per-group state. Value sums go through DECIMAL
-    (money6) per the engine-wide determinism contract.
+    (money6) per the engine-wide determinism contract. Rows outside
+    the timestamp operating window are excluded scan-side (r18,
+    timeseries.ts_operating_window_sql rationale: hop-window starts
+    for a day-one year-1 event land in year ZERO, unrepresentable
+    at the driver's collect boundary — measured `ValueError: year 0
+    is out of range`). Oracle mirrors the same predicate template.
     """
     from mspr2_back_spark.functions.numeric import money6
+    from mspr2_back_spark.plans.timeseries import ts_operating_window_sql
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.expr(ts_operating_window_sql("ts"))
+    )
     return (
         ev.groupBy(
             F.window(

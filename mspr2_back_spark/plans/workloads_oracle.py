@@ -258,6 +258,7 @@ WORKLOAD_ORACLE_SQL["lineitem_corr_matrix"] = _corr_oracle_sql()
 
 
 def _sliding_oracle_sql() -> str:
+    from mspr2_back_spark.plans.timeseries import ts_operating_window_sql
     from mspr2_back_spark.plans.workloads import SLIDE_STEP_MIN, SLIDE_WIDTH_MIN
 
     step_s = SLIDE_STEP_MIN * 60
@@ -272,6 +273,7 @@ WITH ex AS (
               - k * {step_s}) AS TIMESTAMP) AS window_start,
          event_type, value
   FROM events, unnest(generate_series(0, {n_hops - 1})) AS t(k)
+  WHERE {ts_operating_window_sql("ts")}
 )
 SELECT window_start, event_type,
        COUNT(*) AS n_events,

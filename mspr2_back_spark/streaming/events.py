@@ -30,10 +30,25 @@ def read_event_stream(spark, path: str, schema) -> DataFrame:
     adjustment annotation) is normalized to TIMESTAMP: watermarks
     reject NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and
     the session timezone is pinned UTC so the cast is value-identity.
+
+    Rows outside the documented timestamp operating window
+    (plans/timeseries.ts_operating_window_sql — [0001-01-08,
+    9999-12-25)) are excluded at this scan boundary (r18): several
+    downstream ops emit raw or window-shifted timestamps
+    (session_start/end, hop window_start), and a day-one year-1
+    event's window start lands in year ZERO — unrepresentable at
+    the memory-sink collect boundary. Same conformance-filter
+    pattern as the batch consumers; NULL timestamps still pass here
+    and drop at each op's watermark, the pre-r18 documented
+    semantics.
     """
+    from mspr2_back_spark.plans.timeseries import ts_operating_window_sql
     from mspr2_back_spark.sources.readers import normalize_ntz
 
-    return normalize_ntz(spark.readStream.schema(schema).parquet(path))
+    stream = normalize_ntz(spark.readStream.schema(schema).parquet(path))
+    return stream.filter(
+        F.col("ts").isNull() | F.expr(ts_operating_window_sql("ts"))
+    )
 
 
 def windowed_event_counts(
@@ -92,6 +107,25 @@ def sessionized_event_counts(
     )
 
 
+def _pandas_domain(events: DataFrame) -> DataFrame:
+    """Scan-side conformance filter for the stateful PYTHON ops
+    (r18): applyInPandasWithState converts each group's whole Arrow
+    batch — including ``ts`` — to pandas, and pandas' datetime64[ns]
+    domain ends at 2262-04-11, far inside Spark's timestamp domain.
+    A year-2999 event (valid, inside the operating window) aborts
+    that conversion before user code runs, so the only total
+    placement is before the shuffle into the python worker. The
+    python-path ops carry this documented narrower domain
+    (plans/timeseries.pandas_ts_window_sql); their JVM twins cover
+    the full operating window. NULL ts still passes — NaT is the
+    pre-r18 documented semantics for these ops."""
+    from mspr2_back_spark.plans.timeseries import pandas_ts_window_sql
+
+    return events.filter(
+        F.col("ts").isNull() | F.expr(pandas_ts_window_sql("ts"))
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-user running (event count, value sum) carried across
@@ -117,7 +151,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return _pandas_domain(events).groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
         stateStructType="n long, v double",
@@ -504,7 +538,7 @@ def funnel_stage_progress(
         state.update((reached, t0, tprev))
         yield pd.DataFrame({"user_id": [key[0]], "stage_reached": [reached]})
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return _pandas_domain(events).groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, stage_reached int",
         stateStructType="reached int, t0 long, tprev long",
@@ -554,7 +588,7 @@ def transition_increments(events: DataFrame) -> DataFrame:
                 }
             )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return _pandas_domain(events).groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="from_type string, to_type string, n long",
         stateStructType="last_type string, last_ts long",
@@ -594,7 +628,7 @@ def ewma_value_live(events: DataFrame, alpha: float = 0.3) -> DataFrame:
             {"event_type": [key[0]], "n_seen": [n], "ewma": [float(ewma)]}
         )
 
-    return events.groupBy("event_type").applyInPandasWithState(
+    return _pandas_domain(events).groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType="event_type string, n_seen long, ewma double",
         stateStructType="ewma double, n long",

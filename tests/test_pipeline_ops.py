@@ -5728,3 +5728,172 @@ def test_multimodal_null_docid_exclusion_contract(spark):
         got = sorted(tuple(r) for r in fn(dirty).collect())
         assert got == want, tag
         assert want, tag  # non-vacuous
+
+
+def test_extreme_timestamp_totality_contract(spark, tmp_path):
+    """r18 extreme-timestamp class pins (COVERAGE.md addendum 3 —
+    verified-to-fail on pre-fix code: the r18 probe reproduced all
+    five modes at sf0.001). Extreme-but-VALID timestamps, >=2
+    instances per class so they can meet each other:
+
+    - day-one year-1 rows are unrepresentable at the driver's
+      collect boundary (`ValueError: year 0 is out of range` —
+      measured boundary: 0001-01-01 fails, 0001-01-02 is the first
+      representable value) and their hop-window starts land in year
+      ZERO. `sliding_event_rates`, `event_debounce`,
+      `asof_event_value`, `user_event_sequences` exclude them via
+      the shared ts_operating_window_sql conformance filter and
+      must return EXACTLY the clean sub-corpus's output;
+    - year-9999 rows overflowed the trend template's INT day-index
+      moments (`daily_value_trend` — now BIGINT/TREND_MOMENT_SCALE,
+      so the rows are INCLUDED and compute) and pushed
+      `ml_forecast_ar_exact`'s 7-step horizon into year 10000 (now
+      excluded by the window's 7-day upper margin);
+    - ONE extreme date inflated the dense spines of
+      `gapfill_user_daily` / `rolling_active_users` 1000x+ (memory
+      bomb at 100 TB) — the spine calendar window bounds them:
+      output on the dirtied corpus equals the clean sub-corpus's.
+    """
+    from pyspark.sql import functions as F
+
+    from mspr2_back_spark.plans.extensions import (
+        asof_event_value,
+        user_event_sequences,
+    )
+    from mspr2_back_spark.plans.pipeline_queries import ml_forecast_ar_exact
+    from mspr2_back_spark.plans.timeseries import (
+        daily_value_trend,
+        event_debounce,
+        gapfill_user_daily,
+        rolling_active_users,
+    )
+    from mspr2_back_spark.plans.workloads import sliding_event_rates
+
+    clean_dir = str(tmp_path / "clean")
+    mid_dir = str(tmp_path / "mid")
+    dirty_dir = str(tmp_path / "dirty")
+    clean_ev = [
+        (i, f"2024-03-{(i % 9) + 1:02d} 0{i % 9}:10:00", i % 4,
+         ["click", "view", "purchase"][i % 3], float(i + 1),
+         '{"k": %d}' % (i % 7))
+        for i in range(40)
+    ]
+    # far-future but INSIDE the operating window: conforming for the
+    # window-arithmetic consumers (year-2999 output marshals fine),
+    # non-conforming for the spine consumers (the inflation class
+    # the calendar window bounds)
+    farfuture_ev = [
+        (80005, "2999-06-15 00:00:00", 3, "purchase", 5.0, '{"k": 5}'),
+        (80006, "2999-06-16 00:00:00", 3, "purchase", 6.0, '{"k": 6}'),
+    ]
+    # two day-one year-1 rows (same user+type: they meet in one LAG
+    # group) and two year-9999 rows — outside the operating window
+    edge_ev = [
+        (80001, "0001-01-01 00:30:00", 1, "click", 1.0, '{"k": 1}'),
+        (80002, "0001-01-01 04:00:00", 1, "click", 2.0, '{"k": 2}'),
+        (80003, "9999-12-31 12:00:00", 2, "view", 3.0, '{"k": 3}'),
+        (80004, "9999-12-30 06:00:00", 2, "view", 4.0, '{"k": 4}'),
+    ]
+    schema = (
+        "event_id bigint, ts string, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    for out, rows in [
+        (clean_dir, clean_ev),
+        (mid_dir, clean_ev + farfuture_ev),
+        (dirty_dir, clean_ev + farfuture_ev + edge_ev),
+    ]:
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.parquet(f"{out}/events.parquet")
+
+    # (1) operating-window consumers: the edge rows are excluded —
+    # dirty output == in-window (mid) output, collect()-forced (full
+    # evaluation, totality-probes discipline); pre-fix this collect
+    # raised ValueError at the driver boundary
+    for tag, fn in [
+        ("sliding", sliding_event_rates),
+        ("debounce", event_debounce),
+        ("asof", asof_event_value),
+        ("sequences", user_event_sequences),
+    ]:
+        want = sorted(tuple(r) for r in fn(spark, mid_dir).collect())
+        got = sorted(tuple(r) for r in fn(spark, dirty_dir).collect())
+        assert got == want, tag
+        assert want, tag  # non-vacuous
+
+    # (2) spine consumers: bounded — dirty output == clean output
+    # (pre-fix: 16,268x / 121,735x inflation at sf0.001)
+    for tag, fn in [
+        ("gapfill", gapfill_user_daily),
+        ("rau", rolling_active_users),
+    ]:
+        want = sorted(tuple(r) for r in fn(spark, clean_dir).collect())
+        got = sorted(tuple(r) for r in fn(spark, dirty_dir).collect())
+        assert got == want, tag
+        assert want, tag
+
+    # (3) daily_value_trend INCLUDES the extreme days (they are
+    # in-domain observations; only the moment TYPES widened) and
+    # computes finite values where pre-fix code threw
+    # ARITHMETIC_OVERFLOW on the year-9999 day index
+    tr = {r["event_type"]: r for r in daily_value_trend(spark, dirty_dir).collect()}
+    assert tr["view"]["n_days"] == len({r[1][:10] for r in clean_ev
+                                        if r[3] == "view"}) + 2
+    assert tr["view"]["slope_per_day"] is not None
+    import math
+    assert math.isfinite(tr["view"]["slope_per_day"])
+
+    # (4) the AR horizon: year-9999 rows excluded (their 7-step
+    # forecast_day would reach year 10000 — unrepresentable); the
+    # in-window users forecast normally
+    fc = ml_forecast_ar_exact(spark, dirty_dir).collect()
+    assert fc and all(r["forecast_day"].year <= 9999 for r in fc)
+    assert {r["user_id"] for r in fc} == {0, 1, 2, 3}
+    # user 3's 2999 rows are in-window: its horizon starts there
+    assert max(r["forecast_day"] for r in fc).year == 2999
+
+
+def test_dirty_corpus_recipe_fingerprint_rebuild(tmp_path):
+    """The dirty-gate corpora are cached in /tmp and were rebuilt
+    only when ABSENT — a dir built before a recipe change silently
+    probed the OLD corpus (VERDICT r17 what's-wrong #3). ensure_built
+    keys the cache on a recipe fingerprint: reuse only on fingerprint
+    match; rebuild (after clearing the dir, including derived state
+    like the streaming gate's _events_stream_src) on mismatch or a
+    mutated marker."""
+    import os
+
+    from test_dirty_smoke import ensure_built, recipe_fingerprint
+
+    d = str(tmp_path / "corpus")
+    calls = []
+
+    def build():
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "payload"), "w") as fh:
+            fh.write("x")
+        calls.append(1)
+
+    fp1 = recipe_fingerprint(build, [1, 2, 3])
+    ensure_built(d, fp1, build)
+    assert len(calls) == 1
+    # same fingerprint -> reuse, no rebuild
+    ensure_built(d, fp1, build)
+    assert len(calls) == 1
+    # mutated marker (stale/hand-edited) -> rebuild
+    with open(os.path.join(d, "_BUILT"), "w") as fh:
+        fh.write("stale\n")
+    stale_derived = os.path.join(d, "derived_state")
+    with open(stale_derived, "w") as fh:
+        fh.write("old")
+    ensure_built(d, fp1, build)
+    assert len(calls) == 2
+    assert not os.path.exists(stale_derived)  # derived state cleared
+    # recipe change (different constant) -> different fingerprint
+    fp2 = recipe_fingerprint(build, [1, 2, 3, 4])
+    assert fp2 != fp1
+    ensure_built(d, fp2, build)
+    assert len(calls) == 3
+    # callables fingerprint by SOURCE, constants by repr
+    assert recipe_fingerprint(build, [1, 2, 3]) == fp1
