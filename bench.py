@@ -58,12 +58,13 @@ record threshold; "quiet_achieved": true in the artifact), then up
 to a further 120 s for loadavg < 8 (the old hard gate), then runs
 anyway — a busy box must still produce a number.  The artifact
 records the tier outcome, total wait, the loadavg at gate exit, and
-the loadavg at the start of EVERY pass ("loadavg_per_pass"), so
-uniform cross-round drift can be attributed to measured co-tenant
-load from the artifact alone, and a quiet capture is
-distinguishable from a forced one without a side-channel reference
-(the r13 artifact needed one: every query drifted up together at
-loadavg 6–8, which passed the old gate).
+the loadavg at every pass BOUNDARY ("loadavg_per_pass": N+1
+samples for N passes — start of each pass plus one after the last,
+r17 verdict task 6), so uniform cross-round drift can be
+attributed to measured co-tenant load from the artifact alone, and
+a quiet capture is distinguishable from a forced one without a
+side-channel reference (the r13 artifact needed one: every query
+drifted up together at loadavg 6–8, which passed the old gate).
 
 Max-side attribution (round 11, VERDICT r10 "What's wrong" #2): the
 r10 max-side spread (39.5%) mixed each query's page-cache-cold FIRST
@@ -384,6 +385,11 @@ def main() -> None:
     probe_start = cpu_probe_ms()
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # loadavg at every pass BOUNDARY (r17 verdict task 6): N passes
+    # yield N+1 samples — start of each pass plus one after the
+    # final pass — so co-tenant load arriving MID-sweep is
+    # attributable to the passes it straddles (the r17 driver
+    # artifact's +8% ratio drift appeared between per-pass starts).
     loadavg_per_pass: list[list[float]] = []
     for _ in range(REPEATS):
         loadavg_per_pass.append([round(x, 2) for x in os.getloadavg()])
@@ -396,6 +402,7 @@ def main() -> None:
             # OUTSIDE the timed window, so no same-plan cache hit
             # flatters a later rep
             spark.catalog.clearCache()
+    loadavg_per_pass.append([round(x, 2) for x in os.getloadavg()])
 
     residue = _persistent_rdd_count(spark)
     if residue > baseline_rdds:
