@@ -55,14 +55,16 @@ ORACLE_SQL = {
 # late-r17 try_cast-family totality fixes (props_extract,
 # props_variant_stats, source_mixture_sample, price_histogram,
 # rfm_segments) — all seven sim-verified at change time and
-# judge-sim-confirmed at r17.  THREE more fix-before-sweep keys,
-# r18 (the extreme-timestamp class, COVERAGE.md "Round-18 fix"):
-# rolling_active_users (spine calendar window),
-# user_event_sequences (operating window), ml_forecast_ar
-# (pandas-path domain; rows-only) — landed early r18 pre-sweep,
-# the r15 props_* precedent; all sim-verified at change time and
-# the whole block re-simulated at final HEAD (48/48 + 2
-# rows-only).  Round 19 then owes the plain 50-entry r16 block
+# judge-sim-confirmed at r17.  FOUR more fix-before-sweep keys,
+# r18 (the extreme-timestamp + metric-contract classes, COVERAGE.md
+# "Round-18 fix" + "addendum 2"): rolling_active_users (spine
+# calendar window), user_event_sequences (operating window),
+# ml_forecast_ar (pandas-path domain; rows-only),
+# seasonal_decompose_daily (second-level sums through
+# TREND_MOMENT_SCALE) — landed r18 pre-sweep, the r15 props_*
+# precedent; all sim-verified at change time and the whole block
+# re-simulated at final HEAD (48/48 + 2 rows-only).
+# Round 19 then owes the plain 50-entry r16 block
 # (carrying dedup_embedding_lsh — the r17 conformance-filter WAIT
 # key — plus r18's event_debounce + asof_event_value), cycling at
 # period 3.

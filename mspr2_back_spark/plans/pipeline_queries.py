@@ -299,9 +299,19 @@ def ml_forecast_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AR2_HORIZON = 7
 # Moment sums go through DECIMAL so they are partition-order-free on
-# both engines (same contract as workloads.CORR_SCALE, which this
-# deliberately equals — lag products of 6-dp daily values).
-AR2_SCALE = "decimal(28,6)"
+# both engines (the workloads.CORR_SCALE contract). Widened to
+# (38,6) in r18: the AR(2) normal-equation products are
+# daily-total × daily-total, and two IN-CONTRACT daily sums near
+# the METRIC edge (~9.9e11 each) multiply to ~9.8e23 — past
+# DECIMAL(28,6)'s ~1e22 but comfortably inside (38,6)'s ~1e32
+# (measured NUMERIC_VALUE_OUT_OF_RANGE, r18 metric-contract probe;
+# the r17 rfm_segments second-level class). Clean-data values are
+# bit-identical — the sums are exact at either width and convert
+# to double at the same boundary; the oracle imports this constant
+# so both engines widen in lockstep. CORR_SCALE stays (28,6): its
+# products are lineitem quantity×price, bounded ≤ ~5e6 by the
+# money contract's column domains.
+AR2_SCALE = "decimal(38,6)"
 
 
 def _det3_sql(m: list[str]) -> str:

@@ -554,9 +554,16 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("wd", F.pmod(idx, F.lit(SEASON_PERIOD)))
         .withColumn("cnt_w", F.count(F.lit(1)).over(ma))
         .withColumn(
+            # second-level sums (of DAILY TOTALS, not raw values) go
+            # through TREND_MOMENT_SCALE, not METRIC (r18 metric
+            # probe: two in-contract 9.9e11 values on one day make
+            # y ≈ 1.98e12 — past DECIMAL(18,6), fine in (28,6); the
+            # rfm_segments second-level class). Oracle in lockstep.
             "trend",
             F.round(
-                F.sum(F.col("y").cast(METRIC)).over(ma).cast("double")
+                F.sum(F.col("y").cast(TREND_MOMENT_SCALE))
+                .over(ma)
+                .cast("double")
                 / span,
                 6,
             ),
@@ -566,7 +573,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seasonal = with_trend.groupBy("event_type", "wd").agg(
         F.round(
-            F.sum(F.col("detrended").cast(METRIC)).cast("double")
+            F.sum(F.col("detrended").cast(TREND_MOMENT_SCALE)).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("seasonal")

@@ -186,7 +186,7 @@ win AS (
   SELECT event_type, day, y,
          ((x % {SEASON_PERIOD}) + {SEASON_PERIOD}) % {SEASON_PERIOD} AS wd,
          COUNT(*) OVER w AS cnt_w,
-         ROUND(CAST(SUM(CAST(y AS {METRIC})) OVER w AS DOUBLE)
+         ROUND(CAST(SUM(CAST(y AS {TREND_MOMENT_SCALE})) OVER w AS DOUBLE)
                / {_DECOMP_SPAN}, 6) AS trend
   FROM daily
   WINDOW w AS (
@@ -201,7 +201,7 @@ dt AS (
 ),
 seas AS (
   SELECT event_type, wd,
-         ROUND(CAST(SUM(CAST(detrended AS {METRIC})) AS DOUBLE)
+         ROUND(CAST(SUM(CAST(detrended AS {TREND_MOMENT_SCALE})) AS DOUBLE)
                / COUNT(*), 6) AS seasonal
   FROM dt GROUP BY 1, 2
 )

@@ -361,12 +361,21 @@ def _build_scatter_dirty_dir(spark) -> None:
                 df, "event_type", F.col("event_id") % 107 == 13
             )
             df = _scatter_nullify(df, "ts", F.col("event_id") % 109 == 17)
-            # IEEE specials in the value column (r17 NaN probe)
+            # IEEE specials in the value column (r17 NaN probe), plus
+            # the r18 IN-CONTRACT metric extreme: 9.9e11 fits the
+            # per-row DECIMAL(18,6) METRIC cast, but PRODUCTS of two
+            # such daily totals (the AR(2) normal-equation moments)
+            # overflowed DECIMAL(28,6) until AR2_SCALE widened —
+            # two instances so extremes can meet inside one group.
+            # Truly out-of-METRIC values (≥1e12) fail LOUDLY by
+            # documented contract (the money-contract sibling,
+            # PLANS.md) and deliberately stay out of this corpus.
             df = df.withColumn(
                 "value",
                 F.when(F.col("event_id") % 113 == 19, F.lit(float("nan")))
                 .when(F.col("event_id") % 127 == 23, F.lit(float("inf")))
                 .when(F.col("event_id") % 131 == 29, F.lit(float("-inf")))
+                .when(F.col("event_id") % 163 == 53, F.lit(9.9e11))
                 .otherwise(F.col("value")),
             )
             # VALID json whose k overflows INT (r17 cast probe):

@@ -5897,3 +5897,86 @@ def test_dirty_corpus_recipe_fingerprint_rebuild(tmp_path):
     assert len(calls) == 3
     # callables fingerprint by SOURCE, constants by repr
     assert recipe_fingerprint(build, [1, 2, 3]) == fp1
+
+
+def test_metric_extreme_value_contract(spark, tmp_path):
+    """r18 metric-contract probe pins (verified-to-fail on pre-fix
+    code). The engine-wide METRIC discipline (DECIMAL(18,6) per-row
+    casts) has the same two-sided contract as the documented money
+    contract (PLANS.md):
+
+    - IN-CONTRACT extremes must be total: two daily totals near the
+      METRIC edge (~9.9e11) multiply to ~9.8e23 inside the AR(2)
+      normal equations — past DECIMAL(28,6), inside the widened
+      AR2_SCALE (38,6). Pre-fix, ml_forecast_ar_exact aborted with
+      NUMERIC_VALUE_OUT_OF_RANGE on values every other query
+      handled.
+    - OUT-of-contract values (≥1e12, representable in the DOUBLE
+      storage column) fail LOUDLY on METRIC-summing queries —
+      deliberate: silently excluding or NULLing a huge value would
+      corrupt totals, exactly the money-contract argument.
+    """
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mspr2_back_spark.plans.pipeline_queries import ml_forecast_ar_exact
+    from mspr2_back_spark.plans.queries import global_totals  # noqa: F401
+
+    schema = (
+        "event_id bigint, ts string, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    base = [
+        (i, f"2024-03-{(i % 9) + 1:02d} 0{i % 9}:10:00", i % 3,
+         "click", float(i + 1), "{}")
+        for i in range(30)
+    ]
+    # user 7: three consecutive days of edge-metric totals, so the
+    # lag products x1*y / x2*y / x1*x2 are all ~9.8e23
+    edge = [
+        (90001, "2024-03-01 01:00:00", 7, "click", 9.9e11, "{}"),
+        (90002, "2024-03-02 01:00:00", 7, "click", 9.9e11, "{}"),
+        (90003, "2024-03-03 01:00:00", 7, "click", 9.9e11, "{}"),
+    ]
+    in_dir = str(tmp_path / "edge")
+    spark.createDataFrame(base + edge, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(f"{in_dir}/events.parquet")
+
+    rows = ml_forecast_ar_exact(spark, in_dir).collect()
+    u7 = [r for r in rows if r["user_id"] == 7]
+    assert len(u7) == 7  # full horizon, no abort
+    assert all(r["forecast_value"] is not None for r in u7)
+
+    # in-contract DAILY-TOTAL overflow (the scatter gate's find):
+    # TWO edge values on ONE (type, day) make y ≈ 1.98e12 — past
+    # METRIC — and seasonal_decompose_daily's second-level window
+    # sum re-cast it through METRIC until it widened to
+    # TREND_MOMENT_SCALE. The base corpus spans 9 consecutive days,
+    # so the doubled day sits inside full ±3-day MA windows.
+    from mspr2_back_spark.plans.timeseries import seasonal_decompose_daily
+
+    pair_dir = str(tmp_path / "pair")
+    paired = base + [
+        (90004, "2024-03-05 02:00:00", 9, "click", 9.9e11, "{}"),
+        (90005, "2024-03-05 03:00:00", 9, "click", 9.9e11, "{}"),
+    ]
+    spark.createDataFrame(paired, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(f"{pair_dir}/events.parquet")
+    dec = seasonal_decompose_daily(spark, pair_dir).collect()
+    assert dec and all(r["trend"] is not None for r in dec)
+
+    # out-of-contract: loud fail naming the decimal, on a
+    # METRIC-summing events query
+    out_dir = str(tmp_path / "over")
+    spark.createDataFrame(
+        base + [(90010, "2024-03-04 01:00:00", 8, "click", 1.0e13, "{}")],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        f"{out_dir}/events.parquet"
+    )
+    from mspr2_back_spark.plans.timeseries import ewma_daily_value
+
+    with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        ewma_daily_value(spark, out_dir).collect()
