@@ -295,6 +295,23 @@ def _build_scatter_dirty_dir(spark) -> None:
                 .when(F.col("doc_id") % 53 == 29, F.lit("two words"))
                 .otherwise(F.col("text")),
             )
+            # r18 Unicode classes (probed clean at sf0.001 —
+            # committed here so the record stays repeatable): astral
+            # emoji (surrogate-pair codepoints) and CJK; the text
+            # operators are codepoint arithmetic and must stay total
+            df = df.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 67 == 31,
+                    F.lit("rocket \U0001f680 launch \U0001f9ea data"
+                          " \U0001f4ca chart test words"),
+                )
+                .when(
+                    F.col("doc_id") % 71 == 37,
+                    F.lit("分布式計算 データ 処理 分析 基盤 検証 テスト"),
+                )
+                .otherwise(F.col("text")),
+            )
             df = _scatter_nullify(df, "lang", F.col("doc_id") % 31 == 13)
             df = _scatter_nullify(df, "source", F.col("doc_id") % 37 == 17)
             # malformed source labels (r17 cast probe): outside the
@@ -424,6 +441,21 @@ def _build_scatter_dirty_dir(spark) -> None:
             df = _scatter_nullify(
                 df, "o_orderdate", F.col("o_orderkey") % 97 == 13
             )
+            # r18 extreme-DATE classes (probed clean — committed for
+            # repeatability; Python's date domain equals Spark's, so
+            # unlike timestamps these marshal fine and must stay so)
+            df = df.withColumn(
+                "o_orderdate",
+                F.when(
+                    F.col("o_orderkey") % 149 == 41,
+                    F.expr("DATE '0001-01-01'"),
+                )
+                .when(
+                    F.col("o_orderkey") % 151 == 43,
+                    F.expr("DATE '9999-12-31'"),
+                )
+                .otherwise(F.col("o_orderdate")),
+            )
             df = _scatter_nullify(
                 df, "o_totalprice", F.col("o_orderkey") % 89 == 7
             )
@@ -447,6 +479,19 @@ def _build_scatter_dirty_dir(spark) -> None:
             )
             df = _scatter_nullify(
                 df, "l_shipdate", F.col("l_orderkey") % 227 == 23
+            )
+            # r18 extreme-DATE class (see orders above)
+            df = df.withColumn(
+                "l_shipdate",
+                F.when(
+                    F.col("l_orderkey") % 229 == 29,
+                    F.expr("DATE '0001-01-01'"),
+                )
+                .when(
+                    F.col("l_orderkey") % 233 == 31,
+                    F.expr("DATE '9999-12-31'"),
+                )
+                .otherwise(F.col("l_shipdate")),
             )
         elif t == "part":
             df = _scatter_nullify(df, "p_brand", F.col("p_partkey") % 41 == 7)
