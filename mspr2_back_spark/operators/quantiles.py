@@ -17,9 +17,10 @@ phases:
    within the bin is the exact answer.
 
 The corpus is scanned exactly twice (bin pass + refine pass); the
-per-percentile work happens on the persisted (group, bin) count
-relation, which is bins-sized, not rows-sized. Shuffles carry those
-counts and bin-sized row subsets — never a full per-group sort.
+per-percentile work happens on the (group, bin) count relation,
+which is bins-sized, not rows-sized — consumed once, so it is not
+persisted (r18). Shuffles carry those counts and bin-sized row
+subsets — never a full per-group sort.
 Results are bit-identical to the rank-window form (same discrete
 definition), which is what lets the two share an oracle.
 
@@ -33,7 +34,6 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -73,65 +73,81 @@ def binned_quantiles(
         F.col(value_col).alias("v"),
         F.floor(F.col(value_col) / width).cast("long").alias("bin"),
     ).filter(F.col("v").isNotNull())
-    # The (group, bin) count relation is the whole bin pass — tiny
-    # (bins-sized) and consumed once per percentile plus once for the
-    # totals, so persist ONE materialization instead of re-scanning
-    # the corpus per consumer.
-    bin_counts = (
+    # Bin pass: the (group, bin) count relation plus, riding the SAME
+    # hash(grp) exchange, the per-group total n as an unordered
+    # sibling window — no separate totals aggregation, no broadcast
+    # join to re-attach it (r18 optimization: the old shape computed
+    # `counts` as its own aggregation and joined it back TWICE; the
+    # window form removes one aggregation, two broadcast joins and
+    # the final n_orders join, and with a single consumer the
+    # bin_counts persist became dead weight and is gone too).
+    grp_w = W.partitionBy("grp")
+    cum_w = grp_w.orderBy("bin")
+    cum = (
         binned.groupBy("grp", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = bin_counts.groupBy("grp").agg(F.sum("c").alias("n"))
-    cum_w = W.partitionBy("grp").orderBy("bin")
-    cum = bin_counts.select(
-        "grp",
-        "bin",
-        (F.sum("c").over(cum_w) - F.col("c")).alias("preceding"),
-        F.sum("c").over(cum_w).alias("cum"),
+        .select(
+            "grp",
+            "bin",
+            (F.sum("c").over(cum_w) - F.col("c")).alias("preceding"),
+            F.sum("c").over(cum_w).alias("cum"),
+            F.sum("c").over(grp_w).alias("n"),
+        )
     )
 
-    # All percentiles in one pass over the bin relation: cross the
-    # (tiny) cum relation with the ps literals; the k-th smallest
-    # lives in the first bin whose running count reaches k, and
-    # min(struct) keeps that bin's row.
-    spark = df.sparkSession
-    ps_df = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    # All percentiles in one pass over the bin relation: explode the
+    # ps literals next to each (tiny) cum row — pure codegen, no
+    # broadcast relation (r18: replaces createDataFrame +
+    # crossJoin(broadcast), dropping the BroadcastNestedLoopJoin and
+    # its build job). The k-th smallest lives in the first bin whose
+    # running count reaches k, and min(struct) keeps that bin's row;
+    # `preceding` and `n` are functions of (grp, bin) / (grp), so the
+    # struct-min picks exactly the rows the join form picked.
     k = F.ceil(F.col("p") * F.col("n"))
     picks = (
-        cum.join(F.broadcast(counts), "grp")
-        .crossJoin(F.broadcast(ps_df))
+        cum.select(
+            "*",
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+        )
         .filter(F.col("cum") >= k)
         .groupBy("grp", "p")
-        .agg(F.min(F.struct("bin", "preceding")).alias("t"))
+        .agg(F.min(F.struct("bin", "preceding", "n")).alias("t"))
         .select(
             "grp",
             "p",
             F.col("t.bin").alias("bin"),
             F.col("t.preceding").alias("preceding"),
+            F.col("t.n").alias("n"),
         )
     )
 
     # Refine: rank only the rows of located bins. The join fans each
-    # row out once per percentile that lands in its bin (≤ len(ps)).
+    # row out once per percentile that lands in its bin (≤ len(ps));
+    # the picks relation carries n, so no per-group totals join.
     in_bins = binned.join(F.broadcast(picks), ["grp", "bin"])
     rank_w = W.partitionBy("grp", "p").orderBy("v")
     k_in_bin = (
         F.ceil(F.col("p") * F.col("n")).cast("long") - F.col("preceding")
     )
     picked = (
-        in_bins.join(F.broadcast(counts), "grp")
-        .withColumn("rn", F.row_number().over(rank_w))
+        in_bins.withColumn("rn", F.row_number().over(rank_w))
         .filter(F.col("rn") == k_in_bin)
-        .select("grp", "p", "v")
+        .select("grp", "p", "v", "n")
     )
-    wide = picked.groupBy("grp").pivot("p", [float(p) for p in ps]).agg(F.first("v"))
-    renamed = wide.select(
+    # n is constant per grp, so keying the pivot on (grp, n) yields
+    # the same groups and lets n_orders ride the pivot instead of a
+    # final join against a totals relation.
+    wide = (
+        picked.groupBy("grp", "n")
+        .pivot("p", [float(p) for p in ps])
+        .agg(F.first("v"))
+    )
+    return wide.select(
         F.col("grp"),
         # backticks: the pivot names contain a dot ("0.25")
         *[
             F.col(f"`{float(p)}`").alias(name)
             for p, name in zip(ps, names)
         ],
+        F.col("n").alias("n_orders"),
     )
-    return renamed.join(counts.withColumnRenamed("n", "n_orders"), "grp")
