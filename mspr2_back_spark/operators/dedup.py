@@ -717,11 +717,18 @@ def near_dup_clusters(
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # localCheckpoint(eager=False) everywhere in this loop (r18): the
+    # checkpoint still truncates lineage and persists its blocks, but
+    # materialization happens inside the NEXT action — which is
+    # always the 1-row convergence-sum right below — so each round
+    # runs ONE job (compute+persist+sum fused) instead of two
+    # (eager materialize, then re-scan the stored blocks to sum).
+    # Same blocks, same lineage truncation, half the jobs/passes.
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("cluster"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def label_sum(frame: DataFrame):
@@ -745,11 +752,13 @@ def near_dup_clusters(
             # 11). This is the standard iterative-algorithm pattern
             # (GraphX does the same); on a cluster you'd use reliable
             # checkpoints if executor loss matters mid-computation.
+            # eager=False: label_sum below is the materializing
+            # action (see the loop-head comment).
             new_labels = (
                 labels.unionByName(neighbor_min)
                 .groupBy("node")
                 .agg(F.min("cluster").alias("cluster"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             # Convergence witness: per-node labels are NON-INCREASING
             # (each round min-folds the node's own label back in), so
