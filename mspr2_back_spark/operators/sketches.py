@@ -119,13 +119,24 @@ def cms_estimate(
     keys the corpus never saw estimate as the minimum collision mass
     of their cells — 0 only when at least one of their cells is
     empty (the usual CMS one-sided overcount, never an undercount).
+
+    Non-key probe columns ride along (r18): they join the grouping
+    key, so a caller whose probe relation already carries per-key
+    facts (e.g. the exact count next to the estimate) gets them back
+    without a second join against the probe source. Groups are
+    unchanged whenever the extras are functionally dependent on the
+    key — the caller's contract, same as any SQL GROUP BY.
     """
+    carry = [c for c in probes.columns if c != key_col]
     pcells = probes.select(
         key_col,
+        *carry,
         F.explode(_cell_structs(F.col(key_col), depth, width)).alias("e"),
-    ).select(key_col, F.col("e.h").alias("h"), F.col("e.bucket").alias("bucket"))
+    ).select(
+        key_col, *carry, F.col("e.h").alias("h"), F.col("e.bucket").alias("bucket")
+    )
     return (
         pcells.join(F.broadcast(sketch), ["h", "bucket"], "left")
-        .groupBy(key_col)
+        .groupBy(key_col, *carry)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )

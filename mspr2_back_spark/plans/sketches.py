@@ -67,24 +67,18 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact relation's keys ARE the probe set — reusing it kills
     # the separate distinct's scan + user-hash shuffle (r7 A/B on the
     # same scaled tables: 2.87→2.43 s at 64x, 5.85→4.59 s at 256x;
-    # flat at sf0.1 where overhead dominates). Materialized because
-    # Spark shares no subplans across the est/exact branches;
-    # users-sized, tiny. localCheckpoint, NOT persist (r8 ADVICE):
-    # a persist() this API can never unpersist stacks a cache-registry
-    # entry per invocation in a long-lived serving session, while
-    # checkpoint blocks are released by the ContextCleaner as soon as
-    # the returned DataFrame is garbage-collected — same single
-    # materialization, no session-lifetime leak.
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .localCheckpoint(eager=True)
-    )
-    probes = exact.select("user_id")
-    est = cms_estimate(probes, sketch, "user_id")
+    # flat at sf0.1 where overhead dominates). r18: exact_count now
+    # RIDES the estimate as a carried probe column (functionally
+    # dependent on user_id, so groups are untouched), which makes the
+    # exact relation single-consumer — the r7 localCheckpoint and the
+    # est↔exact re-join (one more broadcast build + join stage) are
+    # gone, and the estimate's per-user aggregation reuses the exact
+    # aggregation's user-hash exchange (partitioning on a subset of
+    # the grouping keys — no new shuffle).
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(exact, sketch, "user_id")
     return (
-        est.join(exact, "user_id")
-        .select(
+        est.select(
             "user_id",
             "est_count",
             "exact_count",
