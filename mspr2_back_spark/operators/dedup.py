@@ -279,7 +279,15 @@ def minhash_lsh_pairs(
     # at 256x/shuffle=128 (SCALING.md round 10): 68.0 s -> 40.1 s
     # min-of-2, identical pair sets; plan capture shows zero
     # exchanges on the array side of either verify join.
-    per_doc = with_shingles(docs.repartition(id_col), id_col).persist(
+    # Explicit-N form (r18): the partition count is the session's
+    # shuffle.partitions — the same count the bare repartition(col)
+    # produced — but REPARTITION_BY_NUM is exempt from AQE's
+    # cached-plan coalescing (session.py r18 conf). This cache
+    # encodes COMPUTE density (interpreted shingle + 32-slot minhash
+    # expressions per row), so byte-based coalescing would serialize
+    # the most expensive scan stage behind a handful of tasks.
+    n_shuffle = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    per_doc = with_shingles(docs.repartition(n_shuffle, id_col), id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     per_doc.count()  # eager: populate once, before branches race to compute it

@@ -231,8 +231,20 @@ def cosine_pairs(
     """
     _require_some_conforming(vectors, dim)
     blk = F.floor(F.col(id_col) / block_size).cast("bigint")
+    # Explicit-N repartition on the grouping key (r18): one hash(blk)
+    # exchange that the pack aggregation reuses (no second exchange),
+    # at the same count the groupBy's own ENSURE_REQUIREMENTS
+    # exchange used — but REPARTITION_BY_NUM is exempt from AQE's
+    # cached-plan coalescing (session.py r18 conf). The cache's
+    # partition count IS the block-matmul fan-out (scoring tasks
+    # inherit it through the broadcast joins), i.e. compute density,
+    # which byte-based coalescing would collapse to a serial task.
+    n_shuffle = int(
+        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     packed = (
         vectors.select(blk.alias("blk"), id_col, "embedding")
+        .repartition(n_shuffle, "blk")
         .groupBy("blk")
         .agg(
             F.sort_array(
@@ -359,8 +371,18 @@ def cell_cosine_pairs(
         )
     vc = vectors.join(cells, id_col)
     blk = F.floor(F.col(id_col) / block_size).cast("bigint")
+    # Explicit-N repartition on the grouping keys (r18): pins the
+    # packed cache's partition count against AQE cached-plan
+    # coalescing — same rationale as cosine_pairs (the cache's
+    # partitioning is the per-cell block-matmul fan-out, compute
+    # density that byte-based coalescing would collapse); the pack
+    # aggregation reuses this exchange, so no extra shuffle.
+    n_shuffle = int(
+        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     packed = (
         vc.select("cell", blk.alias("blk"), id_col, "embedding")
+        .repartition(n_shuffle, "cell", "blk")
         .groupBy("cell", "blk")
         .agg(
             F.sort_array(

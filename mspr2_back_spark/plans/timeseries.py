@@ -747,7 +747,16 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     s0 = FUNNEL_STAGES[0]
-    per_user = ev.groupBy("user_id").agg(
+    # Explicit-N repartition on the grouping key (r18): the funnel
+    # chain (collect_list merge + the stepped get/filter projections)
+    # is the expensive part of the CACHED plan, and AQE cached-plan
+    # coalescing (session.py r18 conf) would shrink its exchange to a
+    # byte-sized task count — compute density, not bytes. Pinning at
+    # the session's shuffle.partitions keeps today's fan-out exactly
+    # (the groupBy reuses this exchange — no extra shuffle); measured
+    # +0.3 s regression without the pin, regained with it.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_user = ev.repartition(n_shuffle, "user_id").groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == s0, F.col("ts"))).alias("t_0"),
         *[
             F.sort_array(

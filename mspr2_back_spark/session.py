@@ -40,6 +40,24 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r18 (guide §2.2): respect the advisory partition size when
+        # coalescing instead of stopping at defaultParallelism — the
+        # default (parallelismFirst=true) keeps every KB-sized
+        # post-shuffle stage at `cores` tasks, pure task-launch
+        # overhead locally and exactly the many-tiny-blocks shape
+        # §2.2 warns about at cluster scale. Data-adaptive by
+        # construction: partition count follows bytes, not the box.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # r18: let AQE (incl. partition coalescing) apply to the
+        # plans that FILL persisted relations, so a users-sized
+        # cached relation is stored in data-proportional partitions
+        # instead of a fixed spark.sql.shuffle.partitions fan-out
+        # that every downstream stage inherits. Caches that encode
+        # COMPUTE density rather than bytes (the shingle projection,
+        # the packed BLAS blocks — Python/interpreted work per row)
+        # pin their partition count with explicit-N repartitions,
+        # which AQE never rewrites (REPARTITION_BY_NUM).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Read un-adjusted parquet timestamps as session-TZ TIMESTAMP,
