@@ -676,32 +676,42 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINTs through shared fixed-order templates.
     """
     ev = load_table(spark, sf_dir, "events")
-    # NOT persisted, on evidence (r7): the four consumers (total,
-    # marginals, a, b) share the distinct's exchange via
-    # ReusedExchange, so an explicit persist only adds a blocking
-    # materialization job — A/B measured 0.84→0.82 s at sf0.1 and
-    # 7.77→7.96 s at 256x (PLANS.md, rejected experiments).
-    baskets = ev.select(
-        "user_id",
-        F.col("ts").cast("date").alias("day"),
-        "event_type",
-    ).distinct()
-    n_baskets = baskets.select("user_id", "day").distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
+    # r18 rework (guide §2.4 — remove a shuffle AND the self-join):
+    # baskets collapse to ONE corpus exchange keyed on the basket id
+    # (user, day) with map-side dedup (partial_collect_set), and the
+    # pair expansion happens IN-ROW over each basket's sorted unique
+    # type list — the same bucket-expansion pattern as the minhash
+    # banding collapse (r10). The old shape paid the (user, day,
+    # type) distinct exchange, a SECOND (user, day) distinct for the
+    # basket total, and a basket⋈basket self-join; all three are
+    # gone. sort_array + (x, later y) expansion emits exactly the
+    # a.type < b.type pairs of the join form, once per basket, and
+    # every consumer (pairs, marginals, total) derives from the one
+    # grouped relation (identical subtree — AQE stage reuse, the r7
+    # measured behavior, deduplicates it at runtime; NOT persisted,
+    # same evidence as before).
+    grouped = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts_set"))
     )
-    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    n_baskets = grouped.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item = grouped.select(
+        F.explode("ts_set").alias("event_type")
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    pair_expansion = (
+        "flatten(transform(ts_set, (x, i) -> "
+        "transform(slice(ts_set, i + 2, size(ts_set)), "
+        "y -> named_struct('type_a', x, 'type_b', y))))"
+    )
     pair_counts = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        grouped.select(F.explode(F.expr(pair_expansion)).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
     from mspr2_back_spark.plans.analytics import _with_scalar
