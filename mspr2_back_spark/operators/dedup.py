@@ -732,10 +732,24 @@ def near_dup_clusters(
     # runs ONE job (compute+persist+sum fused) instead of two
     # (eager materialize, then re-scan the stored blocks to sum).
     # Same blocks, same lineage truncation, half the jobs/passes.
+    #
+    # Round 1 is CLOSED-FORM (r18): over the symmetric edge set,
+    # one propagation from the self-labeled seed gives every node
+    # min(node, min(neighbors)) — a single aggregation keyed on dst,
+    # no edges⋈labels join. And the seed's own sum action proved
+    # nothing: for any edge (a, b) with a < b, b's label drops to
+    # ≤ a in round 1, so a NONEMPTY edge set always changes labels
+    # (and an empty one yields empty labels either way) — the
+    # convergence comparison can start AT round 1. This folds the
+    # seed relation's distinct + checkpoint + sum action and round
+    # 1's join into one fused aggregation job over the cached edges.
     labels = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("cluster"))
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("mn"))
+        .select(
+            F.col("dst").alias("node"),
+            F.least(F.col("mn"), F.col("dst")).alias("cluster"),
+        )
         .localCheckpoint(eager=False)
     )
 
@@ -748,7 +762,12 @@ def near_dup_clusters(
 
     prev_sum = label_sum(labels)
     try:
-        for _ in range(max_iter):
+        # range(max_iter - 1): round 1 ran fused above, so the cap
+        # still bounds TOTAL propagation rounds at max_iter — the
+        # documented diameter contract is unchanged (max_iter=1 on a
+        # nonempty graph raises in both formulations: round 1 always
+        # changes labels and no comparison round remains).
+        for _ in range(max_iter - 1):
             neighbor_min = (
                 edges.join(labels, edges.src == labels.node)
                 .select(F.col("dst").alias("node"), "cluster")
