@@ -708,20 +708,38 @@ def near_dup_clusters(
                 f"(got {t}) — the monotone-sum convergence witness is "
                 "exact only for integer labels"
             )
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    # repartition("src") BEFORE persisting: .distinct() leaves the
-    # relation hash-partitioned by (src, dst), so every round's
-    # edges⋈labels join would re-shuffle the (usually much larger)
-    # edge side. Persisted hash(src) partitioning is visible to the
-    # optimizer through the InMemoryRelation, so each round's join
-    # exchanges only the labels side — one extra build-time exchange
-    # buys one saved edge shuffle PER ROUND (measured A/B in
-    # SCALING.md round 9: −4% at the 64× worst case's 2 rounds,
-    # −24% on a diameter-9 chain graph's 10 rounds; the margin is
-    # per-round by construction).
+    # Symmetrize IN-ROW (r18): the old `edges.union(reversed)` form
+    # referenced the whole pair-generation DAG from BOTH union
+    # branches (Spark shares no subplans across branches — at best
+    # AQE deduplicates some shuffle stages at runtime), and its
+    # `.distinct()` was semantically a no-op bought at a full
+    # edge-relation exchange: verified pair relations emit each pair
+    # once with a < b, so the forward and reversed sets are disjoint
+    # — and minimum-label propagation is duplicate-insensitive
+    # anyway (min over a multiset ≡ min over its set; a caller
+    # passing duplicate pairs costs join fan-out, never
+    # correctness). One explode emits both directions per input row:
+    # one subtree, zero extra exchanges.
+    #
+    # repartition("src") BEFORE persisting: persisted hash(src)
+    # partitioning is visible to the optimizer through the
+    # InMemoryRelation, so each round's edges⋈labels join exchanges
+    # only the labels side — one build-time exchange buys one saved
+    # edge shuffle PER ROUND (measured A/B in SCALING.md round 9:
+    # −4% at the 64× worst case's 2 rounds, −24% on a diameter-9
+    # chain graph's 10 rounds; the margin is per-round by
+    # construction).
+    a, b = F.col(a_col), F.col(b_col)
     edges = (
-        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
