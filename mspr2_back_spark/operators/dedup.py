@@ -600,11 +600,22 @@ def simhash_near_degree(
             docs, max_hamming=max_hamming, bands=bands, bits=bits,
             id_col=id_col,
         )
+        # In-row symmetrization (r18, same rework as the LP edge
+        # build): a union would reference the banded pair DAG from
+        # both branches — one explode emits both endpoints per pair
+        # over a single subtree.
         sym = pairs.select(
-            F.col("doc_id_1").alias("doc_id"), "hamming"
-        ).unionByName(
-            pairs.select(F.col("doc_id_2").alias("doc_id"), "hamming")
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id_1").alias("doc_id"), F.col("hamming")
+                    ),
+                    F.struct(
+                        F.col("doc_id_2").alias("doc_id"), F.col("hamming")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.doc_id", "e.hamming")
         return sym.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_near"),
             F.min("hamming").cast("int").alias("min_hamming"),
