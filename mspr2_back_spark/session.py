@@ -50,22 +50,26 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         # r18 second cut: the advisory target is the scale-dependent
         # half of the pair above, so it is parameterised (env seam)
-        # with a LOCAL default of 4m instead of Spark's 64m. Measured
+        # with a LOCAL default of 1m instead of Spark's 64m. Measured
         # at 64x sf0.1 (SCALING.md r18-optimization addendum): with
         # 64m, corpus-scale shuffles in the 64 MB..cores×64 MB band
         # coalesce to bytes/64m ≪ cores and serialize the box
         # (event_association_rules 4.4 → 19.2 s, percentile family
-        # ~2×); at 4m the same sweep sits within noise of the
-        # parallelism-first numbers while KB-scale sf0.1 shuffles
-        # still coalesce to ~1 task (the task-launch win that
-        # motivated the pair). Production clusters should set
+        # ~2×). The 1m/2m/4m sweep found 1m dominant at BOTH scales:
+        # at 64× every probe recovers to (or beats) the
+        # parallelism-first numbers (ml_forecast_ar_exact 5.0 → 3.5,
+        # skewed_join_topk 3.1 → 2.1), and at sf0.1 the alternating
+        # adjacent-window A/B has 1m ≤ 4m on every top mover — the
+        # KB-sized stages still collapse to one task (the task-launch
+        # win that motivated the pair) while low-MB shuffles keep 2–4
+        # tasks of parallelism. Production clusters should set
         # SPARK_GRAFT_ADVISORY_PARTITION_BYTES to the guide's
         # 64m-256m (§2.2/§9): there the shuffle is network-bound and
         # per-partition overheads amortize, and the mid band moves to
         # total_cores×advisory — far below any 100 TB shuffle.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "4m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1m"),
         )
         # r18: let AQE (incl. partition coalescing) apply to the
         # plans that FILL persisted relations, so a users-sized
