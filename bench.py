@@ -75,6 +75,15 @@ warm-side aggregates computed over passes 2..N only ("queries_max_warm",
 "total_max_warm", "spread_pct_warm"): a cold first pass widens
 spread_pct but not spread_pct_warm, while genuine co-tenant noise
 widens both. Any other slice is recomputable from the matrix.
+
+Artifact split (round 19, VERDICT r18 task 1): the printed line is
+the COMPACT contract record (~3.5 KB — floors, totals, spread
+scalars, probe, load, "cpus", "sf") so the driver's tail capture can
+always parse it; the per-pass matrix, max-side per-query maps and
+frame-leak detail live in a side file written before the line is
+printed ("full_artifact": /tmp/bench_full_c{cpus}.json — cpus-keyed
+so the driver's low-core sweep doesn't clobber the main record).
+The side file is a strict superset of the line.
 """
 
 from __future__ import annotations
@@ -303,6 +312,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # The local bench recipe wants the 1m AQE advisory partition size
+    # (the r18 two-scale sweep's winner for sub-100MB local shuffles
+    # under parallelismFirst=false — SCALING.md). r19 moved the
+    # session factory's UNSET default to the scale-safe 64m (the same
+    # conf sizes skew-join splits; VERDICT r18 "What's wrong" #1), so
+    # the bench exports its local value itself. setdefault: an
+    # explicit env override still wins, and the value used is
+    # recorded in the JSON line.
+    os.environ.setdefault("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1m")
     spark = get_spark(app_name="mspr2_back_spark_bench")
 
     # warmup: JVM, whole-stage-codegen compile cache, Python UDF
@@ -479,59 +497,73 @@ def main() -> None:
     shared_prev = round(
         sum(timings[n] for n in PREV_ROUND_HEADLINE if n in timings), 4
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "repeats": REPEATS,
-                "queries_max": worst,
-                "total_max": total_max,
-                "spread_pct": round(100.0 * (total_max - total) / total, 1) if total else 0.0,
-                "queries_passes": {
-                    name: [round(t, 4) for t in ts]
-                    for name, ts in samples.items()
-                },
-                "queries_max_warm": worst_warm,
-                "total_max_warm": total_max_warm,
-                "spread_pct_warm": round(
-                    100.0 * (total_max_warm - total) / total, 1
-                ) if total else 0.0,
-                "shared_prev_subtotal": shared_prev,
-                "shared_prev_n": len(PREV_ROUND_HEADLINE),
-                "persistent_rdds_baseline": baseline_rdds,
-                "persistent_rdds_after_clear": residue,
-                # residue classification (r16): any count above
-                # baseline with BOTH fields below clean is
-                # scheduler-pinned localCheckpoint lifecycle residue
-                # (bounded, reaped by Spark's periodic GC), not a leak
-                "cache_manager_empty": cache_mgr_empty,
-                "leaked_python_frames": len(leaked_frames),
-                "leaked_frame_info": leaked_frame_info,
-                # co-tenant load is the dominant spread source on a
-                # shared box (r8: 29.7% spread with zero plan
-                # changes) — record the 1/5/15-min load averages so a
-                # high spread_pct reads against measured load, not
-                # guessed load
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-                "loadavg_per_pass": loadavg_per_pass,
-                "load_gate": load_gate,
-                # floors LAST: the driver's BENCH_r{N} artifact keeps
-                # only the tail of this line, and the per-query floor
-                # (min over warm passes) is the stat that survives
-                # co-tenant noise — three rounds of max-warm drift had
-                # to be adjudicated from side-channels because these
-                # fields didn't exist in the artifact (r14 VERDICT
-                # task 2); keep them at the end of the dict
-                "cpu_probe_ms": [probe_start, cpu_probe_ms()],
-                "queries_min_warm": best_warm,
-                "total_min_warm": round(sum(best_warm.values()), 4),
-            }
-        )
+    # r19 (VERDICT r18 task 1): the printed line had outgrown the
+    # driver's tail capture — the full 43×5 queries_passes matrix plus
+    # leaked_frame_info made the one-line JSON driver-unparseable for
+    # 12 straight rounds (r06-r17 "parsed": null), which blinded
+    # PERF's prev/geomean computation. The contract line now stays
+    # compact (~3.5 KB: floors, totals, probe, load, cpus, sf) and
+    # the bulky diagnostics (per-pass matrix, max-side aggregates,
+    # frame-leak detail) move to a side file referenced by path
+    # ("full_artifact"). Nothing is dropped — the side file carries a
+    # superset of every field the line ever had. "cpus" is recorded
+    # so the driver's low-core scaling sweep is attributable from the
+    # artifact alone (the r18 suspect_cpus_ignored false positive).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "repeats": REPEATS,
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
+        "advisory_partition_bytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "total_max": total_max,
+        "spread_pct": round(100.0 * (total_max - total) / total, 1) if total else 0.0,
+        "total_max_warm": total_max_warm,
+        "spread_pct_warm": round(
+            100.0 * (total_max_warm - total) / total, 1
+        ) if total else 0.0,
+        "shared_prev_subtotal": shared_prev,
+        "shared_prev_n": len(PREV_ROUND_HEADLINE),
+        "persistent_rdds_baseline": baseline_rdds,
+        "persistent_rdds_after_clear": residue,
+        # residue classification (r16): any count above baseline with
+        # BOTH fields below clean is scheduler-pinned localCheckpoint
+        # lifecycle residue (bounded, reaped by Spark's periodic GC)
+        "cache_manager_empty": cache_mgr_empty,
+        "leaked_python_frames": len(leaked_frames),
+        # co-tenant load is the dominant spread source on a shared
+        # box (r8: 29.7% spread with zero plan changes)
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_per_pass": loadavg_per_pass,
+        "load_gate": load_gate,
+        "cpu_probe_ms": [probe_start, cpu_probe_ms()],
+        # floors LAST: the per-query floor (min over warm passes) is
+        # the stat that survives co-tenant noise (r14 VERDICT task 2)
+        "queries_min_warm": best_warm,
+        "total_min_warm": round(sum(best_warm.values()), 4),
+        "full_artifact": f"/tmp/bench_full_c{cpus}.json",
+    }
+    full = dict(compact)
+    full.update(
+        {
+            "queries_max": worst,
+            "queries_passes": {
+                name: [round(t, 4) for t in ts]
+                for name, ts in samples.items()
+            },
+            "queries_max_warm": worst_warm,
+            "leaked_frame_info": leaked_frame_info,
+        }
     )
+    with open(compact["full_artifact"], "w") as fh:
+        json.dump(full, fh)
+    print(json.dumps(compact))
     assert cache_mgr_empty, (
         "SQL cache entries survived clearCache — a query leaked a "
         "cache it doesn't own (see the funnel cache-lifecycle "

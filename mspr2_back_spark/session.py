@@ -8,10 +8,42 @@ aggs, pushdown), which is identical on a 1000-executor cluster.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# JVM byte-size literal: digits plus an optional b/k/m/g/t suffix
+# (optionally followed by 'b', e.g. "64m", "64mb", "1048576").
+_SIZE_RE = re.compile(r"^[0-9]+(?:[bkmgt]b?)?$", re.IGNORECASE)
+
+
+def _advisory_partition_bytes() -> str:
+    """Resolve the AQE advisory partition size from the env seam.
+
+    Validated here (r18 ADVICE) so a malformed value fails with a
+    ValueError naming SPARK_GRAFT_ADVISORY_PARTITION_BYTES instead of
+    an opaque JVM NumberFormatException at session creation.
+
+    The UNSET default is the scale-safe 64m (Spark's own default):
+    advisoryPartitionSizeInBytes is not just the coalescing target —
+    it is ALSO the size AQE splits skewed join partitions to (and the
+    rebalance target), so a 1m default on a production cluster with
+    skewJoin.enabled would shred a multi-GB hot-key partition into
+    thousands of ~1 MB splits, each re-reading the other join side
+    (r18 VERDICT "What's wrong" #1). The LOCAL benchmark recipe is
+    the place that wants 1m (sub-100MB shuffles under
+    parallelismFirst=false; measured sweep in SCALING.md), so
+    bench.py exports 1m itself and the production default stays safe.
+    """
+    raw = os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m")
+    if not _SIZE_RE.match(raw.strip()):
+        raise ValueError(
+            "SPARK_GRAFT_ADVISORY_PARTITION_BYTES must be a byte-size "
+            f"literal like '64m', '1m' or '1048576'; got {raw!r}"
+        )
+    return raw.strip()
 
 
 def get_spark(
@@ -49,27 +81,24 @@ def get_spark(
         # construction: partition count follows bytes, not the box.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         # r18 second cut: the advisory target is the scale-dependent
-        # half of the pair above, so it is parameterised (env seam)
-        # with a LOCAL default of 1m instead of Spark's 64m. Measured
-        # at 64x sf0.1 (SCALING.md r18-optimization addendum): with
-        # 64m, corpus-scale shuffles in the 64 MB..cores×64 MB band
-        # coalesce to bytes/64m ≪ cores and serialize the box
-        # (event_association_rules 4.4 → 19.2 s, percentile family
-        # ~2×). The 1m/2m/4m sweep found 1m dominant at BOTH scales:
-        # at 64× every probe recovers to (or beats) the
-        # parallelism-first numbers (ml_forecast_ar_exact 5.0 → 3.5,
-        # skewed_join_topk 3.1 → 2.1), and at sf0.1 the alternating
-        # adjacent-window A/B has 1m ≤ 4m on every top mover — the
-        # KB-sized stages still collapse to one task (the task-launch
-        # win that motivated the pair) while low-MB shuffles keep 2–4
-        # tasks of parallelism. Production clusters should set
-        # SPARK_GRAFT_ADVISORY_PARTITION_BYTES to the guide's
-        # 64m-256m (§2.2/§9): there the shuffle is network-bound and
-        # per-partition overheads amortize, and the mid band moves to
-        # total_cores×advisory — far below any 100 TB shuffle.
+        # half of the pair above, so it is parameterised (env seam).
+        # Measured at 64x sf0.1 (SCALING.md r18-optimization
+        # addendum): with 64m, corpus-scale shuffles in the
+        # 64 MB..cores×64 MB band coalesce to bytes/64m ≪ cores and
+        # serialize the box (event_association_rules 4.4 → 19.2 s);
+        # the 1m/2m/4m sweep found 1m dominant at both LOCAL scales,
+        # so the local bench recipe (bench.py) exports 1m. r19: the
+        # UNSET default moved 1m → 64m (Spark's default) because the
+        # same conf sizes AQE's skew-join splits and rebalance — a
+        # production cluster that forgot the env var would shred
+        # multi-GB hot-key partitions into ~1 MB splits, duplicating
+        # the build-side read thousands of times (r18 VERDICT
+        # "What's wrong" #1). Guide §2.2/§9: clusters want 64m-256m;
+        # there the mid band moves to total_cores×advisory — far
+        # below any 100 TB shuffle.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1m"),
+            _advisory_partition_bytes(),
         )
         # r18: let AQE (incl. partition coalescing) apply to the
         # plans that FILL persisted relations, so a users-sized
