@@ -108,7 +108,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.expr(WORDS)).alias("word")
     )
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # r19 (VERDICT r18 task 3): tf is persisted — its two consumers
+    # (the df aggregation and the score join's probe side) each
+    # re-ran the corpus explode + (doc, word) aggregation because
+    # ReuseExchange never fires on this surface (r18 measurement).
+    # tf is the DISTILLED relation (distinct (doc, word) pairs with a
+    # count — strictly smaller than the token positions it
+    # aggregates, ints + single words vs full text), so one
+    # MEMORY_AND_DISK materialization replaces a second full
+    # tokenize + explode + aggregate pass; LRU keeps the cache
+    # evictable and the session owner clears it (funnel contract).
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dfx = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfc"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = _with_scalar(tf.join(dfx, "word"), n_docs)
@@ -211,7 +225,16 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.expr(WORDS)).alias("word"))
-    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # r19 (VERDICT r18 task 3): the vocabulary count relation is
+    # persisted (vocab-bounded) — its two consumers (the n_total
+    # scalar and the count join) each re-ran the corpus explode
+    # because ReuseExchange never fires here (r18 measurement); the
+    # materialized relation computes once, so the corpus is exploded
+    # twice (fill + probe) instead of three times. Cache lifecycle:
+    # session owner clears (funnel contract).
+    vocab = (
+        toks.groupBy("word").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
     totals = vocab.agg(F.sum("c").alias("n_total"))
     scored = _with_scalar(
         toks.join(vocab, "word"), totals
@@ -253,19 +276,19 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER scores high even when every unigram is common; templated
     boilerplate scores low).
 
-    Plan: one (head, bigram) pair explode feeds BOTH count
-    aggregations (bigram counts and head/context counts — partial
-    map-side combine, exchange ∝ distinct n-grams, the irreducible
-    LM-training shuffle); the smoothing vocabulary size V is a
-    two-phase distinct collapsed to one broadcast row, attached via
+    Plan (r19): ONE (head, bigram) pair explode fills the MATERIALIZED
+    bigram-count relation (persist; distinct-bigram-bounded) and the
+    head-count marginal derives from that cache (Σ cb per head) — the
+    pre-r19 shape re-exploded the corpus per count aggregation because
+    ReuseExchange never fires here. The smoothing vocabulary size V is
+    a two-phase distinct collapsed to one broadcast row, attached via
     the non-foldable-key scalar join. The count joins carry NO
     broadcast hint (r10, VERDICT r9 "What's wrong" #1: a hinted
     broadcast never flips, and the distinct-bigram relation is
     superlinear in vocabulary — a driver OOM at open-vocab 100 TB):
     AQE broadcasts at test scale and plans a shuffle join keyed on
-    the n-gram past the threshold, reusing the count aggregation's
-    own exchange partitioning — the plan test pins that both count
-    joins are keyed exactly on their aggregation keys. The doc
+    the n-gram past the threshold — the plan test pins the shuffle
+    flip plus the single-materialization scan count. The doc
     regroup is the same envelope as unigram_surprisal. Docs with < 2
     words have no bigram and drop out (inner semantics, same on both
     engines)."""
@@ -289,8 +312,28 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.head", "p.bigram")
     )
-    cb = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
-    ch = pairs.groupBy("head").agg(F.count(F.lit(1)).alias("ch"))
+    # r19 (VERDICT r18 task 3): the bigram-count relation is
+    # MATERIALIZED once (persist; distinct-bigram-bounded, the
+    # vocab²-sized LM-training relation) and the head-count marginal
+    # DERIVES from it: Σ cb over the bigrams sharing a head ≡ the
+    # pair count per head, and tokens never contain a space (WORDS
+    # splits on ' '), so substring_index(bigram, ' ', 1) recovers the
+    # head exactly. r18 measured that ReuseExchange never fires on
+    # this surface — each consumer re-ran its own corpus explode
+    # (4 scans / 4 Generates); the persisted relation computes once,
+    # cutting the corpus passes to 3 (pair fill + probe + vocabulary)
+    # and removing one corpus-grain aggregation outright. Cache
+    # lifecycle: the session owner clears (the funnel contract,
+    # plans/timeseries.py); MEMORY_AND_DISK + LRU bounds the harm.
+    cb = (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .persist()
+    )
+    ch = (
+        cb.groupBy(F.substring_index("bigram", " ", 1).alias("head"))
+        .agg(F.sum("cb").alias("ch"))
+    )
     scored = _with_scalar(
         pairs.join(cb, "bigram").join(ch, "head"),
         vtot,
