@@ -470,33 +470,22 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b")
     ).select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
     unigrams = toks.select(F.explode("w").alias("tok"))
-    # r19 (VERDICT r18 task 3): both count relations are MATERIALIZED
-    # once (persist; unigram relation is vocab-bounded, bigram
-    # relation distinct-bigram-bounded) and every marginal DERIVES
-    # from them — uni_counts had THREE consumers (the n_unigrams
-    # scalar + the two marginal joins) and the bigram explode TWO
-    # (the n_bigrams scalar + bi_counts), each re-running its own
-    # corpus explode because ReuseExchange never fires on this
-    # surface (r18 measurement): 5 corpus explodes → 2 fills.
-    # n_bigrams ≡ Σ c_xy (every pair lands in exactly one group;
-    # coalesce covers the zero-bigram corpus where SUM is NULL but
-    # COUNT was 0). Cache lifecycle: session owner clears (the
-    # funnel contract, plans/timeseries.py).
-    uni_counts = (
-        unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
-    )
-    bi_counts = (
-        bigrams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .persist()
-    )
+    # r19 NOTE (VERDICT r18 task 3): single-materialization was
+    # MEASURED AND REJECTED on this query, twice. Persisting BOTH
+    # count relations (5 corpus explodes → 2 fills): 0.73x local,
+    # 0.93x at the 64x scaled corpus. Persisting only uni_counts (its
+    # 3 consumers are the heaviest duplication): 0.79x local, 0.84x
+    # at 64x. The marginals here are small concurrent AQE stages —
+    # idle cores absorb the duplicate explodes, while a persist puts
+    # the fill + cache roundtrip on the critical path. Contrast
+    # bigram_surprisal (3.79x at 64x) and tfidf (1.51x), where the
+    # persisted relation removes a corpus-grain aggregation from the
+    # serial path; plans/sketches.py carries the adopted pattern.
+    uni_counts = unigrams.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    bi_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
     totals = _with_scalar(
         uni_counts.agg(F.sum("c").alias("n_unigrams")),
-        bi_counts.agg(
-            F.coalesce(F.sum("c_xy"), F.lit(0).cast("bigint")).alias(
-                "n_bigrams"
-            )
-        ),
+        bigrams.agg(F.count(F.lit(1)).alias("n_bigrams")),
     )
     u1 = uni_counts.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
     u2 = uni_counts.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))

@@ -225,16 +225,16 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.expr(WORDS)).alias("word"))
-    # r19 (VERDICT r18 task 3): the vocabulary count relation is
-    # persisted (vocab-bounded) — its two consumers (the n_total
-    # scalar and the count join) each re-ran the corpus explode
-    # because ReuseExchange never fires here (r18 measurement); the
-    # materialized relation computes once, so the corpus is exploded
-    # twice (fill + probe) instead of three times. Cache lifecycle:
-    # session owner clears (funnel contract).
-    vocab = (
-        toks.groupBy("word").agg(F.count(F.lit(1)).alias("c")).persist()
-    )
+    # r19 NOTE (VERDICT r18 task 3): persisting the vocab relation
+    # (single-materialization, the bigram_surprisal/tfidf pattern) was
+    # MEASURED AND REJECTED here — 1.01x local, 0.89x at the 64x
+    # scaled corpus (ABBA, min-of-warm): vocab's two consumers are
+    # independent AQE stages that run concurrently on idle cores, so
+    # the fill barrier + cache roundtrip costs more than the saved
+    # explode. Contrast bigram_surprisal (3.79x at 64x — its saved
+    # subtree is a second corpus-grain AGGREGATION) and tfidf (1.51x —
+    # its persisted tf removes a corpus explode+agg from the probe).
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     totals = vocab.agg(F.sum("c").alias("n_total"))
     scored = _with_scalar(
         toks.join(vocab, "word"), totals

@@ -12,6 +12,21 @@ Scale notes: windowed aggregation state is bounded by the watermark
 shuffle key is (window, event_type), so state distributes across
 executors; `availableNow` triggers give batch-sized reprocessing with
 streaming semantics.
+
+State-store partitioning (r19, VERDICT r18 task 7): AQE does not
+apply to stream shuffles, so every stateful operator's state-store
+partition count is frozen at ``spark.sql.shuffle.partitions`` AS OF
+THE QUERY'S FIRST START and persisted in the checkpoint — later
+session-conf changes are ignored on restart (pinned by
+test_state_store_partitions_frozen_at_first_start). The deployment
+knob is therefore the session seam that already parameterizes
+shuffle.partitions (``SPARK_GRAFT_CPUS``, session.py): size it for
+PEAK state volume (key count × state row size / target ~100-200 MB
+per store) before the first production start of each stream;
+resizing afterwards requires a new checkpoint (a full state rebuild
+from the source). This is a Spark structured-streaming contract, not
+an engine choice — documented here because the batch side's
+byte-adaptive AQE sizing (r18) does NOT carry over to these ops.
 """
 
 from __future__ import annotations

@@ -369,15 +369,18 @@ def test_ngram_count_joins_flip_to_shuffle_on_aggregation_key(spark, sf_dir):
     only BroadcastExchange left is the non-foldable-key scalar attach
     (corpus-size/V — 1 row by construction at any scale).
 
-    r19 (VERDICT r18 task 3): the count relations are now MATERIALIZED
+    r19 (VERDICT r18 task 3): tfidf's tf relation and
+    bigram_surprisal's bigram-count relation are now MATERIALIZED
     once (persist) because ReuseExchange never fires on this surface —
     each consumer used to re-run its own corpus explode. The pin
-    therefore also asserts the single-materialization shape: every
-    marginal reaches the plan through an InMemoryTableScan of the
-    cached count aggregation, and the number of DISTINCT parquet scan
-    nodes equals the irreducible corpus-pass count (tfidf 2: tf fill +
-    n_docs count; unigram 2: vocab fill + token probe; bigram 3: pair
-    fill + pair probe + vocabulary scalar). The cached relation's
+    therefore also asserts the single-materialization shape where it
+    was ADOPTED: the count relation reaches the plan through
+    InMemoryTableScans, and the number of DISTINCT parquet scan nodes
+    equals the irreducible corpus-pass count (tfidf 2: tf fill +
+    n_docs count; bigram 3: pair fill + pair probe + vocabulary
+    scalar). unigram_surprisal keeps its unpersisted 3-scan shape —
+    the same persist was measured 0.89x at the 64x corpus and
+    rejected (see the docstring at the query). The cached relation's
     consumer-side re-exchange, when EnsureRequirements adds one, is on
     the count-bounded relation — never on the corpus probe side."""
     import re
@@ -423,10 +426,10 @@ def test_ngram_count_joins_flip_to_shuffle_on_aggregation_key(spark, sf_dir):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        for fn, keys, n_scans in (
-            (tfidf_top_terms, ["word"], 2),
-            (unigram_surprisal, ["word"], 2),
-            (bigram_surprisal, ["bigram", "head"], 3),
+        for fn, keys, n_scans, cached in (
+            (tfidf_top_terms, ["word"], 2, True),
+            (unigram_surprisal, ["word"], 3, False),
+            (bigram_surprisal, ["bigram", "head"], 3, True),
         ):
             plan = plan_of(fn)
             for key in keys:
@@ -436,13 +439,15 @@ def test_ngram_count_joins_flip_to_shuffle_on_aggregation_key(spark, sf_dir):
                 "broadcasting is disabled — a count-relation "
                 "BroadcastExchange here means a hint crept back in"
             )
-            # single materialization: the count relation is cached and
-            # consumed at least twice (fill once, read everywhere)
-            its = re.findall(r"\(\d+\) InMemoryTableScan", plan)
-            assert len(its) >= 2, (
-                f"{fn.__name__}: expected the materialized count "
-                f"relation to have >= 2 InMemoryTableScan consumers"
-            )
+            if cached:
+                # single materialization: the count relation is cached
+                # and consumed at least twice (fill once, read
+                # everywhere)
+                its = re.findall(r"\(\d+\) InMemoryTableScan", plan)
+                assert len(its) >= 2, (
+                    f"{fn.__name__}: expected the materialized count "
+                    f"relation to have >= 2 InMemoryTableScan consumers"
+                )
             # irreducible corpus passes: DISTINCT scan nodes (the same
             # cached-fill subtree prints once per consumer but shares
             # one node id — it executes once)

@@ -1188,3 +1188,51 @@ def test_hll_registers_live_parity_and_max_merge(spark, sf_dir, tmp_path):
     )
     assert abs(est - exact) < 0.26 * exact + 3
     shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def test_state_store_partitions_frozen_at_first_start(spark, sf_dir, tmp_path):
+    """r19 (VERDICT r18 task 7): AQE cannot resize stream shuffles, so
+    a stateful query's state-store partition count is fixed by
+    spark.sql.shuffle.partitions AT FIRST START and persisted in the
+    checkpoint — a restart under a DIFFERENT session conf keeps the
+    original count. This is the deployment contract the module
+    docstring documents (size SPARK_GRAFT_CPUS for peak state volume
+    before the first production start); the pin fails if a Spark
+    upgrade ever changes the freeze semantics."""
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_state_pin")
+    ckpt = str(tmp_path / "state_pin_ckpt")
+    src.limit(200).write.mode("overwrite").parquet(stream_dir)
+
+    def run_once():
+        stream = stream_events.read_event_stream(spark, stream_dir, src.schema)
+        agg = stream_events.windowed_event_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("state_pin_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the last progress can be a no-data batch with no state
+        # operators — scan the run's progress history for one
+        for prog in reversed(q.recentProgress):
+            if prog["stateOperators"]:
+                return prog["stateOperators"][0]["numShufflePartitions"]
+        raise AssertionError("expected a stateful operator in the progress")
+
+    start_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert run_once() == start_parts
+    # restart the SAME checkpoint under a different conf, with fresh
+    # input so the restarted run executes a real batch: frozen at the
+    # first start's count (Spark logs the pin: "Updating the value of
+    # conf 'spark.sql.streaming.internal.stateStore.partitions'")
+    src.limit(400).write.mode("append").parquet(stream_dir)
+    spark.conf.set("spark.sql.shuffle.partitions", str(start_parts * 2))
+    try:
+        assert run_once() == start_parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(start_parts))
+    shutil.rmtree(stream_dir, ignore_errors=True)
