@@ -434,6 +434,20 @@ def _encode_luts(
     return codes, lens
 
 
+# Crossover between the scalar and vectorized entropy coders, in
+# total blocks per scan. Measured on the jpeg_meta_stats corpus
+# shapes (13-35 × 9-25 px, 4-60 blocks, ~4,700 distinct shape/DRI
+# combos) the SCALAR loop wins — 0.56-0.73 ms/doc encode vs
+# 0.85-0.88 vectorized: per-call numpy fixed overhead beats the
+# short interpreted loop, and the corpus's shape diversity defeats
+# per-shape cache amortization. On large scans the vectorized path
+# wins decisively and asymptotically (420 size sweep, warm:
+# 64×48 3.8→2.3 ms, 128×96 14.5→6.8 ms, 512×384 231→160 ms).
+# 128 blocks puts every corpus image on the scalar side and every
+# measured vectorized win (≥288 blocks) on the other.
+_VECTOR_SCAN_MIN_BLOCKS = 128
+
+
 def _encode_baseline_scan(
     flat: list[np.ndarray],
     samp: list[tuple[int, int]],
@@ -444,11 +458,106 @@ def _encode_baseline_scan(
     ac_tables: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...],
     restart_interval: int,
 ) -> bytes:
-    """Vectorized baseline entropy coder — BIT-IDENTICAL to the former
-    per-coefficient ``write_block`` + ``_BitWriter`` loop (r19, guide
-    §4.2: hand whole batches to numpy instead of looping in Python;
-    verified byte-equal over 7,281 reference encodes spanning every
-    profile/quality/DRI/shape the corpus and tests exercise).
+    """Baseline entropy coder: size-dispatched between the scalar
+    per-coefficient loop (small scans — the codec-query corpus) and
+    the vectorized coder (large scans). Both produce BIT-IDENTICAL
+    streams — pinned against each other and a scalar reference by
+    tests/test_jpeg_scan_coder.py over profiles/DRI/shapes, and by
+    7,281 hash-equal reference encodes."""
+    nblocks = mcu_x * mcu_y * sum(hi * vi for hi, vi in samp)
+    if nblocks < _VECTOR_SCAN_MIN_BLOCKS:
+        return _encode_scan_scalar(
+            flat, samp, comp_bw, mcu_x, mcu_y, dc_tables, ac_tables,
+            restart_interval,
+        )
+    return _encode_scan_vectorized(
+        flat, samp, comp_bw, mcu_x, mcu_y, dc_tables, ac_tables,
+        restart_interval,
+    )
+
+
+def _encode_scan_scalar(
+    flat: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    comp_bw: list[int],
+    mcu_x: int,
+    mcu_y: int,
+    dc_tables: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...],
+    ac_tables: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...],
+    restart_interval: int,
+) -> bytes:
+    """The per-coefficient scalar coder (tolist + plain-int bit
+    arithmetic). Faster than the vectorized path below
+    _VECTOR_SCAN_MIN_BLOCKS — see the crossover note there."""
+    ncomp = len(flat)
+    dc_codes = [_canonical_codes_cached(b, v) for b, v in dc_tables]
+    ac_codes = [_canonical_codes_cached(b, v) for b, v in ac_tables]
+    writer = _BitWriter()
+    prev_dc = [0] * ncomp
+
+    def write_block(ci: int, zz: np.ndarray) -> None:
+        vals = zz.tolist()
+        dc = vals[0]
+        diff = dc - prev_dc[ci]
+        prev_dc[ci] = dc
+        size, mag = _magnitude(diff) if diff else (0, 0)
+        code, length = dc_codes[ci][size]
+        writer.write(code, length)
+        if size:
+            writer.write(mag, size)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if vals[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = vals[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[ci][0xF0]
+                writer.write(code, length)
+                run -= 16
+            size, mag = _magnitude(v)
+            code, length = ac_codes[ci][(run << 4) | size]
+            writer.write(code, length)
+            writer.write(mag, size)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[ci][0x00]  # EOB
+            writer.write(code, length)
+
+    for mcu in range(mcu_x * mcu_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.emit_marker(0xD0 + ((mcu // restart_interval - 1) & 7))
+            prev_dc[:] = [0] * ncomp
+        my, mx = divmod(mcu, mcu_x)
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            for byi in range(vi):
+                for bxi in range(hi):
+                    row = my * vi + byi
+                    col = mx * hi + bxi
+                    write_block(ci, flat[ci][row * comp_bw[ci] + col])
+    return writer.flush()
+
+
+def _encode_scan_vectorized(
+    flat: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    comp_bw: list[int],
+    mcu_x: int,
+    mcu_y: int,
+    dc_tables: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...],
+    ac_tables: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...],
+    restart_interval: int,
+) -> bytes:
+    """Vectorized baseline entropy coder — BIT-IDENTICAL to the
+    scalar loop (guide §4.2: hand whole batches to numpy instead of
+    looping in Python), the winning side of the dispatch for large
+    scans.
 
     Shape: one pass builds EVERY symbol of the scan as parallel
     (code, length) arrays — DC diffs with per-restart-segment resets,
@@ -461,8 +570,7 @@ def _encode_baseline_scan(
     marker insertion are computed as output-position arithmetic, so
     no Python loop scales with MCU count. The emission-order walk and
     the Huffman LUT arrays are lru_cached on the (dims, sampling,
-    DRI) shape — the codec queries cycle a small closed set of
-    shapes, so steady-state encodes skip both rebuilds."""
+    DRI) shape."""
     ncomp = len(flat)
     ci_arr, idx_arr, seg_arr = _emission_order(
         tuple(samp), tuple(comp_bw), mcu_x, mcu_y, restart_interval

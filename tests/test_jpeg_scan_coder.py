@@ -23,6 +23,7 @@ from mspr2_back_spark.operators.jpeg import (
     DC_LUMA_VALS,
     _canonical_codes,
     _encode_baseline_scan,
+    _encode_scan_vectorized,
 )
 
 
@@ -166,7 +167,15 @@ def test_vectorized_scan_coder_matches_scalar_reference(seed, ri, shape):
     ref = _ref_scan(
         flat, samp, comp_bw, mcu_x, mcu_y, dc_codes, ac_codes, ri
     )
+    # the production dispatcher (scalar below _VECTOR_SCAN_MIN_BLOCKS,
+    # vectorized above) …
     got = _encode_baseline_scan(
         flat, samp, comp_bw, mcu_x, mcu_y, dc_tables, ac_tables, ri
     )
     assert got == ref
+    # … AND the vectorized coder forced at EVERY size, so the small
+    # shapes (the dispatcher's scalar side) still pin its bit-identity
+    got_vec = _encode_scan_vectorized(
+        flat, samp, comp_bw, mcu_x, mcu_y, dc_tables, ac_tables, ri
+    )
+    assert got_vec == ref
