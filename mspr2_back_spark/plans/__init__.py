@@ -38,7 +38,15 @@ ORACLE_SQL = {
 
 # The driver's correctness sweep covers the first 50 registered
 # queries in dict order; per-round verdicts union latest-wins
-# (rotation history in COVERAGE.md).  Round-18 continues the 3x50
+# (rotation history in COVERAGE.md).  ROUND 19: the sweep owes the
+# plain 50-entry r16 block — the keys of CORRECTNESS_r16 set-minus
+# the r17 sweep, precomputed in COVERAGE.md "Round-19 freshness
+# obligation" and recomputed at rotation time (set-equal, 50 = 50;
+# pinned by test_sweep_rotation_matches_artifacts on the r16/r17
+# artifacts). ZERO spare slots: no registration, retirement, or
+# displacement this round.
+#
+# r18 history (kept for the record): Round-18 continued the 3x50
 # steady state (50 r17 / 50 r16 / 50 r15 at r17 close): this round
 # owes exactly the plain 50-entry r15 block — the keys of
 # CORRECTNESS_r15 set-minus the r16 sweep, precomputed in
@@ -70,61 +78,68 @@ ORACLE_SQL = {
 # period 3.
 # Every key listed here must still exist in QUERIES.
 _SWEEP_FIRST = [
-    # -- the plain 50-entry r15 block, enumerated exactly as in
-    #    COVERAGE.md "Round-18 freshness obligation" (alphabetical;
-    #    no entry is new; order carries no priority semantics.  Two
-    #    entries, approx_distinct_users and ml_forecast_ar, are
-    #    rows-only by design) --
-    "ann_ivf_topk",
-    "approx_distinct_users",
-    "audio_feature_stats",
-    "avg_by_segment",
-    "bloom_prefilter_audit",
-    "chunk_documents",
-    "contamination_screen",
-    "crud_delete",
-    "crud_point_lookup",
-    "crud_upsert",
-    "customer_order_coverage",
-    "dedup_clusters",
-    "dedup_corpus_summary",
-    "dedup_embedding_cosine",
-    "dedup_gate",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "distinct_counts",
-    "event_weekday_contingency",
-    "global_totals",
-    "hll_distinct_users_sketch_only",
-    "hot_shingles",
-    "last_value_sum",
-    "max_year_orders",
-    "ml_forecast_ar",
-    "multimodal_wav_stats",
-    "order_rank_metrics",
-    "pack_documents",
-    "percentile_prices_refined",
-    "pii_scrub",
-    "price_histogram",
-    "profile_orders",
-    "props_extract",
-    "props_variant_stats",
-    "quality_filter",
-    "repeated_spans",
-    "revenue_by_nation",
-    "rfm_segments",
-    "rolling_active_users",
-    "scaled_user_values",
-    "seasonal_decompose_daily",
-    "sessionize_events",
-    "set_ops_nations",
-    "source_mixture_sample",
-    "status_pivot",
-    "top3_orders_per_segment",
-    "urgent_semijoin",
-    "user_event_sequences",
-    "window_frame_metrics",
-    "year_week_rollup_join",
+    # -- the plain 50-entry r16 block, enumerated exactly as in
+    #    COVERAGE.md "Round-19 freshness obligation" (alphabetical;
+    #    no entry is new; order carries no priority semantics; all
+    #    50 are oracle-checked — zero rows-only in this block).
+    #    Carries the three WAIT keys whose r19 verdicts certify
+    #    deferred fixes: dedup_embedding_lsh (r17 conformance
+    #    filter) and event_debounce + asof_event_value (r18
+    #    operating-window fix). Also carries this round's two
+    #    plan-changed n-gram keys (bigram_surprisal,
+    #    tfidf_top_terms — r19 single-materialization,
+    #    sim-verified value-identical), so their changes get
+    #    NATURAL same-round verdicts rather than a WAIT. --
+    "above_avg_orders",
+    "ann_lsh_topk",
+    "ann_topk",
+    "asof_event_value",
+    "bigram_surprisal",
+    "brand_surrogate_ids",
+    "corpus_shuffle",
+    "cube_order_stats",
+    "customer_order_histogram",
+    "customers_no_jumbo_order",
+    "date_spine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_norm_stats",
+    "event_debounce",
+    "event_transition_matrix",
+    "events_filtered",
+    "events_in_windows",
+    "grouping_sets_sales",
+    "hourly_events",
+    "ivf_cell_stats",
+    "latest_order_per_customer",
+    "local_supplier_volume",
+    "metric_projection",
+    "multimodal_adpcm_stats",
+    "multimodal_decode_stats",
+    "multimodal_frames",
+    "pct_negative_acctbal",
+    "region_yearly_lag",
+    "rolling_sum3",
+    "rollup_revenue",
+    "segment_decode",
+    "shipping_priority",
+    "skewed_join_topk",
+    "status_priority_rollup",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "top5_customers",
+    "unigram_surprisal",
+    "value_lag_diff",
+    "word_counts",
+    "yearly_orders_lag",
+    "zorder_locality_audit",
 ]
 _missing = [n for n in _SWEEP_FIRST if n not in QUERIES]
 assert not _missing, f"_SWEEP_FIRST names unknown queries: {_missing}"

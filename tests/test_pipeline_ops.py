@@ -1143,8 +1143,8 @@ def test_registry_report_matches_documented_counts():
 
 def test_sweep_rotation_matches_artifacts():
     """The sweep window must equal the declared freshness obligation
-    COMPUTED FROM THE ARTIFACTS (r18: CORRECTNESS_r15 keys set-minus
-    the r16 sweep), not just name known queries — an accidental edit
+    COMPUTED FROM THE ARTIFACTS (r19: CORRECTNESS_r16 keys set-minus
+    the r17 sweep), not just name known queries — an accidental edit
     to _SWEEP_FIRST between rotation and the driver run would
     otherwise silently break the steady-state rotation the verdicts
     audit. Update the two artifact names here at each rotation; skip
@@ -1156,8 +1156,8 @@ def test_sweep_rotation_matches_artifacts():
     from mspr2_back_spark.plans import QUERIES
 
     root = os.path.join(os.path.dirname(__file__), "..")
-    owed_src = os.path.join(root, "CORRECTNESS_r15.json")
-    done_src = os.path.join(root, "CORRECTNESS_r16.json")
+    owed_src = os.path.join(root, "CORRECTNESS_r16.json")
+    done_src = os.path.join(root, "CORRECTNESS_r17.json")
     if not (os.path.exists(owed_src) and os.path.exists(done_src)):
         pytest.skip("driver correctness artifacts absent")
     owed = set(json.load(open(owed_src))) - set(json.load(open(done_src)))
