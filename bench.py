@@ -561,8 +561,15 @@ def main() -> None:
             "leaked_frame_info": leaked_frame_info,
         }
     )
-    with open(compact["full_artifact"], "w") as fh:
-        json.dump(full, fh)
+    # The side file is diagnostics; the printed line is the CONTRACT.
+    # A failed write (read-only /tmp, disk full) must not take the
+    # contract line down with it — record the failure in the line
+    # instead.
+    try:
+        with open(compact["full_artifact"], "w") as fh:
+            json.dump(full, fh)
+    except OSError as exc:
+        compact["full_artifact"] = f"unwritable: {exc}"[:120]
     print(json.dumps(compact))
     assert cache_mgr_empty, (
         "SQL cache entries survived clearCache — a query leaked a "
